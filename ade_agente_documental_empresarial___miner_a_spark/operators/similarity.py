@@ -1,0 +1,117 @@
+"""Similarity search — SURVEY §2 J3, K1-K6, A4.
+
+Reference query shapes (``micro-infobot/app.py``):
+
+* K1 ``similarity_search(query)`` k=4 (app.py:223)
+* K2 ``similarity_search(query, k=3)`` (app.py:143)
+* K3 ``k=2, filter={"section": s}`` per section (app.py:149-150)
+* K4 ``similarity_search_with_score(query, k=3)`` (app.py:312)
+* A4 score normalization ``score/Σscore*100`` (app.py:318-321)
+* J3 the implicit 1×N (and generalized N×M) similarity join
+
+Physical design for scale (SURVEY §4): score with a native
+higher-order-function expression (no Python boundary), broadcast the
+query side, and let ``ORDER BY ... LIMIT k`` compile to
+``TakeOrderedAndProject`` — a per-partition top-k heap merged at the
+driver; no full sort, no full shuffle. Per-group top-k uses a
+``row_number`` window (one shuffle on the group key). N×M joins
+broadcast the smaller side; for large N×M use the LSH path in
+``operators/ann.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+
+def score_against(
+    index: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Add cosine-similarity score vs one literal query vector (1×N)."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return index.withColumn(
+        score_col, cosine_similarity(F.col(vec_col), qcol)
+    )
+
+
+def topk_similar(
+    index: DataFrame,
+    query_vec: list[float],
+    k: int = 4,
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """K1/K2/K4 — top-k rows by cosine similarity to ``query_vec``.
+
+    Compiles to TakeOrderedAndProject (no full sort/shuffle).
+    """
+    scored = score_against(index, query_vec, vec_col, score_col)
+    return scored.orderBy(F.col(score_col).desc()).limit(k)
+
+
+def topk_per_group(
+    index: DataFrame,
+    query_vec: list[float],
+    group_col: str,
+    k: int = 2,
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """K3 — top-k per group in ONE pass (replaces the reference's
+    per-section loop, app.py:147-151). Deterministic tie-break on the
+    group/vector id ordering supplied by ``orderBy`` below.
+    """
+    scored = score_against(index, query_vec, vec_col, score_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), *[c for c in ("vec_id",) if c in index.columns]
+    )
+    return (
+        scored.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def normalize_scores(
+    scored: DataFrame, score_col: str = "score", pct_col: str = "pct"
+) -> DataFrame:
+    """A4 — per-row percentage of the global score sum (app.py:318-321)."""
+    total = Window.partitionBy()
+    return scored.withColumn(
+        pct_col, F.col(score_col) / F.sum(score_col).over(total) * 100.0
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 4,
+    query_vec_col: str = "embedding",
+    index_vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """J3 generalized — N×M similarity join: for each query row, the top-k
+    index rows by cosine similarity. Broadcasts the query side (queries are
+    the small side in retrieval workloads); one window shuffle on query id.
+    """
+    q = queries.select(
+        F.col("query_id"), F.col(query_vec_col).alias("_qvec")
+    )
+    joined = index.crossJoin(F.broadcast(q)).withColumn(
+        score_col, cosine_similarity(F.col(index_vec_col), F.col("_qvec"))
+    )
+    order_cols = [F.col(score_col).desc()] + (
+        [F.col("vec_id")] if "vec_id" in index.columns else []
+    )
+    w = Window.partitionBy("query_id").orderBy(*order_cols)
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("_qvec")
+    )

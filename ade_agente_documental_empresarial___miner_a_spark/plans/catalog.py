@@ -1,0 +1,54 @@
+"""The queries()/oracle_sql() catalog — SURVEY.md §2 operator inventory.
+
+Each entry pairs a Spark DataFrame callable ``(spark, sf_dir) -> DataFrame``
+with a DuckDB-runnable SQL oracle over the same parquet fixtures. Column
+names/aliases match exactly on both sides (driver hashes values after
+sorting columns by name). Entries without an oracle are rows-only checked.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load():
+    global _LOADED
+    if _LOADED:
+        return
+    from . import queries_reference  # noqa: F401
+    from . import queries_ext  # noqa: F401
+
+    _LOADED = True
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

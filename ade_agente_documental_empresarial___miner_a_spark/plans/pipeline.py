@@ -1,0 +1,69 @@
+"""Pipeline composites — the reference's entry points as Spark jobs.
+
+E1 (ingest/index build, ``micro-infobot/app.py:110-131, 286-287``):
+documents → paragraph split (T1) → section forward-fill (T2) → recursive
+chunking (T3) → deterministic embedding (T5) → the ``chunks`` table, which
+*is* the vector index (SURVEY §1.3).
+
+E3 (scored inspection, app.py:306-328): scored top-k + A4 normalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.chunking import chunk_sections
+from ..operators.embedding import embed_one, with_embeddings
+from ..operators.sectioning import assign_sections
+from ..operators.similarity import normalize_scores, topk_similar
+
+
+def build_chunks(
+    documents: DataFrame,
+    text_col: str = "text",
+    with_embedding: bool = True,
+    dim: int = 64,
+) -> DataFrame:
+    """E1 — the full index build. Returns the ``chunks`` table
+    (chunk_id, doc_id, section, para_pos, chunk_pos, text[, embedding]).
+    """
+    sectioned = assign_sections(documents, text_col)
+    chunks = chunk_sections(sectioned)
+    w = Window.partitionBy("doc_id").orderBy("para_pos", "chunk_pos")
+    chunks = chunks.withColumn(
+        "chunk_seq", F.row_number().over(w)
+    ).withColumn(
+        # globally unique, deterministic chunk id
+        "chunk_id", F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_seq")
+    )
+    if with_embedding:
+        chunks = with_embeddings(chunks, "text", dim=dim)
+    return chunks.select(
+        "chunk_id", "doc_id", "section", "para_pos", "chunk_pos", "text",
+        *(["embedding"] if with_embedding else []),
+    )
+
+
+def flagship_query(
+    documents: DataFrame,
+    question: str = "spark vector join query",
+    k: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """E1+E3 end-to-end: build the index, embed the question with the same
+    deterministic embedder, retrieve top-k chunks with scores and A4
+    percentage normalization (app.py:312-321).
+    """
+    chunks = build_chunks(documents, dim=dim)
+    qvec = embed_one(question, dim=dim)
+    hits = topk_similar(chunks, qvec, k=k)
+    out = normalize_scores(hits)
+    return out.select(
+        "chunk_id",
+        "doc_id",
+        "section",
+        F.col("text"),
+        F.round("score", 6).alias("score"),
+        F.round("pct", 6).alias("pct"),
+    )
