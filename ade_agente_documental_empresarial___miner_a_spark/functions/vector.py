@@ -38,7 +38,7 @@ def cosine_distance(a: Column, b: Column) -> Column:
 def duck_dot(a: str, b: str) -> str:
     return (
         f"list_aggregate(list_transform(list_zip({a}, {b}), "
-        f"z -> CAST(z.list_1 AS DOUBLE) * CAST(z.list_2 AS DOUBLE)), 'sum')"
+        f"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
     )
 
 

@@ -52,3 +52,29 @@ def _load():
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet reader
+# rejects. Read it with an explicit INT64 schema (physical type matches) and
+# convert nanos → microsecond timestamps. The DuckDB oracle mirrors this with
+# CAST(ts AS TIMESTAMP) (ns→us truncation matches integer `div 1000`).
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+DUCK_EVENTS = (
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+    "event_type, value, props FROM events)"
+)
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
