@@ -1,0 +1,124 @@
+"""Approximate nearest neighbour — EXT surface.
+
+The reference's ANN is Chroma's HNSW (``micro-infobot/app.py:130``,
+hnswlib/C++). A graph index doesn't map to Spark's execution model; the
+Spark-native scale path is **random-hyperplane LSH bucketing**: assign each
+vector a bucket from the signs of ``dim`` dot products with fixed random
+hyperplanes, then only score within buckets. Exact brute-force top-k (in
+``similarity.py``) is the correctness baseline.
+
+The hyperplanes are ±1 literals derived from md5 at module import
+(seed-fixed) — deterministic, embeddable verbatim in the DuckDB oracle, and
+JVM-evaluable with zero Python boundary at query time.
+
+Scale: bucketing is map-only; the per-bucket join shuffles O(N) rows on a
+uniform key. 2^planes buckets: pick planes ≈ log2(N / desired bucket size).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+DEFAULT_PLANES = 6
+DEFAULT_DIM = 64
+SEED = 42
+
+
+def hyperplanes(
+    n_planes: int = DEFAULT_PLANES, dim: int = DEFAULT_DIM, seed: int = SEED
+) -> list[list[int]]:
+    """±1 hyperplane matrix from md5(seed:plane:dim-byte-stream)."""
+    planes = []
+    for p in range(n_planes):
+        comps: list[int] = []
+        counter = 0
+        while len(comps) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{counter}".encode()).digest()
+            for byte in h:
+                if len(comps) >= dim:
+                    break
+                comps.append(1 if byte & 1 else -1)
+            counter += 1
+        planes.append(comps)
+    return planes
+
+
+def _dot_literal(vec_col: Column, plane: list[int]) -> Column:
+    """Σ vᵢ·hᵢ with ±1 literal h — a signed sum, fold in array order."""
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    prods = F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0), lambda s, x: s + x)
+
+
+def bucket_expr(
+    vec_col: Column, planes: list[list[int]] | None = None
+) -> Column:
+    """LSH bucket id = Σ_p 2^p · [dot(v, H_p) > 0]."""
+    planes = planes or hyperplanes()
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        out = out + F.when(_dot_literal(vec_col, plane) > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def with_buckets(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    planes: list[list[int]] | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    return emb.withColumn(out_col, bucket_expr(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """Bucketed ANN top-k: score only same-bucket candidates, exact cosine
+    rerank, top-k per query. Returns (query_id, vec_id, score, rnk)."""
+    from pyspark.sql import Window
+
+    planes = planes or hyperplanes()
+    q = with_buckets(queries, vec_col, planes).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        "bucket",
+    )
+    idx = with_buckets(index, vec_col, planes)
+    joined = (
+        idx.join(F.broadcast(q), "bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("score", cosine_similarity(F.col(vec_col), F.col("_qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", F.col(id_col), "score", "rnk")
+    )
+
+
+# ---- DuckDB oracle mirrors -------------------------------------------------
+def duck_plane_literal(plane: list[int]) -> str:
+    return "[" + ", ".join(f"{float(x)!r}" for x in plane) + "]"
+
+
+def duck_bucket(vec: str, planes: list[list[int]] | None = None) -> str:
+    planes = planes or hyperplanes()
+    terms = []
+    for p, plane in enumerate(planes):
+        dot = (
+            f"list_aggregate(list_transform(list_zip({vec}, {duck_plane_literal(plane)}), "
+            f"z -> CAST(z[1] AS DOUBLE) * z[2]), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**p} ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"

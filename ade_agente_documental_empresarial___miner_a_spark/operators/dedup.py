@@ -1,0 +1,217 @@
+"""Deduplication operators — EXT surface (SURVEY §7 M4, BASELINE.json
+north star: LLM-data-pipeline dedup designed for horizontal scale).
+
+No reference counterpart (the reference has no dedup); these generalize its
+J3 similarity join. All hashing is md5-based so the DuckDB oracle can
+reproduce results exactly: MinHash uses the **lexicographic min of md5 hex
+digests** (a uniform hash with a total order — engine-portable, no
+murmur/xxhash divergence).
+
+Scale design:
+* exact dedup — one hash-groupBy, map-side combinable, no skew (md5 keys
+  are uniform).
+* MinHash/LSH — explode shingles → 1 groupBy(doc) for the signature →
+  explode bands → 1 groupBy(band,key) self-join on bucket. Shuffle volume
+  is O(docs × perms), independent of text size. Band buckets are uniform,
+  so no skew salting needed; candidate verification is a narrow join.
+* SimHash — explode words → one groupBy(doc) with 16 conditional sums.
+* embedding-cosine — blocked N×M join; at scale replace the full cross
+  join with the LSH bucketing in ``ann.py`` (same scoring expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+
+def normalized_text(col):
+    """Canonical text for exact dedup: lower + trim."""
+    return F.trim(F.lower(col))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: every row keeps its content hash, the
+    group's canonical (min id) row, and a dup count for the group.
+    """
+    h = F.md5(normalized_text(F.col(text_col))).alias("text_hash")
+    hashed = df.select(F.col(id_col), h)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )
+
+
+def word_shingles(text_col, n: int = 2):
+    """Distinct n-word shingles as an array column (empty if < n words)."""
+    w = F.split(text_col, " ")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(n)]
+    )
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *[
+            F.element_at(w, (i + j).cast("int")) for j in range(n)
+        ]))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """One row per doc: minhash signature columns sig_0..sig_{p-1}.
+
+    sig_p = min over shingles of md5('<p>:' || shingle) — lexicographic min
+    of hex digests (uniform + portable). Docs with no shingles are dropped.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"sig_{p}")
+        for p in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs: docs sharing any band bucket.
+
+    Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash16(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash over word md5s: bit j set iff the occurrence-weighted
+    ±1 sum of word-hash bit j is positive. Returns (id, simhash, n_words).
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).withColumn("h", F.md5(F.col("w")))
+    hexv = lambda pos: (  # noqa: E731 — hex char at 1-based pos → 0..15
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), pos, 1)) - 1
+    )
+    aggs = []
+    for j in range(16):
+        hv = hexv(j // 4 + 1)
+        bit = F.floor(hv / F.lit(2 ** (j % 4))) % 2
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s_{j}")
+        )
+    sums = words.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    n_words = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words")
+    )
+    return sums.select(F.col(id_col), sim.cast("long").alias("simhash")).join(
+        n_words, id_col
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    shingle_n: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """N-gram Jaccard near-dup pairs within a blocking key.
+
+    Exact set Jaccard via an exploded shingle equi-join (portable, no
+    approximations): |A∩B| from the join, |A|,|B| from per-doc counts.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, ["shingle", block_col])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (full N², for modest N; use
+    ann.lsh_buckets blocking at scale). Returns (id_a, id_b, cos)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -95,6 +95,7 @@ def knn_join(
     query_vec_col: str = "embedding",
     index_vec_col: str = "embedding",
     score_col: str = "score",
+    exclude_same_id: str | None = None,
 ) -> DataFrame:
     """J3 generalized — N×M similarity join: for each query row, the top-k
     index rows by cosine similarity. Broadcasts the query side (queries are
@@ -103,7 +104,10 @@ def knn_join(
     q = queries.select(
         F.col("query_id"), F.col(query_vec_col).alias("_qvec")
     )
-    joined = index.crossJoin(F.broadcast(q)).withColumn(
+    joined = index.crossJoin(F.broadcast(q))
+    if exclude_same_id:
+        joined = joined.where(F.col(exclude_same_id) != F.col("query_id"))
+    joined = joined.withColumn(
         score_col, cosine_similarity(F.col(index_vec_col), F.col("_qvec"))
     )
     order_cols = [F.col(score_col).desc()] + (

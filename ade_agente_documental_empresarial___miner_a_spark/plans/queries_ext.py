@@ -1,5 +1,648 @@
-"""EXT queries — LLM-data-pipeline + relational surface (SURVEY §7 M4).
+"""EXT queries — the LLM-data-pipeline operator surface (BASELINE.json
+north star) + relational/star-schema + streaming-batch mirrors.
 
-Placeholder module; populated incrementally (dedup, similarity search,
-text analysis, relational/star-schema, streaming-batch mirrors).
+Conventions identical to ``queries_reference``: Spark callable paired with
+a bit-exact DuckDB oracle; integer surface columns are BIGINT on both
+sides; float expressions use the same cast/fold order; order-sensitive
+money aggregates go through DECIMAL.
 """
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, duck_cosine
+from ..operators import ann
+from ..operators.chunking import chunk_sections
+from ..operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash16,
+)
+from ..operators.sectioning import assign_sections
+from ..operators.similarity import knn_join
+from ..operators.textstats import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from .catalog import events_table, register, table
+from .queries_reference import _DUCK_SECTIONS, _structured
+
+# ---------------------------------------------------------------------------
+# T3 — the recursive chunker through the real pandas_udf pipeline.
+# At the correctness SF every sectioned paragraph is < 500 chars (verified:
+# max 409 at sf0.01), so the 500/50 splitter is provably a strip()
+# pass-through there and the oracle below is exact. Real splitting is
+# exercised by `t3b_chunk_long_docs` (rows-only) and by unit tests.
+@register(
+    "t3_chunk_pipeline",
+    f"""WITH {_DUCK_SECTIONS}
+SELECT doc_id, section, para_pos, CAST(0 AS BIGINT) AS chunk_pos,
+       trim(paragraph) AS text
+FROM content WHERE trim(paragraph) <> ''""",
+)
+def t3_chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    content = assign_sections(_structured(table(spark, sf, "documents")))
+    return chunk_sections(content).select(
+        "doc_id",
+        "section",
+        F.col("para_pos").cast("long").alias("para_pos"),
+        F.col("chunk_pos").cast("long").alias("chunk_pos"),
+        "text",
+    )
+
+
+# T3b — real recursive splitting (chunk_size=120 over raw text): the
+# splitter recurses through '.'/' ' separators. Not SQL-expressible →
+# rows-only check; invariants unit-tested.
+@register("t3b_chunk_long_docs")
+def t3b_chunk_long_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.lit("General").alias("section"),
+        F.lit(0).alias("para_pos"), "text",
+    )
+    chunks = chunk_sections(docs, text_col="text", chunk_size=120, chunk_overlap=20)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_pos").cast("long").alias("chunk_pos"),
+        F.length("text").cast("long").alias("chunk_len"),
+        "text",
+    )
+
+
+# T5 — embedding hash-projection core, oracle-checked: the md5 bucket/sign
+# histogram that embed_one() accumulates, exploded per (doc, bucket) with
+# integer weights. A unit test pins embed_one() to this exact histogram.
+_HEXPOS = "'0123456789abcdef'"
+
+
+def _duck_hexval(pos: int) -> str:
+    return f"(strpos({_HEXPOS}, substr(h, {pos}, 1)) - 1)"
+
+
+_DUCK_IDX = (
+    f"(({_duck_hexval(1)} * 16 + {_duck_hexval(2)}) "
+    f"+ ({_duck_hexval(3)} * 16 + {_duck_hexval(4)}) * 256 "
+    f"+ ({_duck_hexval(5)} * 16 + {_duck_hexval(6)}) * 65536 "
+    f"+ ({_duck_hexval(7)} * 16 + {_duck_hexval(8)}) * 16777216) % 64"
+)
+_DUCK_SIGN = f"CASE WHEN {_duck_hexval(10)} % 2 = 1 THEN 1 ELSE -1 END"
+
+
+@register(
+    "t5_embed_histogram",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+hashed AS (SELECT doc_id, md5('42:' || tok) AS h FROM toks)
+SELECT doc_id, CAST({_DUCK_IDX} AS BIGINT) AS bucket,
+       CAST(sum({_DUCK_SIGN}) AS BIGINT) AS weight
+FROM hashed GROUP BY doc_id, bucket""",
+)
+def t5_embed_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    toks = table(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    h = F.md5(F.concat(F.lit("42:"), F.col("tok")))
+    hexval = lambda pos: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), pos, 1)) - 1
+    )
+    byte = lambda k: (  # noqa: E731
+        hexval(2 * k + 1) * 16 + hexval(2 * k + 2)
+    ).cast("long")
+    idx = (
+        byte(0) + byte(1) * 256 + byte(2) * 65536 + byte(3) * 16777216
+    ) % 64
+    sign = F.when(hexval(10) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        toks.withColumn("h", h)
+        .select("doc_id", idx.cast("long").alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("long").alias("weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+@register(
+    "dedup_exact",
+    """WITH h AS (SELECT doc_id, md5(trim(lower(text))) AS text_hash FROM documents)
+SELECT doc_id, text_hash,
+       min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
+       count(*) OVER (PARTITION BY text_hash) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS is_canonical
+FROM h""",
+)
+def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup(table(spark, sf, "documents"))
+
+
+def _duck_shingles(n: int = 2) -> str:
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(ws) - {n - 1}), i -> {gram}))) AS shingle
+  FROM w WHERE len(ws) >= {n}
+)"""
+
+
+_NUM_PERM, _BANDS = 8, 4
+_SIG_COLS = ", ".join(
+    f"min(md5('{p}:' || shingle)) AS sig_{p}" for p in range(_NUM_PERM)
+)
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, sig_{2*b} || sig_{2*b+1} AS key FROM sig"
+    for b in range(_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH {_duck_shingles(2)},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id GROUP BY 1, 2""",
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    return lsh_candidate_pairs(
+        table(spark, sf, "documents"), num_perm=_NUM_PERM, bands=_BANDS
+    )
+
+
+_SIMHASH_SUMS = ", ".join(
+    "sum(CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) / {div}) AS INTEGER) % 2 = 1 "
+    "THEN 1 ELSE -1 END) AS s_{j}".format(pos=j // 4 + 1, div=2 ** (j % 4), j=j)
+    for j in range(16)
+)
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN s_{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hashed AS (SELECT doc_id, md5(w) AS h FROM words),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM hashed GROUP BY doc_id),
+nw AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents)
+SELECT s.doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash, nw.n_words
+FROM sums s JOIN nw ON s.doc_id = nw.doc_id""",
+)
+def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash16(table(spark, sf, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {_duck_shingles(2)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3""",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    return jaccard_pairs(table(spark, sf, "documents"), threshold=0.3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {duck_cosine("a.embedding", "b.embedding")} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {duck_cosine("a.embedding", "b.embedding")} >= 0.35""",
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_dup_pairs(table(spark, sf, "embeddings"), threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+@register(
+    "sim_knn_bruteforce",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS _qvec
+           FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.query_id, e.vec_id, e.label,
+             {duck_cosine("e.embedding", "q._qvec")} AS score
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, label, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      FROM s)
+SELECT query_id, vec_id, label, score, rnk FROM r WHERE rnk <= 5""",
+)
+def sim_knn_bruteforce_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join(queries, emb, k=5, exclude_same_id="vec_id")
+    return out.select(
+        "query_id", "vec_id", "label", "score", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+_PLANES = ann.hyperplanes()
+
+
+@register(
+    "sim_lsh_bucketed",
+    f"""WITH bucketed AS (
+  SELECT vec_id, label, embedding, {ann.duck_bucket("embedding", _PLANES)} AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS _qvec, bucket
+      FROM bucketed WHERE vec_id < 10),
+cand AS (
+  SELECT q.query_id, b.vec_id, {duck_cosine("b.embedding", "q._qvec")} AS score
+  FROM bucketed b JOIN q ON b.bucket = q.bucket
+  WHERE b.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, vec_id, score, rnk FROM r WHERE rnk <= 3""",
+)
+def sim_lsh_bucketed_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ann.lsh_topk(queries, emb, k=3, planes=_PLANES)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+@register(
+    "text_token_count",
+    f"""SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents""",
+)
+def text_token_count_q(spark: SparkSession, sf: str) -> DataFrame:
+    return token_counts(table(spark, sf, "documents"))
+
+
+def _duck_in_list(vals: list[str]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+@register(
+    "text_quality_score",
+    f"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ({_duck_in_list(STOPWORDS)}))) AS DOUBLE) AS stop_hits
+  FROM documents)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       (n_chars - (n_words - 1)) / n_words AS avg_word_len,
+       stop_hits / n_words AS stopword_ratio,
+       0.4 * least(1.0, n_words / 100.0)
+       + least(0.3, 0.3 * (stop_hits / n_words) * 3.0)
+       + 0.3 * greatest(0.0, 1.0 - least(1.0, abs((n_chars - (n_words - 1)) / n_words - 5.0) / 5.0))
+         AS quality
+FROM t""",
+)
+def text_quality_score_q(spark: SparkSession, sf: str) -> DataFrame:
+    return quality_scores(table(spark, sf, "documents"))
+
+
+_LANGS = list(LANG_MARKERS)
+_HIT_EXPRS = ", ".join(
+    f"CAST(len(list_filter(ws, w -> w IN ({_duck_in_list(m)}))) AS BIGINT) AS hits_{lang}"
+    for lang, m in LANG_MARKERS.items()
+)
+_BEST = "greatest(" + ", ".join(f"hits_{lang}" for lang in _LANGS) + ")"
+_PRED = "CASE WHEN " + " WHEN ".join(
+    f"hits_{lang} = {_BEST} THEN '{lang}'" for lang in _LANGS
+) + " ELSE 'unk' END"
+
+
+@register(
+    "text_lang_id",
+    f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+h AS (SELECT doc_id, {_HIT_EXPRS} FROM w)
+SELECT doc_id,
+       CASE WHEN {_BEST} > 0 THEN {_PRED} ELSE 'unk' END AS pred_lang,
+       {_BEST} AS best_hits
+FROM h""",
+)
+def text_lang_id_q(spark: SparkSession, sf: str) -> DataFrame:
+    return language_id(table(spark, sf, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    """SELECT doc_id, md5(lower(text)) AS fp_exact,
+       md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp_bag
+FROM documents""",
+)
+def text_fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
+    return fingerprints(table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: binary payload metadata (decode itself is stubbed in
+# sources/multimodal.py; the engine-side plumbing — binary columns + typed
+# metadata — is real and exercised here).
+@register(
+    "mm_binary_meta",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha, source
+FROM documents""",
+)
+def mm_binary_meta_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+        "source",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational / star-schema (exercises joins, aggs, windows, rollup, set ops)
+@register(
+    "rel_q1_pricing",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def rel_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    dec_qty = F.col("l_quantity").cast("decimal(18,2)")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(24,8)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec_qty).cast("double").alias("sum_qty"),
+        F.sum(dec_price).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(dec_qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "rel_q3_shipping",
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def rel_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "rel_q5_region_revenue",
+    """SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+)
+def rel_q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    region = table(spark, sf, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rel_window_running",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+FROM lineitem""",
+)
+def rel_window_running(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return table(spark, sf, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@register(
+    "rel_rollup_orders",
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+)
+def rel_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "rel_set_ops",
+    """SELECT 'both' AS tag, custkey FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'open_only' AS tag, custkey FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+)
+def rel_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    f = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    both = o.intersect(f).select(F.lit("both").alias("tag"), "custkey")
+    only = o.exceptAll(f).select(F.lit("open_only").alias("tag"), "custkey")
+    return both.unionByName(only)
+
+
+@register(
+    "rel_join_family",
+    """SELECT
+  (SELECT count(*) FROM customer JOIN orders ON c_custkey = o_custkey) AS n_inner,
+  (SELECT count(*) FROM customer c LEFT JOIN orders o ON c_custkey = o_custkey
+   WHERE o_orderkey IS NULL) AS n_no_orders,
+  (SELECT count(*) FROM customer c WHERE EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_semi,
+  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_anti""",
+)
+def rel_join_family(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    n_inner = cust.join(
+        orders, cust.c_custkey == orders.o_custkey
+    ).agg(F.count(F.lit(1)).alias("n_inner"))
+    n_no = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .where(F.col("o_orderkey").isNull())
+        .agg(F.count(F.lit(1)).alias("n_no_orders"))
+    )
+    n_semi = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_semi"))
+    n_anti = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_anti"))
+    return n_inner.crossJoin(n_no).crossJoin(n_semi).crossJoin(n_anti)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-batch mirrors (the same aggregations the streaming module runs
+# with readStream — here executed batch so the oracle can check them)
+@register(
+    "stream_tumbling_1h",
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM ev GROUP BY 1, 2""",
+)
+def stream_tumbling_1h(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session_windows",
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 43200
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM islands GROUP BY user_id, session_id""",
+)
+def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf)
+    return (
+        ev.groupBy(F.session_window("ts", "12 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )

@@ -92,7 +92,9 @@ def f1_title_filter(spark: SparkSession, sf: str) -> DataFrame:
     f"WITH {_DUCK_PARAS} SELECT doc_id, para_pos, paragraph FROM paras",
 )
 def t1_paragraph_split(spark: SparkSession, sf: str) -> DataFrame:
-    return split_paragraphs(_structured(table(spark, sf, "documents")))
+    return split_paragraphs(_structured(table(spark, sf, "documents"))).withColumn(
+        "para_pos", F.col("para_pos").cast("long")
+    )
 
 
 # T2 — stateful section assignment via window forward-fill (app.py:86-107)
@@ -101,7 +103,9 @@ def t1_paragraph_split(spark: SparkSession, sf: str) -> DataFrame:
     f"WITH {_DUCK_SECTIONS} SELECT doc_id, para_pos, section, paragraph FROM content",
 )
 def t2_section_assign(spark: SparkSession, sf: str) -> DataFrame:
-    return assign_sections(_structured(table(spark, sf, "documents")))
+    return assign_sections(_structured(table(spark, sf, "documents"))).withColumn(
+        "para_pos", F.col("para_pos").cast("long")
+    )
 
 
 # F2/J2 — metadata filter & section semi-join (app.py:147-151): phase-1
@@ -127,7 +131,7 @@ def j2_section_semi_join(spark: SparkSession, sf: str) -> DataFrame:
         .select("section")
     )
     return content.join(F.broadcast(phase1), "section", "left_semi").select(
-        "doc_id", "para_pos", "section", "paragraph"
+        "doc_id", F.col("para_pos").cast("long").alias("para_pos"), "section", "paragraph"
     )
 
 
