@@ -25,6 +25,11 @@ def entry(spark: SparkSession) -> DataFrame:
     (sectioning → chunking → embedding) + scored top-k retrieval with
     A4 percentage normalization (micro-infobot/app.py:110-131, 306-328).
     """
+    from ade_agente_documental_empresarial___miner_a_spark.session import (
+        ensure_package_shipped,
+    )
+
+    ensure_package_shipped(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     return flagship_query(docs, question="spark vector join query", k=4)
 

@@ -51,6 +51,9 @@ def _load():
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

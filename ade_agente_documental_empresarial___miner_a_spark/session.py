@@ -11,8 +11,43 @@ available rather than a fixed 200.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make this package importable on executors' Python workers.
+
+    UDF/mapInPandas closures pickle functions *by module reference*, so
+    workers must import the package themselves. On a cluster this ships a
+    zip via ``addPyFile`` (same mechanism as ``spark-submit --py-files``);
+    in local mode it also covers driver scripts launched from a different
+    working directory. Idempotent per session.
+    """
+    key = "spark.ade.package.shipped"
+    try:
+        if spark.conf.get(key, None):
+            return
+    except Exception:  # noqa: BLE001
+        pass
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"ade_pkg_{os.path.getmtime(pkg_dir):.0f}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    spark.conf.set(key, "true")
 
 
 def get_spark(
@@ -45,6 +80,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_package_shipped(spark)
     return spark
 
 

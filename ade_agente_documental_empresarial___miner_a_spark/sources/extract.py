@@ -1,0 +1,180 @@
+"""Ingestion sources — SURVEY §2.1 S1-S5.
+
+Reference (``micro-infobot/app.py:191-205``): a Streamlit multi-uploader
+dispatching on MIME to BeautifulSoup (html/xml), PyMuPDF (pdf), pandas
+(csv), with xlsx accepted-but-dropped (S5, no handler).
+
+Spark-first: ``spark.read.format("binaryFile")`` scans a directory tree in
+parallel (S1); per-format text extraction is a ``mapInPandas`` boundary
+(S2/S3) gated on optional libs — the container here ships neither
+BeautifulSoup nor PyMuPDF, so those paths degrade to deterministic
+fallbacks (html: regex tag-strip; pdf: NotImplementedError surfaced as
+null text + error column) while the Spark plumbing (schema, dispatch,
+batching) is real and tested. CSV/XLSX stay relational (S4/S5) — the
+reference's table→text serialization is reproduced as an explicit op.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # optional, not in this container
+    import fitz  # PyMuPDF  # noqa: F401
+
+    HAVE_PYMUPDF = True
+except ImportError:
+    HAVE_PYMUPDF = False
+
+try:  # optional, not in this container
+    from bs4 import BeautifulSoup  # noqa: F401
+
+    HAVE_BS4 = True
+except ImportError:
+    HAVE_BS4 = False
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("text", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+_EXT_MIME = {
+    "pdf": "application/pdf",
+    "csv": "text/csv",
+    "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "html": "text/html",
+    "htm": "text/html",
+    "xml": "application/xml",
+    "txt": "text/plain",
+}
+
+
+def binary_scan(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """S1 — parallel binary directory scan with MIME derived from the
+    extension (mirrors the uploader's type dispatch, app.py:191-195)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_MIME.items() for x in kv]
+    )
+    return df.withColumn(
+        "mime", F.coalesce(mime_map[ext], F.lit("application/octet-stream"))
+    )
+
+
+def _strip_markup(data: bytes) -> str:
+    """Visible-text extraction. With bs4: BeautifulSoup.get_text()
+    (app.py:197-199). Fallback: deterministic regex tag-strip (drops
+    script/style bodies, collapses whitespace)."""
+    raw = data.decode("utf-8", errors="replace")
+    if HAVE_BS4:
+        return BeautifulSoup(raw, "html.parser").get_text()
+    no_hidden = re.sub(
+        r"<(script|style)\b[^>]*>.*?</\1>", " ", raw, flags=re.S | re.I
+    )
+    no_tags = re.sub(r"<[^>]+>", " ", no_hidden)
+    unescaped = (
+        no_tags.replace("&amp;", "&")
+        .replace("&lt;", "<")
+        .replace("&gt;", ">")
+        .replace("&quot;", '"')
+        .replace("&#39;", "'")
+        .replace("&nbsp;", " ")
+    )
+    return re.sub(r"\s+", " ", unescaped).strip()
+
+
+def _pdf_text(data: bytes) -> str:
+    """S3 — per-page get_text("text") concatenation (app.py:200-202).
+    PyMuPDF is absent in this container; the boundary raises so callers
+    record an error row rather than silently emitting garbage."""
+    if not HAVE_PYMUPDF:
+        raise NotImplementedError("PyMuPDF (fitz) not installed")
+    out = []
+    with fitz.open(stream=data, filetype="pdf") as doc:
+        for page in doc:
+            out.append(page.get_text("text"))
+    return "".join(out)
+
+
+def extract_text(binaries: DataFrame) -> DataFrame:
+    """S2/S3 — MIME-dispatched text extraction over (path, mime, content)
+    rows via Arrow-batched mapInPandas. Unknown/unavailable formats yield
+    text=null + error instead of failing the job."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                path, mime, content = row["path"], row["mime"], row["content"]
+                text, err = None, None
+                try:
+                    if mime in ("text/html", "application/xml"):
+                        text = _strip_markup(bytes(content))
+                    elif mime == "application/pdf":
+                        text = _pdf_text(bytes(content))
+                    elif mime == "text/plain":
+                        text = bytes(content).decode("utf-8", errors="replace")
+                    else:
+                        err = f"unsupported mime: {mime}"
+                except Exception as e:  # noqa: BLE001
+                    err = f"{type(e).__name__}: {e}"
+                rows.append(
+                    {
+                        "path": path,
+                        "mime": mime,
+                        "n_bytes": len(content),
+                        "text": text,
+                        "error": err,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in EXTRACT_SCHEMA])
+
+    return binaries.select("path", "mime", "content").mapInPandas(
+        run, EXTRACT_SCHEMA
+    )
+
+
+def csv_scan(
+    spark: SparkSession, path: str, serialize: bool = False
+) -> DataFrame:
+    """S4 — relational CSV scan (header + inferSchema mirrors
+    pd.read_csv's inference, app.py:204). With ``serialize=True`` also
+    reproduces the reference's whole-table → text serialization
+    (``df.to_string`` at app.py:205) as one row per line."""
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    if not serialize:
+        return df
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+    return df.select(F.concat_ws(" ", *cols).alias("line"))
+
+
+def xlsx_scan(spark: SparkSession, path: str) -> DataFrame:
+    """S5 — the branch the reference declared but never implemented
+    (xlsx accepted by the uploader, silently dropped; app.py:17,191).
+    Implemented via openpyxl on the driver → createDataFrame (small-file
+    path); a spark-excel connector slots in for cluster-scale trees."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError("openpyxl not installed") from e
+    pdf = pd.read_excel(path)
+    return spark.createDataFrame(pdf)

@@ -1,0 +1,134 @@
+"""Multimodal columns — EXT surface (BASELINE.json north star).
+
+Image/audio/video payloads are opaque ``BINARY`` columns with typed
+metadata structs; decode/feature-extraction runs as Arrow-batched
+``mapInPandas``. The decode libraries (Pillow/librosa/av) are NOT in this
+container, so the decode step is STUBBED: ``decode_stub=True`` routes to a
+deterministic fake (md5-seeded pseudo-features) and real decoders raise
+``NotImplementedError`` — the Spark-side plumbing (schema, batching,
+partition behavior) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),       # image | audio | video
+        StructField("content", BinaryType()),     # opaque payload bytes
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha", StringType()),
+        StructField("width", IntegerType()),      # image/video, else null
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),   # audio/video, else null
+        StructField("features", ArrayType(FloatType())),  # embedding stub
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _fake_features(data: bytes, dim: int = 8) -> list[float]:
+    """Deterministic md5-seeded pseudo-feature vector (decode stub)."""
+    h = hashlib.md5(data).digest()
+    rng = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    vec = (rng.astype(np.float64) / 2**32) - 0.5
+    n = float(np.linalg.norm(vec))
+    return [float(x) for x in (vec / n if n else vec).astype(np.float32)]
+
+
+def extract_media_features(
+    media: DataFrame,
+    content_col: str = "content",
+    decode_stub: bool = True,
+    dim: int = 8,
+) -> DataFrame:
+    """Decode/feature-extract media binaries. With ``decode_stub`` the
+    decode is a deterministic fake (md5 features + synthetic dims);
+    without it, real decoders are required and currently raise."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = row[content_col]
+                data = bytes(data) if data is not None else b""
+                kind = row["kind"]
+                rec = {
+                    "media_id": row["media_id"],
+                    "kind": kind,
+                    "n_bytes": len(data),
+                    "sha": hashlib.sha256(data).hexdigest(),
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                    "features": None,
+                    "error": None,
+                }
+                try:
+                    if not decode_stub:
+                        raise NotImplementedError(
+                            "real media decoders (Pillow/librosa/av) not installed"
+                        )
+                    h = hashlib.md5(data).digest()
+                    if kind in ("image", "video"):
+                        rec["width"] = 64 + h[0] % 192
+                        rec["height"] = 64 + h[1] % 192
+                    if kind in ("audio", "video"):
+                        rec["duration_ms"] = 1000 + int.from_bytes(h[2:4], "little")
+                    rec["features"] = _fake_features(data, dim)
+                except Exception as e:  # noqa: BLE001
+                    rec["error"] = f"{type(e).__name__}: {e}"
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+
+    cols = media.columns
+    needed = ["media_id", "kind", content_col]
+    assert all(c in cols for c in needed), f"need columns {needed}"
+    return media.select(*needed).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms)
+    to be decoded downstream — the partition/explode shape is the real
+    contract; decode itself is the stubbed step above."""
+    features = extract_media_features(media)
+    n_frames = (F.col("duration_ms") / every_ms).cast("int")
+    return (
+        features.where(F.col("kind") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_frames),
+                    lambda i: i * every_ms,
+                )
+            ),
+        )
+        .select("media_id", "frame_ts_ms")
+    )

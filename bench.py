@@ -1,0 +1,84 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is the full job (scan → compute → collect/count), timed after a
+session warm-up job so JVM startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ade_agente_documental_empresarial___miner_a_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # reference surface
+    "t2_section_assign",      # sectioning window forward-fill
+    "t3_chunk_pipeline",      # chunker through the pandas_udf
+    "t5_embed_histogram",     # embedding hash core (JVM-side)
+    "k1_topk_search",         # 1xN cosine top-k
+    "e2_hierarchical_search", # two-phase hierarchical retrieval
+    # EXT LLM-pipeline
+    "sim_knn_bruteforce",     # NxM knn join
+    "sim_lsh_bucketed",       # LSH ANN path
+    "dedup_minhash_lsh",      # MinHash band join
+    "dedup_ngram_jaccard",    # exact jaccard verify pass
+    "text_quality_score",     # map-only text analytics
+    # relational / streaming
+    "rel_q1_pricing",
+    "rel_q5_region_revenue",
+    "rel_window_running",
+    "stream_tumbling_1h",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = get_spark("ade-bench")
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+
+    # warm-up: touch the catalog + JVM (not billed)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        results[name] = round(dt, 3)
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Unit tests for the recursive character splitter (SURVEY §5.2/§5.4).
+
+Pins the reimplementation to the reference's splitter semantics
+(micro-infobot/app.py:116-119: size 500, overlap 50, separators
+["\\n\\n","\\n","."," "], greedy merge, separator kept at start).
+"""
+
+import string
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from ade_agente_documental_empresarial___miner_a_spark.operators.chunking import (
+    RecursiveCharacterSplitter,
+)
+
+
+def test_short_text_passthrough():
+    sp = RecursiveCharacterSplitter(chunk_size=500, chunk_overlap=50)
+    assert sp.split_text("hello world") == ["hello world"]
+
+
+def test_empty_text():
+    sp = RecursiveCharacterSplitter()
+    assert sp.split_text("") == []
+
+
+def test_strips_whitespace():
+    sp = RecursiveCharacterSplitter(chunk_size=500, chunk_overlap=50)
+    assert sp.split_text("  hello  ") == ["hello"]
+
+
+def test_paragraph_split_first():
+    sp = RecursiveCharacterSplitter(chunk_size=20, chunk_overlap=5)
+    out = sp.split_text("aaaa bbbb\n\ncccc dddd")
+    # each paragraph fits -> split on \n\n, pieces merged if they fit
+    assert all(len(c) <= 20 for c in out)
+    joined = " ".join(out)
+    for tok in ["aaaa", "bbbb", "cccc", "dddd"]:
+        assert tok in joined
+
+
+def test_sentence_recursion():
+    sp = RecursiveCharacterSplitter(chunk_size=30, chunk_overlap=10)
+    text = "one two three four five. six seven eight nine ten. eleven."
+    out = sp.split_text(text)
+    assert len(out) >= 2
+    assert all(len(c) <= 30 for c in out)
+
+
+def test_overlap_repeats_trailing_content():
+    sp = RecursiveCharacterSplitter(chunk_size=25, chunk_overlap=12)
+    text = "aa bb cc dd ee ff gg hh ii jj"
+    out = sp.split_text(text)
+    assert len(out) >= 2
+    # with overlap, some token must appear in two consecutive chunks
+    overlapped = any(
+        set(out[i].split()) & set(out[i + 1].split())
+        for i in range(len(out) - 1)
+    )
+    assert overlapped
+
+
+def test_oversized_unsplittable_piece_kept():
+    # a single run with no separators longer than chunk_size cannot be
+    # split by the 4-level hierarchy -> emitted as-is (LangChain behavior)
+    sp = RecursiveCharacterSplitter(chunk_size=10, chunk_overlap=2)
+    out = sp.split_text("x" * 25)
+    assert out == ["x" * 25]
+
+
+def test_separator_kept_at_start_semantics():
+    # keep_separator=True attaches the separator to the following piece,
+    # so '.' boundaries survive in the output
+    sp = RecursiveCharacterSplitter(chunk_size=30, chunk_overlap=0)
+    out = sp.split_text("alpha beta gamma delta. epsilon zeta eta theta.")
+    assert any("." in c for c in out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_lowercase + " .\n",
+        min_size=0,
+        max_size=400,
+    ),
+    st.integers(min_value=20, max_value=120),
+)
+def test_property_chunks_bounded_and_cover(text, chunk_size):
+    sp = RecursiveCharacterSplitter(chunk_size=chunk_size, chunk_overlap=10)
+    out = sp.split_text(text)
+    for c in out:
+        # every chunk is within budget unless it is a single unsplittable
+        # run (no separator inside)
+        if len(c) > chunk_size:
+            assert " " not in c and "\n" not in c and "." not in c.rstrip(".")
+        assert c == c.strip()
+        assert c != ""
+    # no content invented: every chunk's characters appear in the input
+    for c in out:
+        for piece in c.split():
+            assert piece.strip(".") in text or piece in text
+
+
+def test_determinism():
+    sp = RecursiveCharacterSplitter(chunk_size=50, chunk_overlap=10)
+    text = "word " * 100
+    assert sp.split_text(text) == sp.split_text(text)
+
+
+def test_overlap_ge_size_rejected():
+    with pytest.raises(ValueError):
+        RecursiveCharacterSplitter(chunk_size=10, chunk_overlap=10)

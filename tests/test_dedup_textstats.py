@@ -1,0 +1,98 @@
+"""Dedup + text-analysis operator tests on literal DataFrames."""
+
+from pyspark.sql import functions as F
+
+from ade_agente_documental_empresarial___miner_a_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash16,
+)
+from ade_agente_documental_empresarial___miner_a_spark.operators.textstats import (
+    fingerprints,
+    language_id,
+    token_counts,
+)
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+
+def test_exact_dedup_groups_case_insensitive(spark):
+    df = docs(
+        spark,
+        [
+            (1, "Hello World", "en"),
+            (2, "hello world", "en"),
+            (3, "different", "en"),
+        ],
+    )
+    rows = {r.doc_id: r for r in exact_dedup(df).collect()}
+    assert rows[1].canonical_id == 1 and rows[2].canonical_id == 1
+    assert rows[1].is_canonical and not rows[2].is_canonical
+    assert rows[2].group_size == 2
+    assert rows[3].is_canonical and rows[3].group_size == 1
+
+
+def test_lsh_finds_identical_docs(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = docs(spark, [(1, text, "en"), (2, text, "en"), (3, "x y z w v u t s", "en")])
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_docs_equal_hash(spark):
+    df = docs(spark, [(1, "a b c d", "en"), (2, "a b c d", "en"), (3, "q r s t", "en")])
+    rows = {r.doc_id: r.simhash for r in simhash16(df).collect()}
+    assert rows[1] == rows[2]
+    assert 0 <= rows[1] < 2**16
+
+
+def test_jaccard_exact_values(spark):
+    # shingles(2) of "a b c d" = {ab, bc, cd}; of "a b c e" = {ab, bc, ce}
+    # common=2, union=4 -> jaccard 0.5
+    df = docs(spark, [(1, "a b c d", "en"), (2, "a b c e", "en")])
+    rows = jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0].jaccard - 0.5) < 1e-12
+    assert rows[0].n_common == 2
+
+
+def test_jaccard_respects_lang_block(spark):
+    df = docs(spark, [(1, "a b c d", "en"), (2, "a b c d", "de")])
+    assert jaccard_pairs(df, threshold=0.0).count() == 0
+
+
+def test_token_counts(spark):
+    df = docs(spark, [(1, "hello world 7 !", "en")])
+    r = token_counts(df).collect()[0]
+    assert r.ws_tokens == 4
+    # bpe-ish: hello, world, 7, ! -> 4
+    assert r.bpe_tokens == 4
+    assert r.n_chars == len("hello world 7 !")
+
+
+def test_language_id_markers(spark):
+    df = docs(
+        spark,
+        [
+            (1, "the cat and the hat of a house", "en"),
+            (2, "der hund und die katze und das haus", "de"),
+            (3, "zzz qqq www", "xx"),
+        ],
+    )
+    rows = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"
+    assert rows[3] == "unk"
+
+
+def test_fingerprint_bag_is_order_invariant(spark):
+    df = docs(spark, [(1, "b a c", "en"), (2, "c b a", "en")])
+    rows = {r.doc_id: r for r in fingerprints(df).collect()}
+    assert rows[1].fp_bag == rows[2].fp_bag
+    assert rows[1].fp_exact != rows[2].fp_exact

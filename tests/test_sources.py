@@ -1,0 +1,135 @@
+"""Ingestion source tests (S1-S6) on in-repo literal fixtures."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ade_agente_documental_empresarial___miner_a_spark.sources.extract import (
+    binary_scan,
+    csv_scan,
+    extract_text,
+)
+from ade_agente_documental_empresarial___miner_a_spark.sources.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+)
+from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
+    append_chat_history,
+    read_chat_history,
+    session_transcripts,
+)
+
+HTML = b"<html><head><style>p{}</style></head><body><h1>Title</h1><p>Hello &amp; welcome</p></body></html>"
+XML = b"<?xml version='1.0'?><root><item>alpha</item><item>beta</item></root>"
+
+
+def make_files(tmp_path):
+    d = tmp_path / "uploads"
+    d.mkdir()
+    (d / "a.html").write_bytes(HTML)
+    (d / "b.xml").write_bytes(XML)
+    (d / "c.txt").write_bytes(b"plain text body")
+    (d / "d.pdf").write_bytes(b"%PDF-1.4 fake")
+    (d / "e.csv").write_text("x,y\n1,hello\n2,world\n")
+    return str(d)
+
+
+def test_binary_scan_mime_dispatch(spark, tmp_path):
+    d = make_files(tmp_path)
+    df = binary_scan(spark, d)
+    mimes = {
+        os.path.basename(r.path): r.mime for r in df.select("path", "mime").collect()
+    }
+    assert mimes["a.html"] == "text/html"
+    assert mimes["b.xml"] == "application/xml"
+    assert mimes["d.pdf"] == "application/pdf"
+    assert mimes["e.csv"] == "text/csv"
+
+
+def test_extract_text_html_xml_txt(spark, tmp_path):
+    d = make_files(tmp_path)
+    out = extract_text(binary_scan(spark, d, glob="*.{html,xml,txt}"))
+    rows = {os.path.basename(r.path): r for r in out.collect()}
+    assert "Title" in rows["a.html"].text and "Hello & welcome" in rows["a.html"].text
+    assert "p{}" not in rows["a.html"].text  # style body stripped
+    assert "alpha" in rows["b.xml"].text and "beta" in rows["b.xml"].text
+    assert rows["c.txt"].text == "plain text body"
+    assert all(r.error is None for r in rows.values())
+
+
+def test_extract_text_pdf_degrades_to_error(spark, tmp_path):
+    d = make_files(tmp_path)
+    out = extract_text(binary_scan(spark, d, glob="*.pdf"))
+    r = out.collect()[0]
+    assert r.text is None
+    assert r.error is not None  # NotImplementedError captured, job survives
+
+
+def test_csv_scan_relational_and_serialized(spark, tmp_path):
+    d = make_files(tmp_path)
+    df = csv_scan(spark, f"{d}/e.csv")
+    assert df.columns == ["x", "y"]
+    assert df.count() == 2
+    lines = [r.line for r in csv_scan(spark, f"{d}/e.csv", serialize=True).collect()]
+    assert "1 hello" in lines and "2 world" in lines
+
+
+def test_chat_sink_roundtrip_and_transcripts(spark, tmp_path):
+    path = str(tmp_path / "chat")
+    append_chat_history(
+        spark,
+        [
+            ("ana", "hola", "¡hola!", None, 10, 20),
+            ("ana", "¿cómo estás?", "bien", None, 12, 24),
+            ("luis", "hi", "hello", None, 5, 7),
+        ],
+        path,
+    )
+    chat = read_chat_history(spark, path)
+    assert chat.count() == 3
+    tr = {r.user: r for r in session_transcripts(chat).collect()}
+    assert tr["ana"].n_turns == 2
+    assert [m.role for m in tr["ana"].messages] == [
+        "user", "assistant", "user", "assistant",
+    ]
+    assert abs(tr["ana"].cost_usd - (22 * 0.00001 + 44 * 0.00003)) < 1e-12
+    assert tr["luis"].n_turns == 1
+
+
+def test_media_features_stub(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"imagebytes")),
+            (2, "audio", bytearray(b"audiobytes")),
+            (3, "video", bytearray(b"videobytes")),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert rows[1].width is not None and rows[1].duration_ms is None
+    assert rows[2].duration_ms is not None and rows[2].width is None
+    assert rows[3].width is not None and rows[3].duration_ms is not None
+    assert all(len(r.features) == 8 for r in rows.values())
+    assert all(r.error is None for r in rows.values())
+    # determinism
+    again = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert rows[1].features == again[1].features
+
+
+def test_media_real_decode_raises_into_error_column(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"))],
+        "media_id long, kind string, content binary",
+    )
+    r = extract_media_features(df, decode_stub=False).collect()[0]
+    assert r.error and "NotImplementedError" in r.error
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(3, "video", bytearray(b"videobytes"))],
+        "media_id long, kind string, content binary",
+    )
+    frames = frame_sample_plan(df, every_ms=5000).collect()
+    assert len(frames) >= 1
+    assert all(f.frame_ts_ms % 5000 == 0 for f in frames)

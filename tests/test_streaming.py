@@ -1,0 +1,100 @@
+"""Structured Streaming machinery tests (SURVEY §2.9).
+
+The aggregation *logic* is oracle-checked in batch (stream_tumbling_1h /
+stream_session_windows); these tests exercise the streaming path itself:
+file source, watermark, session windows, and applyInPandasWithState.
+"""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+    session_metrics,
+    stateful_session_state,
+    stream_events,
+    tumbling_metrics,
+)
+
+
+def write_events(dirpath, events):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    p = dirpath / f"batch_{time.time_ns()}.json"
+    with open(p, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1, "event_type": "click", "value": "5", "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01T10:30:00.000Z", "user_id": 1, "event_type": "click", "value": "7", "props": "{}"},
+    {"event_id": 3, "ts": "2024-01-01T11:10:00.000Z", "user_id": 2, "event_type": "view", "value": "1", "props": "{}"},
+    # late row, within watermark
+    {"event_id": 4, "ts": "2024-01-01T10:45:00.000Z", "user_id": 1, "event_type": "click", "value": "2", "props": "{}"},
+]
+
+
+def run_to_completion(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "events_in"
+    write_events(src, EVENTS)
+    stream = stream_events(spark, str(src))
+    agg = tumbling_metrics(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    rows = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("select * from tumbling_out").collect()
+    }
+    assert rows[("2024-01-01 10:00:00", "click")] == 3  # late row included
+    assert rows[("2024-01-01 11:00:00", "view")] == 1
+
+
+def test_session_stream(spark, tmp_path):
+    src = tmp_path / "events_in2"
+    write_events(src, EVENTS)
+    stream = stream_events(spark, str(src))
+    agg = session_metrics(stream, gap="1 hour", watermark="1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    rows = {(r.user_id, str(r.session_start)): r.n_events
+            for r in spark.sql("select * from session_out").collect()}
+    # user 1: 10:00/10:30/10:45 within 1h gaps -> one session of 3
+    assert rows[(1, "2024-01-01 10:00:00")] == 3
+    assert rows[(2, "2024-01-01 11:10:00")] == 1
+
+
+def test_stateful_session_state(spark, tmp_path):
+    src = tmp_path / "events_in3"
+    write_events(src, EVENTS)
+    stream = stream_events(spark, str(src))
+    out = stateful_session_state(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    rows = {r.user_id: r for r in spark.sql(
+        "select * from state_out order by n_turns desc").collect()}
+    assert rows[1].n_turns == 3 and rows[1].total_value == 14
+    assert rows[2].n_turns == 1 and rows[2].total_value == 1
