@@ -107,6 +107,54 @@ def lsh_topk(
     )
 
 
+def mllib_lsh_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """MLlib alternative ANN: ``BucketedRandomProjectionLSH`` over the
+    same tables (SURVEY §4 row 2's opt-in path). Euclidean-bucketed —
+    for L2-normalized embeddings the ranking agrees with cosine. Returns
+    (query_id, vec_id, dist) for the approx top-k per query."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    idx = index.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=SEED,
+    ).fit(idx)
+    joined = model.approxSimilarityJoin(q, idx, float("inf"), distCol="dist")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("datasetA.query_id").orderBy(
+        F.col("dist"), F.col(f"datasetB.{id_col}")
+    )
+    return (
+        joined.where(F.col("datasetA.query_id") != F.col(f"datasetB.{id_col}"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("datasetA.query_id").alias("query_id"),
+            F.col(f"datasetB.{id_col}").alias(id_col),
+            "dist",
+        )
+    )
+
+
 # ---- DuckDB oracle mirrors -------------------------------------------------
 def duck_plane_literal(plane: list[int]) -> str:
     return "[" + ", ".join(f"{float(x)!r}" for x in plane) + "]"

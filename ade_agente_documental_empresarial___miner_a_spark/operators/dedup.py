@@ -199,6 +199,53 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """The scale path for near-dup detection: MinHash-LSH candidate
+    generation followed by exact Jaccard verification of ONLY the
+    candidates. Unlike ``jaccard_pairs`` (whose shingle self-join blows
+    up as Σ df(shingle)² on frequent shingles), this joins shingles
+    against the candidate pair list — work is O(candidates × shingles),
+    independent of how common any shingle is. Returns
+    (doc_a, doc_b, n_common, jaccard)."""
+    cands = lsh_candidate_pairs(
+        docs, text_col, id_col, num_perm, bands, shingle_n
+    ).select("doc_a", "doc_b")
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    common = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",

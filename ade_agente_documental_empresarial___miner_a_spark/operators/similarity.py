@@ -49,10 +49,16 @@ def topk_similar(
 ) -> DataFrame:
     """K1/K2/K4 — top-k rows by cosine similarity to ``query_vec``.
 
-    Compiles to TakeOrderedAndProject (no full sort/shuffle).
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — a
+    per-partition top-k heap merged at the driver; never a global sort,
+    never a single-partition window. Tie-break on any id column present
+    keeps results deterministic.
     """
     scored = score_against(index, query_vec, vec_col, score_col)
-    return scored.orderBy(F.col(score_col).desc()).limit(k)
+    order = [F.col(score_col).desc()] + [
+        F.col(c) for c in ("vec_id", "chunk_id", "doc_id") if c in index.columns
+    ][:1]
+    return scored.orderBy(*order).limit(k)
 
 
 def topk_per_group(

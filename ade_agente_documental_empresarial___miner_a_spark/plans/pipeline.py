@@ -45,6 +45,28 @@ def build_chunks(
     )
 
 
+def save_index(chunks: DataFrame, path: str, buckets: int = 0) -> None:
+    """S8 — persist the chunks table; Parquet IS the vector index
+    (SURVEY §1.3). With ``buckets`` > 0, bucket by section so
+    section-filtered retrieval (F2/J2/K3) prunes files and co-locates
+    joins without a shuffle."""
+    if buckets:
+        (
+            chunks.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, "section")
+            .sortBy("section", "chunk_id")
+            .option("path", path)
+            .saveAsTable(f"ade_chunks_{abs(hash(path)) % 10_000}")
+        )
+    else:
+        chunks.write.mode("overwrite").partitionBy("section").parquet(path)
+
+
+def load_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def flagship_query(
     documents: DataFrame,
     question: str = "spark vector join query",

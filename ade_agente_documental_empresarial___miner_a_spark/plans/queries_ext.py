@@ -22,6 +22,7 @@ from ..operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
+    lsh_verified_pairs,
     simhash16,
 )
 from ..operators.sectioning import assign_sections
@@ -223,6 +224,36 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >=
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(table(spark, sf, "documents"), threshold=0.3)
+
+
+# The scale path: LSH candidates -> exact Jaccard verify of candidates only
+# (work is O(candidates x shingles); the all-pairs join above is the exact
+# baseline whose shingle self-join grows as sum(df(shingle)^2)).
+@register(
+    "dedup_lsh_verified",
+    f"""WITH {_duck_shingles(2)},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3""",
+)
+def dedup_lsh_verified_q(spark: SparkSession, sf: str) -> DataFrame:
+    return lsh_verified_pairs(table(spark, sf, "documents"), threshold=0.3)
 
 
 @register(
@@ -531,6 +562,26 @@ def rel_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
             .cast("double")
             .alias("total_price"),
         )
+    )
+
+
+@register(
+    "rel_cube_events",
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)
+SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM ev GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))""",
+)
+def rel_cube_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf).withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
     )
 
 

@@ -208,11 +208,12 @@ def _duck_scored(query_vec_id: int) -> str:
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
+    # orderBy().limit(k) → TakeOrderedAndProject (per-partition heaps, no
+    # global sort); the rnk window then runs over only k rows.
+    top = scored.orderBy(F.desc("score"), "vec_id").limit(k)
     w = Window.orderBy(F.desc("score"), "vec_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
-        .select("vec_id", "label", "score", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "vec_id", "label", "score", "rnk"
     )
 
 
@@ -351,10 +352,9 @@ SELECT label, vec_id, score, rnk FROM per_section WHERE rnk <= 2""",
 )
 def e2_hierarchical_search(spark: SparkSession, sf: str) -> DataFrame:
     scored = _scored(spark, sf, 6)
-    w1 = Window.orderBy(F.desc("score"), "vec_id")
     phase1 = (
-        scored.withColumn("rnk", F.row_number().over(w1).cast("long"))
-        .where(F.col("rnk") <= 3)
+        scored.orderBy(F.desc("score"), "vec_id")
+        .limit(3)
         .select("label")
         .distinct()
     )

@@ -28,7 +28,7 @@ HEADLINE = [
     "sim_knn_bruteforce",     # NxM knn join
     "sim_lsh_bucketed",       # LSH ANN path
     "dedup_minhash_lsh",      # MinHash band join
-    "dedup_ngram_jaccard",    # exact jaccard verify pass
+    "dedup_lsh_verified",     # LSH candidates + exact jaccard verify (scale path)
     "text_quality_score",     # map-only text analytics
     # relational / streaming
     "rel_q1_pricing",

@@ -1,0 +1,63 @@
+"""Index persistence (S8) + MLlib ANN alternative path."""
+
+from pyspark.sql import functions as F
+
+from ade_agente_documental_empresarial___miner_a_spark.operators.ann import (
+    lsh_topk,
+    mllib_lsh_topk,
+    with_buckets,
+)
+from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
+    build_chunks,
+    load_index,
+    save_index,
+)
+
+
+def test_save_load_index_partitioned(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    chunks = build_chunks(docs)
+    path = str(tmp_path / "index")
+    save_index(chunks, path)
+    loaded = load_index(spark, path)
+    assert loaded.count() == chunks.count()
+    assert set(loaded.columns) == set(chunks.columns)
+    # partition pruning: a section filter must prune input files
+    plan = (
+        loaded.where(F.col("section") == "General")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_lsh_buckets_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    b1 = {r.vec_id: r.bucket for r in with_buckets(emb).collect()}
+    b2 = {r.vec_id: r.bucket for r in with_buckets(emb).collect()}
+    assert b1 == b2
+    assert all(0 <= b < 64 for b in b1.values())
+
+
+def test_mllib_lsh_topk_runs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    rows = mllib_lsh_topk(queries, emb, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rs in by_q.items():
+        assert len(rs) <= 3
+        assert all(r.vec_id != q for r in rs)
+        dists = [r.dist for r in rs]
+        assert dists == sorted(dists)
+
+
+def test_custom_vs_mllib_lsh_same_contract(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    custom = lsh_topk(queries, emb, k=3)
+    assert {"query_id", "vec_id", "score", "rnk"} <= set(custom.columns)
+    custom.collect()
