@@ -1,0 +1,66 @@
+"""Skew-aware join utilities.
+
+At 100 TB a handful of hot keys (one viral document's section, one power
+user) can pin a whole shuffle partition. AQE's skew-join splitting
+(enabled in ``session.py``) handles sort-merge cases at runtime; this
+module adds **explicit salting** for the cases AQE can't rewrite —
+aggregations over a hot key and broadcast-ineligible skewed joins.
+
+``salted_join`` replicates the small side R times and scatters the big
+side's hot keys across R salt buckets: the shuffle key becomes
+(key, salt), splitting a hot key's rows over R reducers.
+
+``two_phase_agg`` does salt → partial agg → final agg, the standard
+hot-key aggregation rewrite (map-side combine already handles most of
+this; the explicit form matters for high-cardinality ``collect_list``-
+style aggs where combiners don't shrink data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted over ``salt_buckets``.
+
+    The small side is replicated ``salt_buckets`` times (explode over the
+    salt range); the big side picks a deterministic salt per row. Result
+    equals ``big.join(small, on, how)`` for row-level semantics.
+    """
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias("_salt")
+    small_rep = small.select("*", salts)
+    big_salted = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[c for c in big.columns if c != on]), salt_buckets).cast(
+            "int"
+        ),
+    )
+    out = big_salted.join(small_rep, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    agg_col: str,
+    salt_buckets: int = 16,
+):
+    """Two-phase sum over a potentially hot key: partial per (key, salt),
+    then final per key. Returns (key, total)."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(agg_col)), salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.sum(agg_col).alias("_partial")
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias("total"))

@@ -39,6 +39,8 @@ from ..operators.textstats import (
 from .catalog import events_table, register, table
 from .queries_reference import _DUCK_SECTIONS, _structured
 
+_PLANES = ann.hyperplanes()
+
 # ---------------------------------------------------------------------------
 # T3 — the recursive chunker through the real pandas_udf pipeline.
 # At the correctness SF every sectioned paragraph is < 500 chars (verified:
@@ -267,6 +269,37 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_dup_pairs(table(spark, sf, "embeddings"), threshold=0.35)
 
 
+# Embedding near-dup at scale: hyperplane-bucket blocking, then exact
+# cosine only within buckets — the N² pair scan above is the exact
+# baseline, this is the O(N²/buckets) path (same pattern as text LSH).
+@register(
+    "dedup_embedding_lsh",
+    f"""WITH bucketed AS (
+  SELECT vec_id, embedding, {ann.duck_bucket("embedding", _PLANES)} AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {duck_cosine("a.embedding", "b.embedding")} AS cos
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {duck_cosine("a.embedding", "b.embedding")} >= 0.3""",
+)
+def dedup_embedding_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = ann.with_buckets(table(spark, sf, "embeddings"), planes=_PLANES)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= 0.3)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 @register(
@@ -290,9 +323,6 @@ def sim_knn_bruteforce_q(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", "label", "score", F.col("rnk").cast("long").alias("rnk")
     )
-
-
-_PLANES = ann.hyperplanes()
 
 
 @register(

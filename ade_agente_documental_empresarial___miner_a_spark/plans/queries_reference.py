@@ -474,6 +474,102 @@ def a5_token_cost_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# F3 — nonempty guards (app.py:130, 139-140, 224, 239): empty-input
+# handling as coalesce/when defaults + an isEmpty-style count gate.
+@register(
+    "f3_nonempty_guards",
+    """WITH hits AS (SELECT doc_id, text FROM documents WHERE n_chars > 100000)
+SELECT
+  CASE WHEN (SELECT count(*) FROM hits) = 0
+       THEN 'No hay información relevante.'
+       ELSE 'ok' END AS answer,
+  (SELECT count(*) FROM hits) AS n_hits""",
+)
+def f3_nonempty_guards(spark: SparkSession, sf: str) -> DataFrame:
+    hits = table(spark, sf, "documents").where(F.col("n_chars") > 100000)
+    n = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return n.select(
+        F.when(F.col("n_hits") == 0, F.lit("No hay información relevante."))
+        .otherwise(F.lit("ok"))
+        .alias("answer"),
+        "n_hits",
+    )
+
+
+# F5/K5 — truncated preview (app.py:178, 300-304): first-3 chunks with a
+# 200-char display projection.
+@register(
+    "f5_truncate_preview",
+    """SELECT doc_id, substring(text, 1, 200) AS preview,
+       CAST(length(substring(text, 1, 200)) AS BIGINT) AS preview_len
+FROM documents ORDER BY doc_id LIMIT 3""",
+)
+def f5_truncate_preview(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .orderBy("doc_id")
+        .limit(3)
+        .select(
+            "doc_id",
+            F.substring("text", 1, 200).alias("preview"),
+            F.length(F.substring("text", 1, 200)).cast("long").alias("preview_len"),
+        )
+    )
+
+
+# J1 — zip join (app.py:168): positional alignment of two parallel arrays
+# (documents/metadatas from the Chroma store) via arrays_zip.
+@register(
+    "j1_zip_join",
+    """WITH arrs AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 5),
+zipped AS (
+  SELECT doc_id,
+         unnest(generate_series(1, least(len(words), 5))) AS pos,
+         unnest(words[1:least(len(words), 5)]) AS word
+  FROM arrs)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, word,
+       CAST(length(word) AS BIGINT) AS word_len
+FROM zipped""",
+)
+def j1_zip_join(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").where(F.col("doc_id") < 5)
+    words = F.slice(F.split(F.col("text"), " "), 1, 5)
+    lens = F.transform(words, lambda w: F.length(w).cast("long"))
+    zipped = F.arrays_zip(words.alias("word"), lens.alias("word_len"))
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(zipped).alias("pos0", "z"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.col("z.word").alias("word"),
+            F.col("z.word_len").alias("word_len"),
+        )
+    )
+
+
+# T4 — Document construction (app.py:123-128): chunk rows wrapped with a
+# metadata struct, surfaced as flattened columns for the oracle.
+@register(
+    "t4_doc_construct",
+    f"""WITH {_DUCK_SECTIONS}
+SELECT trim(paragraph) AS page_content, section AS metadata_section
+FROM content WHERE trim(paragraph) <> ''""",
+)
+def t4_doc_construct(spark: SparkSession, sf: str) -> DataFrame:
+    content = assign_sections(_structured(table(spark, sf, "documents")))
+    docs = content.where(F.trim("paragraph") != "").select(
+        F.trim("paragraph").alias("page_content"),
+        F.struct(F.col("section")).alias("metadata"),
+    )
+    return docs.select(
+        "page_content", F.col("metadata.section").alias("metadata_section")
+    )
+
+
 # §2.8 scalar-function battery (trim/split/substring/date_format/arithmetic)
 @register(
     "s28_scalar_fns",
