@@ -156,6 +156,12 @@ def chunk_sections(
         sp = RecursiveCharacterSplitter(*splitter_conf)
         return texts.map(lambda t: sp.split_text(t) if t else [])
 
+    # explicit repartition: AQE coalesces small upstream shuffles to one
+    # partition, which would serialize the Python UDF — an explicit
+    # numPartitions exchange is preserved and keeps the udf parallel
+    from .dedup import spread
+
+    sectioned = spread(sectioned)
     return sectioned.select(
         "doc_id",
         "section",

@@ -32,6 +32,19 @@ def normalized_text(col):
     return F.trim(F.lower(col))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's full parallelism before CPU-heavy
+    map work. Parquet input splits are sized by bytes
+    (``maxPartitionBytes``), so a few-MB documents table arrives as ONE
+    partition — and per-row md5/shingle/UDF work then runs on a single
+    core. An explicit numPartitions repartition (which AQE will not
+    coalesce away, unlike repartition()) restores parallelism; the
+    shuffle moves only the small input, not the exploded intermediate.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via hash-groupBy: every row keeps its content hash, the
     group's canonical (min id) row, and a dup count for the group.
@@ -49,18 +62,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text_col, n: int = 2):
-    """Distinct n-word shingles as an array column (empty if < n words)."""
-    w = F.split(text_col, " ")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(w, i + j) for j in range(n)]
-    )
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    return F.when(
-        F.size(w) >= n,
-        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *[
-            F.element_at(w, (i + j).cast("int")) for j in range(n)
-        ]))),
-    ).otherwise(F.array().cast("array<string>"))
+    """Distinct n-word shingles as an array column (empty if < n words).
+
+    Wraps the split in a single-element array + transform so the split
+    runs ONCE per row — referencing `F.split(...)` from every lambda
+    element would re-split the text per shingle (O(words²) per doc).
+    """
+    def shingles_of(w):
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        return F.when(
+            F.size(w) >= n,
+            F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *[
+                F.element_at(w, (i + j).cast("int")) for j in range(n)
+            ]))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    wrapped = F.transform(F.array(F.split(text_col, " ")), shingles_of)
+    return F.element_at(wrapped, 1)
 
 
 def minhash_signatures(
@@ -75,7 +93,7 @@ def minhash_signatures(
     sig_p = min over shingles of md5('<p>:' || shingle) — lexicographic min
     of hex digests (uniform + portable). Docs with no shingles are dropped.
     """
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
     )
     aggs = [
@@ -128,7 +146,7 @@ def simhash16(
     """16-bit SimHash over word md5s: bit j set iff the occurrence-weighted
     ±1 sum of word-hash bit j is positive. Returns (id, simhash, n_words).
     """
-    words = docs.select(
+    words = spread(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).withColumn("h", F.md5(F.col("w")))
     hexv = lambda pos: (  # noqa: E731 — hex char at 1-based pos → 0..15
@@ -167,7 +185,7 @@ def jaccard_pairs(
     Exact set Jaccard via an exploded shingle equi-join (portable, no
     approximations): |A∩B| from the join, |A|,|B| from per-doc counts.
     """
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col),
         F.col(block_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
@@ -218,7 +236,7 @@ def lsh_verified_pairs(
     cands = lsh_candidate_pairs(
         docs, text_col, id_col, num_perm, bands, shingle_n
     ).select("doc_a", "doc_b")
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )

@@ -112,7 +112,9 @@ SELECT doc_id, CAST({_DUCK_IDX} AS BIGINT) AS bucket,
 FROM hashed GROUP BY doc_id, bucket""",
 )
 def t5_embed_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    toks = table(spark, sf, "documents").select(
+    from ..operators.dedup import spread
+
+    toks = spread(table(spark, sf, "documents")).select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
     h = F.md5(F.concat(F.lit("42:"), F.col("tok")))
