@@ -1,0 +1,65 @@
+"""Incremental index build — SURVEY §2.9 row 4.
+
+The reference rebuilds its whole Chroma index on every upload/rerun
+(``micro-infobot/app.py:286-287``). The Spark-native replacement is a
+streaming ingest: new document files arrive → E1 (section → chunk →
+embed) runs on the micro-batch only → results append to the Parquet
+chunks index. ``foreachBatch`` is used because the E1 pipeline contains
+a window (section forward-fill), which is per-document and therefore
+safe per-micro-batch (a document never spans files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..plans.pipeline import build_chunks
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def incremental_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    dim: int = 64,
+):
+    """Start the incremental E1 pipeline: each micro-batch of new
+    documents is sectioned/chunked/embedded and appended to the index.
+    Returns the StreamingQuery (caller stops it)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chunks = build_chunks(batch_df, dim=dim)
+        chunks.write.mode("append").parquet(index_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
