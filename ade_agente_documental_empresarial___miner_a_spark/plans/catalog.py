@@ -75,6 +75,9 @@ DUCK_EVENTS = (
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     raw = spark.read.schema(_EVENTS_SCHEMA).parquet(
         os.path.join(sf_dir, "events.parquet")
     )

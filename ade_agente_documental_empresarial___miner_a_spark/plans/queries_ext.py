@@ -673,6 +673,44 @@ def rel_join_family(spark: SparkSession, sf: str) -> DataFrame:
     return n_inner.crossJoin(n_no).crossJoin(n_semi).crossJoin(n_anti)
 
 
+# As-of join: for each purchase event, the user's most recent prior
+# (or same-instant) non-purchase event. Right side deduped to one row
+# per (user, ts) so tie-resolution is well-defined on both engines.
+@register(
+    "rel_asof_join",
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+l AS (SELECT event_id, ts, user_id, value FROM ev WHERE event_type = 'purchase'),
+r0 AS (SELECT user_id, ts, max(event_id) AS r_event_id
+       FROM ev WHERE event_type <> 'purchase' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, l.value,
+       r0.r_event_id AS matched_event_id,
+       CAST(epoch_us(l.ts - r0.ts) AS BIGINT) AS lag_us
+FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts >= r0.ts""",
+)
+def rel_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = events_table(spark, sf)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    right = (
+        ev.where(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_event_id"))
+    )
+    joined = asof_join(left, right, on="user_id", right_cols=["r_event_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("r_event_id_right").alias("matched_event_id"),
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))
+        ).alias("lag_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-batch mirrors (the same aggregations the streaming module runs
 # with readStream — here executed batch so the oracle can check them)

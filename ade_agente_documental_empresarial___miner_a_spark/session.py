@@ -18,13 +18,20 @@ from pyspark.sql import SparkSession
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
-    """Make this package importable on executors' Python workers.
+    """Normalize a (possibly externally-created) session for this engine.
 
-    UDF/mapInPandas closures pickle functions *by module reference*, so
-    workers must import the package themselves. On a cluster this ships a
-    zip via ``addPyFile`` (same mechanism as ``spark-submit --py-files``);
-    in local mode it also covers driver scripts launched from a different
-    working directory. Idempotent per session.
+    1. Pin ``spark.sql.session.timeZone`` to UTC — fixture timestamps are
+       timezone-naive, and window/date_trunc/date_format results are
+       session-tz-dependent; a host session in another zone would silently
+       shift every timestamp result away from the UTC-naive oracle.
+    2. Make this package importable on executors' Python workers:
+       UDF/mapInPandas closures pickle functions *by module reference*, so
+       workers must import the package themselves. On a cluster this ships
+       a zip via ``addPyFile`` (same mechanism as ``--py-files``); in
+       local mode it also covers driver scripts launched from a different
+       working directory.
+
+    Idempotent per session.
     """
     key = "spark.ade.package.shipped"
     try:
@@ -32,6 +39,7 @@ def ensure_package_shipped(spark: SparkSession) -> None:
             return
     except Exception:  # noqa: BLE001
         pass
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
     zpath = os.path.join(
