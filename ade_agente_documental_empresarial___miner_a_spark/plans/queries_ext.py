@@ -711,6 +711,82 @@ def rel_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Range join: purchases paired with every same-user event in the
+# trailing 30 minutes. Spark side uses the bucketized equi-join rewrite
+# (rangejoin.py); the oracle states the raw inequality join.
+@register(
+    "rel_range_join",
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+l AS (SELECT event_id, ts, user_id FROM ev WHERE event_type = 'purchase'),
+r AS (SELECT event_id AS r_event_id, ts AS r_ts, user_id, event_type AS r_type
+      FROM ev WHERE event_type <> 'purchase')
+SELECT l.event_id, l.user_id, r.r_event_id, r.r_type,
+       CAST(epoch_us(l.ts - r.r_ts) AS BIGINT) AS lag_us
+FROM l JOIN r ON l.user_id = r.user_id
+             AND r.r_ts <= l.ts
+             AND r.r_ts >= l.ts - INTERVAL 30 MINUTE""",
+)
+def rel_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rangejoin import range_join_recent
+
+    ev = events_table(spark, sf)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    right = ev.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+        "user_id",
+        F.col("event_type").alias("r_type"),
+    )
+    joined = range_join_recent(
+        left, right, on="user_id", window_seconds=1800,
+        left_ts="ts", right_ts="r_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("r_event_id_right").alias("r_event_id"),
+        F.col("r_type_right").alias("r_type"),
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts_right"))
+        ).alias("lag_us"),
+    )
+
+
+# Multi-granularity rollup (hypertable-style continuous aggregate):
+# GROUPING SETS over (day) and (day, hour) in one pass.
+@register(
+    "stream_multi_rollup",
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+            THEN CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS hour,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM ev
+GROUP BY GROUPING SETS ((date_trunc('day', ts)), (date_trunc('day', ts), date_trunc('hour', ts)))""",
+)
+def stream_multi_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [["day"], ["day", "hour"]], "day", "hour"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select("day", "hour", "n_events", "sum_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-batch mirrors (the same aggregations the streaming module runs
 # with readStream — here executed batch so the oracle can check them)
