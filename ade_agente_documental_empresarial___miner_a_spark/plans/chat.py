@@ -1,0 +1,113 @@
+"""E2 chat orchestration — the reference's main Q&A loop
+(``micro-infobot/app.py:214-283``) as an engine composite.
+
+retrieve (K1) → context fold (T6) → prompt assembly (T7, history replay
+included) → LLM call → persist turn (S6) + cost row (A5). The LLM step is
+orchestration, not engine (SURVEY §3 E2): it is injected as a callable;
+the default is a deterministic extractive stub (first sentences of the
+context) so the whole loop is hermetic and testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.embedding import embed_one
+from ..operators.similarity import topk_similar
+from ..sources.sinks import append_chat_history, read_chat_history
+
+SYSTEM_PROMPT = (
+    "Eres InfoBot, asistente documental de la empresa. Responde usando "
+    "únicamente el contexto proporcionado."  # app.py:23-40 role
+)
+
+# app.py:276 cost model
+PROMPT_TOKEN_USD = 0.00001
+COMPLETION_TOKEN_USD = 0.00003
+
+
+def extractive_stub_llm(messages: list[dict]) -> str:
+    """Deterministic 'LLM': answer = first two sentences of the context
+    block (the trailing system message)."""
+    context = ""
+    for m in reversed(messages):
+        if m["role"] == "system" and m is not messages[0]:
+            context = m["content"]
+            break
+    sentences = [s.strip() for s in context.split(".") if s.strip()]
+    if not sentences:
+        return "No hay información relevante."  # app.py:224 fallback
+    return ". ".join(sentences[:2]) + "."
+
+
+@dataclass
+class ChatTurn:
+    answer: str
+    context: str
+    messages: list[dict]
+    prompt_tokens: int
+    completion_tokens: int
+    cost_usd: float
+
+
+def answer_question(
+    spark: SparkSession,
+    chunks: DataFrame,
+    user: str,
+    question: str,
+    history_path: str | None = None,
+    k: int = 4,
+    dim: int = 64,
+    llm: Callable[[list[dict]], str] = extractive_stub_llm,
+) -> ChatTurn:
+    """One full E2 turn against a built chunks index."""
+    qvec = embed_one(question, dim=dim)
+    hits = topk_similar(chunks, qvec, k=k).collect()  # K1
+    context = "\n".join(r.text for r in hits)  # T6 app.py:224
+
+    messages = [{"role": "system", "content": SYSTEM_PROMPT}]
+    if history_path:  # T7 history replay (app.py:228-242)
+        try:
+            past = (
+                read_chat_history(spark, history_path)
+                .where(F.col("user") == user)
+                .orderBy("ts")
+                .collect()
+            )
+        except Exception:  # noqa: BLE001 — no history yet
+            past = []
+        for turn in past:
+            messages.append({"role": "user", "content": turn.message})
+            messages.append({"role": "assistant", "content": turn.response})
+    messages.append({"role": "user", "content": question})
+    if context:
+        messages.append({"role": "system", "content": context})
+
+    answer = llm(messages)
+
+    # token accounting: whitespace-token estimate (tiktoken stand-in)
+    prompt_tokens = sum(len(m["content"].split()) for m in messages)
+    completion_tokens = len(answer.split())
+    cost = (
+        prompt_tokens * PROMPT_TOKEN_USD
+        + completion_tokens * COMPLETION_TOKEN_USD
+    )
+
+    if history_path:  # S6 persist (app.py:258)
+        append_chat_history(
+            spark,
+            [(user, question, answer, None, prompt_tokens, completion_tokens)],
+            history_path,
+        )
+    return ChatTurn(
+        answer=answer,
+        context=context,
+        messages=messages,
+        prompt_tokens=prompt_tokens,
+        completion_tokens=completion_tokens,
+        cost_usd=cost,
+    )

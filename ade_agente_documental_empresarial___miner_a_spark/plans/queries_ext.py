@@ -787,6 +787,98 @@ def stream_multi_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Exact interpolated percentiles per group (DuckDB quantile_cont mirror)
+@register(
+    "rel_percentiles",
+    """SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price
+FROM lineitem GROUP BY l_returnflag""",
+)
+def rel_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_price"),
+    )
+
+
+# Levenshtein edit-distance pairs (string-similarity scalar; bounded block)
+@register(
+    "text_edit_distance",
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) AS BIGINT) AS dist
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE a.doc_id < 25 AND b.doc_id < 25""",
+)
+def text_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").where(F.col("doc_id") < 25)
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.substring("text", 1, 30).alias("ta"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        F.substring("text", 1, 30).alias("tb"),
+    )
+    return (
+        a.join(b, "lang")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+        )
+    )
+
+
+# Conversion funnel: per user, first view -> first subsequent purchase
+@register(
+    "stream_funnel",
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+v AS (SELECT user_id, min(ts) AS first_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+      GROUP BY e.user_id)
+SELECT v.user_id, v.first_view, p.first_purchase,
+       p.first_purchase IS NOT NULL AS converted,
+       CAST(epoch_us(p.first_purchase - v.first_view) AS BIGINT) AS us_to_convert
+FROM v LEFT JOIN p ON v.user_id = p.user_id""",
+)
+def stream_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_purchase",
+            F.col("first_purchase").isNotNull().alias("converted"),
+            (
+                F.unix_micros("first_purchase") - F.unix_micros("first_view")
+            ).alias("us_to_convert"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-batch mirrors (the same aggregations the streaming module runs
 # with readStream — here executed batch so the oracle can check them)

@@ -34,6 +34,8 @@ HEADLINE = [
     "rel_q1_pricing",
     "rel_q5_region_revenue",
     "rel_window_running",
+    "rel_asof_join",           # point-in-time join (union + forward-fill)
+    "rel_range_join",          # bucketized trailing-window join
     "stream_tumbling_1h",
 ]
 

@@ -1,0 +1,61 @@
+"""E2 chat composite tests — hermetic full loop with the stub LLM."""
+
+from ade_agente_documental_empresarial___miner_a_spark.plans.chat import (
+    answer_question,
+)
+from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
+    build_chunks,
+)
+
+
+def make_index(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "SPARK TUNING\n\nbroadcast small tables. avoid shuffles"),
+            (2, "COST MODEL\n\nprompt tokens cost less than completion tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    return build_chunks(docs)
+
+
+def test_full_turn_retrieves_and_answers(spark, tmp_path):
+    chunks = make_index(spark)
+    turn = answer_question(
+        spark, chunks, "ana", "how do I tune spark joins",
+        history_path=str(tmp_path / "chat"),
+    )
+    assert turn.context  # retrieved something
+    assert turn.answer.endswith(".")
+    assert turn.messages[0]["role"] == "system"
+    assert turn.messages[-1]["role"] == "system"  # trailing context msg
+    assert turn.prompt_tokens > 0 and turn.completion_tokens > 0
+    assert abs(
+        turn.cost_usd
+        - (turn.prompt_tokens * 1e-5 + turn.completion_tokens * 3e-5)
+    ) < 1e-12
+
+
+def test_history_replay_grows_prompt(spark, tmp_path):
+    chunks = make_index(spark)
+    path = str(tmp_path / "chat")
+    t1 = answer_question(spark, chunks, "ana", "first question", history_path=path)
+    t2 = answer_question(spark, chunks, "ana", "second question", history_path=path)
+    # second turn replays turn 1 as user+assistant messages (T7)
+    assert len(t2.messages) == len(t1.messages) + 2
+    roles = [m["role"] for m in t2.messages]
+    assert roles[1] == "user" and roles[2] == "assistant"
+
+
+def test_empty_index_fallback(spark):
+    empty = make_index(spark).where("doc_id = 999")
+    turn = answer_question(spark, empty, "ana", "anything")
+    assert turn.answer == "No hay información relevante."
+    assert turn.context == ""
+
+
+def test_determinism(spark):
+    chunks = make_index(spark)
+    a = answer_question(spark, chunks, "ana", "cost of tokens")
+    b = answer_question(spark, chunks, "ana", "cost of tokens")
+    assert a.answer == b.answer and a.context == b.context
