@@ -474,6 +474,27 @@ def a5_token_cost_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# D2 fidelity — the reference erases document boundaries by accumulating
+# one flat corpus string (app.py:192-205). The engine keeps boundaries
+# (strict improvement), but bug-for-bug reproduction is one ordered
+# fold away; this query proves it (md5 of the concatenated corpus).
+@register(
+    "d2_legacy_corpus_concat",
+    """WITH ordered AS (SELECT text FROM documents ORDER BY doc_id)
+SELECT md5(string_agg(text, '' ORDER BY doc_id)) AS corpus_md5,
+       CAST(sum(length(text)) AS BIGINT) AS corpus_chars
+FROM documents""",
+)
+def d2_legacy_corpus_concat(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    ordered = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    corpus = F.array_join(F.transform(ordered, lambda x: x["text"]), "")
+    return docs.agg(
+        F.md5(corpus).alias("corpus_md5"),
+        F.sum(F.length("text")).cast("long").alias("corpus_chars"),
+    )
+
+
 # F3 — nonempty guards (app.py:130, 139-140, 224, 239): empty-input
 # handling as coalesce/when defaults + an isEmpty-style count gate.
 @register(

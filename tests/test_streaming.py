@@ -61,6 +61,57 @@ def test_tumbling_stream_matches_batch(spark, tmp_path):
     assert rows[("2024-01-01 11:00:00", "view")] == 1
 
 
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    """Rows older than the persisted watermark are dropped — the
+    late-data boundary the reference never had (SURVEY §2.9). The
+    watermark advances between *runs* via the checkpoint: run 1 sets it
+    to max(ts)-2h; run 2's straggler (10h older) lands beyond it."""
+    src = tmp_path / "events_late"
+    out = str(tmp_path / "late_final")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run_once():
+        stream = stream_events(spark, str(src))
+        agg = tumbling_metrics(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+                if not df.isEmpty()
+                else None
+            )
+            .outputMode("append")  # finalized windows only
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_events(src, EVENTS)           # max ts 11:10 → watermark 09:10
+    run_once()
+    write_events(
+        src,
+        [{"event_id": 99, "ts": "2024-01-01T01:00:00.000Z", "user_id": 1,
+          "event_type": "click", "value": "1", "props": "{}"}],
+    )
+    run_once()                          # straggler < 09:10 watermark: dropped
+    write_events(
+        src,
+        [{"event_id": 100, "ts": "2024-01-01T14:00:00.000Z", "user_id": 3,
+          "event_type": "view", "value": "1", "props": "{}"}],
+    )
+    run_once()                          # watermark → 12:00, finalizes 10h/11h
+    finalized = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    # the beyond-watermark straggler's window never finalizes with its row
+    assert ("2024-01-01 01:00:00", "click") not in finalized
+    # the on-time windows finalized: 10:00 click×3 (incl. the
+    # within-watermark late row), 11:00 view×1
+    assert finalized.get(("2024-01-01 10:00:00", "click")) == 3
+    assert finalized.get(("2024-01-01 11:00:00", "view")) == 1
+
+
 def test_session_stream(spark, tmp_path):
     src = tmp_path / "events_in2"
     write_events(src, EVENTS)
