@@ -264,6 +264,62 @@ def lsh_verified_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: every node gets the min
+    node id reachable from it (the canonical representative).
+
+    Iterative min-label propagation — each round joins labels across
+    edges and keeps the minimum, stopping at fixpoint. Converges in
+    O(diameter) rounds; each round is one shuffle join, so at 100 TB
+    this is `diameter × groupBy-cost` (dup components are shallow —
+    near-dup graphs are cliques-ish, diameter 1-2 in practice).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    # iterative joins MUST truncate lineage each round (localCheckpoint),
+    # or the plan doubles per iteration and the driver hangs re-planning
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",

@@ -51,6 +51,29 @@ def embed_text_udf(dim: int = DEFAULT_DIM, seed: int = DEFAULT_SEED):
     return _embed
 
 
+def mllib_tfidf_embeddings(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """MLlib offline alternative (SURVEY §2.3 T5): HashingTF → IDF,
+    emitted as the same ``ARRAY<FLOAT>`` schema as the default embedder
+    so every downstream operator (top-k, LSH, dedup) is drop-in. Batch
+    pipeline: fit on the corpus, transform, convert vector → array."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    tok = Tokenizer(inputCol=text_col, outputCol="_words")
+    tf = HashingTF(inputCol="_words", outputCol="_tf", numFeatures=dim)
+    words = tf.transform(tok.transform(df))
+    idf = IDF(inputCol="_tf", outputCol="_tfidf").fit(words)
+    out = idf.transform(words)
+    return out.withColumn(
+        out_col, vector_to_array(F.col("_tfidf")).cast("array<float>")
+    ).drop("_words", "_tf", "_tfidf")
+
+
 def with_embeddings(
     df: DataFrame,
     text_col: str = "text",

@@ -271,6 +271,46 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_dup_pairs(table(spark, sf, "embeddings"), threshold=0.35)
 
 
+# Near-dup CLUSTERS: connected components over the LSH-verified pair
+# graph — an iterative algorithm (min-label propagation) whose oracle is
+# a recursive CTE computing the same component minima.
+@register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_duck_shingles(2)},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node""",
+)
+def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    pairs = lsh_verified_pairs(table(spark, sf, "documents"), threshold=0.3)
+    return connected_components(pairs)
+
+
 # Embedding near-dup at scale: hyperplane-bucket blocking, then exact
 # cosine only within buckets — the N² pair scan above is the exact
 # baseline, this is the O(N²/buckets) path (same pattern as text LSH).
