@@ -827,6 +827,42 @@ def stream_multi_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Window-function battery: lead/lag/ntile/first/last/rank/dense_rank
+@register(
+    "rel_window_family",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+       lag(l_quantity) OVER w AS prev_qty,
+       lead(l_quantity) OVER w AS next_qty,
+       first_value(l_quantity) OVER w AS first_qty,
+       last_value(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_qty,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS BIGINT) AS qty_rank,
+       CAST(dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS BIGINT) AS qty_dense_rank
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
+)
+def rel_window_family(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wq = Window.partitionBy("l_suppkey").orderBy("l_quantity")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.last("l_quantity").over(wfull).alias("last_qty"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.rank().over(wq).cast("long").alias("qty_rank"),
+        F.dense_rank().over(wq).cast("long").alias("qty_dense_rank"),
+    )
+
+
 # Exact interpolated percentiles per group (DuckDB quantile_cont mirror)
 @register(
     "rel_percentiles",
