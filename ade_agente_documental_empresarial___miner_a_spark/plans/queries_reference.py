@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.text import is_title
 from ..functions.vector import cosine_similarity, duck_cosine
 from ..operators.sectioning import assign_sections, extract_titles, split_paragraphs
-from .catalog import DUCK_EVENTS, events_table, register, table
+from .catalog import events_table, register, table
 
 # ---------------------------------------------------------------------------
 # deterministic structure injection (both engines, identical literal replace)
