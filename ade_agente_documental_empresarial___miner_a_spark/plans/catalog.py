@@ -46,6 +46,7 @@ def _load():
         return
     from . import queries_reference  # noqa: F401
     from . import queries_ext  # noqa: F401
+    from . import queries_ingest  # noqa: F401
 
     _LOADED = True
 

@@ -87,9 +87,13 @@ def _strip_markup(data: bytes) -> str:
     raw = data.decode("utf-8", errors="replace")
     if HAVE_BS4:
         return BeautifulSoup(raw, "html.parser").get_text()
-    no_hidden = re.sub(
-        r"<(script|style)\b[^>]*>.*?</\1>", " ", raw, flags=re.S | re.I
-    )
+    # one regex per hidden tag (no backreference) so the DuckDB oracle can
+    # mirror the exact pipeline — RE2 has no \1
+    no_hidden = raw
+    for tag in ("script", "style"):
+        no_hidden = re.sub(
+            rf"<{tag}\b[^>]*>.*?</{tag}>", " ", no_hidden, flags=re.S | re.I
+        )
     no_tags = re.sub(r"<[^>]+>", " ", no_hidden)
     unescaped = (
         no_tags.replace("&amp;", "&")
