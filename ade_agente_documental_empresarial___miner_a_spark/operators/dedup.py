@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity
@@ -51,8 +51,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     h = F.md5(normalized_text(F.col(text_col))).alias("text_hash")
     hashed = df.select(F.col(id_col), h)
-    from pyspark.sql import Window
-
     w = Window.partitionBy("text_hash")
     return (
         hashed.withColumn("canonical_id", F.min(id_col).over(w))
@@ -180,10 +178,19 @@ def jaccard_pairs(
     shingle_n: int = 2,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """N-gram Jaccard near-dup pairs within a blocking key.
+    """N-gram Jaccard near-dup pairs within a blocking key — EXACT, via
+    prefix filtering (Vernica/Carey/Li, "Efficient Parallel Set-Similarity
+    Joins Using MapReduce", SIGMOD 2010 — the public textbook design).
 
-    Exact set Jaccard via an exploded shingle equi-join (portable, no
-    approximations): |A∩B| from the join, |A|,|B| from per-doc counts.
+    A naive exploded shingle self-join costs Σ df(shingle)² and is the
+    classic 100 TB scale-killer (one stop-word bigram shared by 1M docs
+    → 10¹² join rows). Prefix filtering keeps the result EXACT while
+    joining only each doc's rarest shingles: under a global (df, shingle)
+    order, two sets with Jaccard ≥ t must share a token inside their
+    first |X| - ⌈t·|X|⌉ + 1 tokens, so the candidate join runs on those
+    prefixes (rare tokens, tiny df) and the exact intersection count is
+    then computed only for candidate pairs — the same output-sensitive
+    verify as ``lsh_verified_pairs``, with recall 1.0.
     """
     sh = spread(docs).select(
         F.col(id_col),
@@ -191,30 +198,63 @@ def jaccard_pairs(
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
+
+    # global token order: document frequency asc, shingle asc (ties)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.where(F.col("pos") <= prefix_len).select(
+        id_col, block_col, "shingle"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
         a.join(b, ["shingle", block_col])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
+        .distinct()
+    )
+    return _verify_jaccard(cands, sh, sizes, id_col, threshold)
+
+
+def _verify_jaccard(
+    cands: DataFrame,
+    sh: DataFrame,
+    sizes: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs only: O(candidates × shingles),
+    independent of any shingle's corpus frequency."""
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    common = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
     )
-    return out.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
 def lsh_verified_pairs(
@@ -241,27 +281,7 @@ def lsh_verified_pairs(
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
-    common = (
-        cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
-    )
+    return _verify_jaccard(cands, sh, sizes, id_col, threshold)
 
 
 def connected_components(
@@ -325,9 +345,19 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.35,
+    sample_cap: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (full N², for modest N; use
-    ann.lsh_buckets blocking at scale). Returns (id_a, id_b, cos)."""
+    """Embedding-cosine near-dup pairs — the exact all-pairs BASELINE.
+
+    Inherently N² in the input: only run it on a bounded slice. With
+    ``sample_cap`` the id filter is pushed into the parquet scan on both
+    join sides, so the quadratic term is over min(N, cap) rows no matter
+    how large the corpus grows. The full-corpus scale path is hyperplane
+    bucket blocking (``ann.with_buckets`` — see ``dedup_embedding_lsh``),
+    which is this same scoring expression inside bucket-equi-join blocks.
+    Returns (id_a, id_b, cos)."""
+    if sample_cap is not None:
+        emb = emb.where(F.col(id_col) < sample_cap)
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -258,15 +258,25 @@ def dedup_lsh_verified_q(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_verified_pairs(table(spark, sf, "documents"), threshold=0.3)
 
 
+# Exact all-pairs cosine on a BOUNDED slice (vec_id < 512, pushed into the
+# parquet scan on both sides): the N² term is capped regardless of corpus
+# size, so this registered query stays runnable at any SF. Full-corpus
+# near-dup goes through dedup_embedding_lsh (bucket blocking) below.
+_EMB_CAP = 512
+
+
 @register(
     "dedup_embedding_cosine",
     f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {duck_cosine("a.embedding", "b.embedding")} AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {duck_cosine("a.embedding", "b.embedding")} >= 0.35""",
+WHERE a.vec_id < {_EMB_CAP} AND b.vec_id < {_EMB_CAP}
+  AND {duck_cosine("a.embedding", "b.embedding")} >= 0.35""",
 )
 def dedup_embedding_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
-    return embedding_dup_pairs(table(spark, sf, "embeddings"), threshold=0.35)
+    return embedding_dup_pairs(
+        table(spark, sf, "embeddings"), threshold=0.35, sample_cap=_EMB_CAP
+    )
 
 
 # Near-dup CLUSTERS: connected components over the LSH-verified pair

@@ -96,3 +96,67 @@ def test_fingerprint_bag_is_order_invariant(spark):
     rows = {r.doc_id: r for r in fingerprints(df).collect()}
     assert rows[1].fp_bag == rows[2].fp_bag
     assert rows[1].fp_exact != rows[2].fp_exact
+
+
+def test_prefix_filter_jaccard_matches_naive_allpairs(spark):
+    """jaccard_pairs is prefix-filtered but EXACT: its output must equal
+    the naive exploded all-pairs join on the same corpus."""
+    from ade_agente_documental_empresarial___miner_a_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox leaps over the lazy dog", "en"),
+        (3, "a completely different sentence about spark engines", "en"),
+        (4, "the quick brown fox jumps over the lazy dog", "en"),
+        (5, "spark engines process completely different sentences", "en"),
+        (6, "el rapido zorro marron salta sobre el perro", "es"),
+        (7, "el rapido zorro marron salta sobre el gato", "es"),
+    ]
+    df = docs(spark, rows)
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, round(r.jaccard, 9))
+        for r in jaccard_pairs(df, threshold=0.3).collect()
+    }
+
+    # naive reference: exploded self-join on every shingle
+    sh = df.select(
+        "doc_id", "lang", F.explode(word_shingles(F.col("text"), 2)).alias("s")
+    )
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    by_doc = {}
+    for r in sh.collect():
+        by_doc.setdefault(r.doc_id, (r.lang, set()))[1].add(r.s)
+    want = {}
+    ids = sorted(by_doc)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if by_doc[a][0] != by_doc[b][0]:
+                continue
+            inter = len(by_doc[a][1] & by_doc[b][1])
+            if inter == 0:
+                continue
+            j = inter / (sizes[a] + sizes[b] - inter)
+            if j >= 0.3:
+                want[(a, b)] = (inter, round(j, 9))
+    assert got == want
+    assert (1, 4) in got and got[(1, 4)][1] == 1.0  # exact dup pair survives
+    assert (1, 2) in got  # one-word-different pair survives
+
+
+def test_embedding_dup_sample_cap_pushdown(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.operators.dedup import (
+        embedding_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_dup_pairs(emb, threshold=-1.0, sample_cap=10)
+    rows = out.collect()
+    assert len(rows) == 45  # C(10,2) — the cap bounds the quadratic term
+    assert max(max(r.id_a, r.id_b) for r in rows) == 9
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan
