@@ -63,8 +63,18 @@ def answer_question(
     k: int = 4,
     dim: int = 64,
     llm: Callable[[list[dict]], str] = extractive_stub_llm,
+    last_n_turns: int | None = None,
 ) -> ChatTurn:
-    """One full E2 turn against a built chunks index."""
+    """One full E2 turn against a built chunks index.
+
+    ``last_n_turns=None`` replays the ENTIRE per-user history each turn —
+    the reference's ConversationBufferMemory behavior (app.py:228-242),
+    preserved as the parity default even though it grows without bound.
+    Setting ``last_n_turns=n`` keeps only the n most recent turns, and the
+    cap is applied BEFORE collect (orderBy desc + limit → per-partition
+    top-n heaps), so the driver-side materialization is O(n) no matter how
+    long the stored history gets.
+    """
     qvec = embed_one(question, dim=dim)
     hits = topk_similar(chunks, qvec, k=k).collect()  # K1
     context = "\n".join(r.text for r in hits)  # T6 app.py:224
@@ -72,12 +82,14 @@ def answer_question(
     messages = [{"role": "system", "content": SYSTEM_PROMPT}]
     if history_path:  # T7 history replay (app.py:228-242)
         try:
-            past = (
-                read_chat_history(spark, history_path)
-                .where(F.col("user") == user)
-                .orderBy("ts")
-                .collect()
+            hist = read_chat_history(spark, history_path).where(
+                F.col("user") == user
             )
+            if last_n_turns is not None:
+                tail = hist.orderBy(F.desc("ts")).limit(last_n_turns)
+                past = sorted(tail.collect(), key=lambda r: r.ts)
+            else:
+                past = hist.orderBy("ts").collect()
         except Exception:  # noqa: BLE001 — no history yet
             past = []
         for turn in past:

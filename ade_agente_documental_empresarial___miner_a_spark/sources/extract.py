@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -174,11 +175,89 @@ def csv_scan(
 def xlsx_scan(spark: SparkSession, path: str) -> DataFrame:
     """S5 — the branch the reference declared but never implemented
     (xlsx accepted by the uploader, silently dropped; app.py:17,191).
-    Implemented via openpyxl on the driver → createDataFrame (small-file
-    path); a spark-excel connector slots in for cluster-scale trees."""
+    Single-small-file convenience path: openpyxl on the driver →
+    createDataFrame. For multi-file trees use ``xlsx_scan_distributed``
+    — this driver path materializes the sheet locally and must not be
+    pointed at a 100 TB tree."""
     try:
         import openpyxl  # noqa: F401
     except ImportError as e:
         raise NotImplementedError("openpyxl not installed") from e
     pdf = pd.read_excel(path)
     return spark.createDataFrame(pdf)
+
+
+XLSX_ROWS_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("sheet", StringType()),
+        StructField("row_idx", LongType()),
+        StructField("cells", ArrayType(StringType())),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def xlsx_scan_distributed(
+    spark: SparkSession, path: str, glob: str = "*.xlsx"
+) -> DataFrame:
+    """S5 at cluster scale: ``binaryFile`` scans the tree in parallel (one
+    workbook per row, bytes never touch the driver) and each executor
+    parses its files with openpyxl inside an Arrow-batched ``mapInPandas``.
+    Output is one row per sheet row: (path, sheet, row_idx, cells, error)
+    — cells stringified so heterogeneous workbooks share one schema.
+
+    Parse failures (or openpyxl missing, as in this container) degrade to
+    an error row per file instead of failing the job — same contract as
+    ``extract_text``. Per-file parallelism is the unit of scale: a tree of
+    N workbooks fans out N-wide regardless of individual file size.
+    """
+    binaries = binary_scan(spark, path, glob=glob)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                fpath, content = row["path"], row["content"]
+                try:
+                    import openpyxl
+
+                    wb = openpyxl.load_workbook(
+                        io.BytesIO(bytes(content)), read_only=True, data_only=True
+                    )
+                    for ws in wb.worksheets:
+                        for i, cells in enumerate(ws.iter_rows(values_only=True)):
+                            rows.append(
+                                {
+                                    "path": fpath,
+                                    "sheet": ws.title,
+                                    "row_idx": i,
+                                    "cells": [
+                                        None if c is None else str(c) for c in cells
+                                    ],
+                                    "error": None,
+                                }
+                            )
+                except ImportError:
+                    rows.append(
+                        {
+                            "path": fpath,
+                            "sheet": None,
+                            "row_idx": None,
+                            "cells": None,
+                            "error": "NotImplementedError: openpyxl not installed",
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "path": fpath,
+                            "sheet": None,
+                            "row_idx": None,
+                            "cells": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in XLSX_ROWS_SCHEMA])
+
+    return binaries.select("path", "content").mapInPandas(run, XLSX_ROWS_SCHEMA)

@@ -59,3 +59,36 @@ def test_determinism(spark):
     a = answer_question(spark, chunks, "ana", "cost of tokens")
     b = answer_question(spark, chunks, "ana", "cost of tokens")
     assert a.answer == b.answer and a.context == b.context
+
+
+def test_last_n_turns_bounds_replay(spark, tmp_path):
+    """With last_n_turns=2 only the 2 most recent turns are replayed
+    (chronological order preserved); default stays full-replay parity."""
+    from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
+        append_chat_history,
+    )
+    import datetime as dt
+
+    path = str(tmp_path / "chat")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("ana", f"q{i}", f"a{i}", base + dt.timedelta(minutes=i), 3, 2)
+        for i in range(5)
+    ]
+    append_chat_history(spark, rows, path)
+    chunks = make_index(spark)
+
+    bounded = answer_question(
+        spark, chunks, "ana", "final question",
+        history_path=path, last_n_turns=2,
+    )
+    replayed = [m["content"] for m in bounded.messages if m["role"] == "user"]
+    assert replayed == ["q3", "q4", "final question"]  # oldest dropped, order kept
+
+    full = answer_question(
+        spark, chunks, "ana", "another question", history_path=path,
+    )
+    full_user = [m["content"] for m in full.messages if m["role"] == "user"]
+    # full replay now includes the 5 seeded + the bounded turn just persisted
+    assert full_user[:5] == ["q0", "q1", "q2", "q3", "q4"]
+    assert "final question" in full_user

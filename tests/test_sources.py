@@ -133,3 +133,38 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(df, every_ms=5000).collect()
     assert len(frames) >= 1
     assert all(f.frame_ts_ms % 5000 == 0 for f in frames)
+
+
+def test_xlsx_scan_distributed_two_files(spark, tmp_path):
+    """S5 distributed branch: binaryFile tree scan + per-file mapInPandas
+    parse. openpyxl is absent here, so each file must degrade to exactly
+    one error row — the plumbing (scan, batching, schema) is real."""
+    from ade_agente_documental_empresarial___miner_a_spark.sources.extract import (
+        xlsx_scan_distributed,
+    )
+
+    d = tmp_path / "sheets"
+    d.mkdir()
+    (d / "one.xlsx").write_bytes(b"PK\x03\x04 fake workbook one")
+    (d / "two.xlsx").write_bytes(b"PK\x03\x04 fake workbook two")
+    (d / "ignore.txt").write_bytes(b"not a workbook")
+
+    out = xlsx_scan_distributed(spark, str(d))
+    assert [f.name for f in out.schema.fields] == [
+        "path", "sheet", "row_idx", "cells", "error",
+    ]
+    rows = out.collect()
+    assert len(rows) == 2  # one row per xlsx file, txt filtered by glob
+    try:
+        import openpyxl  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    if not have:
+        assert all(
+            r.error == "NotImplementedError: openpyxl not installed" for r in rows
+        )
+        assert all(r.cells is None for r in rows)
+    paths = {r.path.rsplit("/", 1)[-1] for r in rows}
+    assert paths == {"one.xlsx", "two.xlsx"}
