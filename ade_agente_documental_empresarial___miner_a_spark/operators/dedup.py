@@ -319,23 +319,21 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        # labels only decrease, so "changed" is decidable inside the same
+        # pass (nlbl < lbl) — no second join against the old labels; the
+        # fixpoint probe is a limit(1) scan of the just-checkpointed rows
+        new_lbl = F.least(F.col("lbl"), F.coalesce("nlbl", "lbl"))
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                new_lbl.alias("new_lbl"),
+                (new_lbl < F.col("lbl")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
+        if stepped.where(F.col("_chg")).limit(1).count() == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 

@@ -702,23 +702,22 @@ def rel_set_ops(spark: SparkSession, sf: str) -> DataFrame:
      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_anti""",
 )
 def rel_join_family(spark: SparkSession, sf: str) -> DataFrame:
+    # all four join flavors read off ONE left join in a single agg pass:
+    # matched-pair count = inner, unmatched left rows = anti (= customers
+    # with no orders), distinct matched keys = semi — one shuffle instead
+    # of four joins chained by crossJoins
     cust = table(spark, sf, "customer")
     orders = table(spark, sf, "orders")
-    n_inner = cust.join(
-        orders, cust.c_custkey == orders.o_custkey
-    ).agg(F.count(F.lit(1)).alias("n_inner"))
-    n_no = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .where(F.col("o_orderkey").isNull())
-        .agg(F.count(F.lit(1)).alias("n_no_orders"))
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    unmatched = F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+    return j.agg(
+        F.count("o_orderkey").alias("n_inner"),
+        F.sum(unmatched).cast("long").alias("n_no_orders"),
+        F.countDistinct(
+            F.when(F.col("o_orderkey").isNotNull(), F.col("c_custkey"))
+        ).alias("n_semi"),
+        F.sum(unmatched).cast("long").alias("n_anti"),
     )
-    n_semi = cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_semi"
-    ).agg(F.count(F.lit(1)).alias("n_semi"))
-    n_anti = cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).agg(F.count(F.lit(1)).alias("n_anti"))
-    return n_inner.crossJoin(n_no).crossJoin(n_semi).crossJoin(n_anti)
 
 
 # As-of join: for each purchase event, the user's most recent prior
