@@ -155,6 +155,97 @@ def mllib_lsh_topk(
     )
 
 
+def _centroid_rows(
+    emb: DataFrame, n_centroids: int, vec_col: str, id_col: str
+) -> list[tuple[int, list[float]]]:
+    """The coarse codebook: the vectors with the n smallest ids —
+    deterministic and engine-portable (a production deployment would
+    k-means-refine these seeds offline; the query-time plan is identical
+    either way). Bounded collect: n_centroids rows by definition."""
+    rows = (
+        emb.where(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return sorted((r[0], list(r[1])) for r in rows)
+
+
+def _cell_scores(vec_col: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<score,cid>> of cosine(v, centroid) — centroids are
+    literals, so this is a pure projection (no join, no shuffle, fully
+    codegen'd); float32 literals are exact in double."""
+    structs = [
+        F.struct(
+            cosine_similarity(
+                vec_col, F.array(*[F.lit(float(x)) for x in cvec])
+            ).alias("score"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cvec in cents
+    ]
+    return F.array(*structs)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF coarse quantization: each vector gets the cell of its nearest
+    centroid (max cosine; ties → larger cid, the struct-max order).
+    Map-only — at 100 TB this is a scan-wide projection with zero
+    shuffle, the property that makes IVF the scale path."""
+    cents = cents or _centroid_rows(emb, n_centroids, vec_col, id_col)
+    best = F.array_max(_cell_scores(F.col(vec_col), cents))
+    return emb.withColumn("cell", best["cid"].cast("long"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat ANN search: probe the nprobe nearest cells, exact cosine
+    rerank inside them, global top-k via orderBy().limit(k)
+    (TakeOrderedAndProject — per-partition heaps, no global sort).
+    Returns (vec_id, label, score, rnk). Recall is nprobe/n_centroids-
+    tunable; nprobe = n_centroids degenerates to exact search."""
+    from pyspark.sql import Window
+
+    cents = _centroid_rows(emb, n_centroids, vec_col, id_col)
+    assigned = ivf_assign(emb, n_centroids, vec_col, id_col, cents=cents)
+
+    probed = F.slice(
+        F.sort_array(_cell_scores(F.col("_qvec"), cents), asc=False),
+        1,
+        nprobe,
+    )
+    q = (
+        emb.where(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("_qvec"))
+        .withColumn(
+            "_cells", F.transform(probed, lambda s: s["cid"].cast("long"))
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(q), F.array_contains(F.col("_cells"), F.col("cell"))
+    )
+    scored = cand.select(
+        id_col,
+        "label",
+        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), id_col).limit(k)
+    w = Window.orderBy(F.desc("score"), id_col)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
 # ---- DuckDB oracle mirrors -------------------------------------------------
 def duck_plane_literal(plane: list[int]) -> str:
     return "[" + ", ".join(f"{float(x)!r}" for x in plane) + "]"

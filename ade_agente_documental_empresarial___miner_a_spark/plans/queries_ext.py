@@ -1122,3 +1122,45 @@ def stream_incremental_index(spark: SparkSession, sf: str) -> DataFrame:
         "len_full",
         ((F.col("n_inc") == F.col("n_full")) & (F.col("len_inc") == F.col("len_full"))).alias("match"),
     )
+
+
+# IVF-flat ANN (the third ANN family next to hyperplane-LSH and MLlib
+# BRP-LSH): deterministic coarse codebook (vec_id < 16), map-only cell
+# assignment (argmax over literal centroids — zero shuffle), nprobe=4
+# probing, exact cosine rerank, TakeOrderedAndProject top-5. The oracle
+# replays quantization + probing + rerank with the same tie-breaks
+# (max-struct ≡ ORDER BY score DESC, cid DESC).
+_IVF_N, _IVF_QID, _IVF_NPROBE, _IVF_K = 16, 7, 4, 5
+
+
+@register(
+    "sim_ivf_topk",
+    f"""WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_N}),
+assign AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {duck_cosine("e.embedding", "c.cvec")} DESC,
+                                     c.cid DESC) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+cells AS (SELECT vec_id, label, embedding, cid AS cell FROM assign WHERE rn = 1),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {_IVF_QID}),
+qc AS (SELECT c.cid FROM cent c, q
+       ORDER BY {duck_cosine("c.cvec", "q.qvec")} DESC, c.cid DESC LIMIT {_IVF_NPROBE}),
+scored AS (
+  SELECT ce.vec_id, ce.label, {duck_cosine("ce.embedding", "q.qvec")} AS score
+  FROM cells ce, q WHERE ce.cell IN (SELECT cid FROM qc)),
+ranked AS (
+  SELECT vec_id, label, score,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS rnk
+  FROM scored)
+SELECT vec_id, label, score, rnk FROM ranked WHERE rnk <= {_IVF_K}""",
+)
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return ann.ivf_topk(
+        table(spark, sf, "embeddings"),
+        query_id=_IVF_QID,
+        k=_IVF_K,
+        nprobe=_IVF_NPROBE,
+        n_centroids=_IVF_N,
+    )

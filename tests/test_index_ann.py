@@ -61,3 +61,44 @@ def test_custom_vs_mllib_lsh_same_contract(spark, sf_dir):
     custom = lsh_topk(queries, emb, k=3)
     assert {"query_id", "vec_id", "score", "rnk"} <= set(custom.columns)
     custom.collect()
+
+
+def test_ivf_full_probe_equals_exact(spark, sf_dir):
+    """nprobe = n_centroids degenerates IVF to exact search: top-k must
+    equal the brute-force ranking."""
+    import os
+
+    from ade_agente_documental_empresarial___miner_a_spark.operators import ann
+    from pyspark.sql import functions as F
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ivf = ann.ivf_topk(emb, query_id=3, k=4, nprobe=8, n_centroids=8)
+    got = [(r.vec_id, r.rnk) for r in ivf.orderBy("rnk").collect()]
+
+    q = emb.where(F.col("vec_id") == 3).select(F.col("embedding").alias("_q"))
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", cosine_similarity(F.col("embedding"), F.col("_q")).alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(4)
+        .collect()
+    )
+    want = [(r.vec_id, i + 1) for i, r in enumerate(exact)]
+    assert got == want
+
+
+def test_ivf_assign_covers_all_vectors(spark, sf_dir):
+    import os
+
+    from ade_agente_documental_empresarial___miner_a_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    assigned = ann.ivf_assign(emb, n_centroids=8)
+    assert assigned.where("cell IS NULL").count() == 0
+    assert assigned.count() == emb.count()
+    n_cells = assigned.select("cell").distinct().count()
+    assert 1 <= n_cells <= 8
