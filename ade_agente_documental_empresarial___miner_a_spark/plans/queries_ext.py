@@ -1164,3 +1164,37 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         nprobe=_IVF_NPROBE,
         n_centroids=_IVF_N,
     )
+
+
+# Multimodal frame-sampling plan (SURVEY EXT): media rows derived from
+# document bytes (doc_id%3==0 → video), stub metadata (duration from
+# md5 bytes 2..3, little-endian) → one row per (media_id, frame_ts_ms)
+# at 1 fps. The explode shape IS the contract a real decoder plugs into;
+# the oracle replays the md5 arithmetic (floor-div mirrors Spark's
+# double→int truncation — DuckDB CAST alone would round).
+_B2 = f"({_duck_hexval(5)} * 16 + {_duck_hexval(6)})"
+_B3 = f"({_duck_hexval(7)} * 16 + {_duck_hexval(8)})"
+
+
+@register(
+    "mm_frame_plan",
+    f"""WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+d AS (
+  SELECT media_id, 1000 + ({_B2} + 256 * {_B3}) AS duration_ms FROM m)
+SELECT media_id,
+       CAST(unnest(generate_series(0, CAST(floor(duration_ms / 1000.0) AS INT))) * 1000 AS BIGINT) AS frame_ts_ms
+FROM d""",
+)
+def mm_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.multimodal import frame_sample_plan
+
+    docs = table(spark, sf, "documents")
+    media = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
