@@ -1198,3 +1198,105 @@ def mm_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000).select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
     )
+
+
+# TPC-H Q10 shape — returned-items revenue per customer (broadcast dim
+# joins, pushed-down returnflag + orderdate range, decimal-exact money).
+@register(
+    "rel_q10_returned",
+    """SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def rel_q10_returned(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    nat = table(spark, sf, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# TPC-H Q14 shape — promo revenue share over a shipdate year: part is
+# broadcast (first catalog use of the part table), both sums decimal-
+# exact, the final ratio computed identically in double on both engines.
+@register(
+    "rel_q14_promo_share",
+    """SELECT
+  CAST(sum(CASE WHEN p_type = 'PROMO'
+       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))
+       ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE) * 100.0
+  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE)
+    AS promo_pct,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'""",
+)
+def rel_q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    part = table(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    zero = F.lit(0).cast("decimal(24,8)")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                "double"
+            )
+            * 100.0
+            / F.sum(rev).cast("double")
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# Skew-safe aggregation through operators/skew.py::two_phase_agg — the
+# hot-key rewrite (salt → partial → final) must be value-identical to the
+# plain GROUP BY; decimal sums make the equality exact regardless of
+# addition order, so the oracle is the plain aggregation.
+@register(
+    "skew_salted_agg",
+    """WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+SELECT event_type, CAST(sum(v) AS DOUBLE) AS total
+FROM ev GROUP BY event_type""",
+)
+def skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import two_phase_agg
+
+    ev = events_table(spark, sf).select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    return two_phase_agg(ev, "event_type", "v", salt_buckets=16).select(
+        "event_type", F.col("total").cast("double").alias("total")
+    )
