@@ -1300,3 +1300,103 @@ def skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     return two_phase_agg(ev, "event_type", "v", salt_buckets=16).select(
         "event_type", F.col("total").cast("double").alias("total")
     )
+
+
+# Multimodal resize plan: aspect-preserving output dims from the stub
+# metadata (width/height from md5 bytes 0/1), long side → 224. The
+# oracle replays the md5 arithmetic; floor(x*224/g) mirrors exactly.
+_B0 = f"({_duck_hexval(1)} * 16 + {_duck_hexval(2)})"
+_B1 = f"({_duck_hexval(3)} * 16 + {_duck_hexval(4)})"
+
+
+@register(
+    "mm_resize_plan",
+    f"""WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
+         md5(text) AS h
+  FROM documents WHERE doc_id % 3 <> 2),
+dims AS (
+  SELECT media_id, kind,
+         CAST(64 + {_B0} % 192 AS INT) AS width,
+         CAST(64 + {_B1} % 192 AS INT) AS height
+  FROM m),
+g AS (SELECT *, CAST(greatest(width, height) AS DOUBLE) AS long_side FROM dims)
+SELECT media_id, kind, width, height,
+       CAST(floor(width * 224 / long_side) AS INT) AS out_w,
+       CAST(floor(height * 224 / long_side) AS INT) AS out_h,
+       224.0 / long_side AS scale
+FROM g""",
+)
+def mm_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.multimodal import resize_plan
+
+    docs = table(spark, sf, "documents").where(F.col("doc_id") % 3 != 2)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return resize_plan(media, target=224)
+
+
+# S6 — per-user transcript reconstruction (ConversationBufferMemory,
+# app.py:43-44) through sinks.session_transcripts, driven by a
+# deterministic chat history derived from events: message=event_type,
+# response=props, tokens from floor(value)/len(props). Messages exploded
+# to rows so the oracle compares scalars.
+@register(
+    "s6_transcript_reconstruct",
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events),
+chat AS (
+  SELECT user_id AS usr, event_type AS message, props AS response, ts,
+         CAST(floor(value) AS BIGINT) AS ptok,
+         CAST(length(props) AS BIGINT) AS ctok
+  FROM ev),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY usr ORDER BY ts, message, response) - 1 AS turn
+  FROM chat),
+totals AS (
+  SELECT usr, count(*) AS n_turns,
+         CAST(sum(ptok) AS BIGINT) AS prompt_tokens,
+         CAST(sum(ctok) AS BIGINT) AS completion_tokens,
+         CAST(sum(ptok) AS DOUBLE) * 0.00001 + CAST(sum(ctok) AS DOUBLE) * 0.00003 AS cost_usd
+  FROM chat GROUP BY usr),
+msgs AS (
+  SELECT usr, turn * 2 AS pos, 'user' AS role, message AS content FROM ordered
+  UNION ALL
+  SELECT usr, turn * 2 + 1, 'assistant', response FROM ordered)
+SELECT m.usr AS chat_user, CAST(m.pos AS BIGINT) AS msg_pos, m.role, m.content,
+       t.n_turns, t.prompt_tokens, t.completion_tokens, t.cost_usd
+FROM msgs m JOIN totals t ON m.usr = t.usr""",
+)
+def s6_transcript_reconstruct(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.sinks import session_transcripts
+
+    ev = events_table(spark, sf)
+    chat = ev.select(
+        F.col("user_id").alias("user"),
+        F.col("event_type").alias("message"),
+        F.col("props").alias("response"),
+        "ts",
+        F.floor("value").cast("long").alias("prompt_tokens"),
+        F.length("props").cast("long").alias("completion_tokens"),
+    )
+    tr = session_transcripts(chat)
+    return tr.select(
+        F.col("user").alias("chat_user"),
+        F.posexplode("messages").alias("msg_pos", "m"),
+        "n_turns",
+        "prompt_tokens",
+        "completion_tokens",
+        "cost_usd",
+    ).select(
+        "chat_user",
+        F.col("msg_pos").cast("long").alias("msg_pos"),
+        F.col("m.role").alias("role"),
+        F.col("m.content").alias("content"),
+        "n_turns",
+        "prompt_tokens",
+        "completion_tokens",
+        "cost_usd",
+    )

@@ -111,6 +111,32 @@ def extract_media_features(
     return media.select(*needed).mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_plan(
+    media: DataFrame, target: int = 224
+) -> DataFrame:
+    """Image/video resize *plan*: output dims preserving aspect ratio
+    (long side → ``target``), computed declaratively from the metadata —
+    the actual resample is the stubbed decode step. Pure projection
+    (map-only, codegen'd); a real decoder consumes (media_id, out_w,
+    out_h) downstream. Floor semantics match PIL's thumbnail contract."""
+    features = extract_media_features(media)
+    g = F.greatest(F.col("width"), F.col("height")).cast("double")
+    out_w = F.floor(F.col("width") * target / g).cast("int")
+    out_h = F.floor(F.col("height") * target / g).cast("int")
+    return (
+        features.where(F.col("kind").isin("image", "video"))
+        .select(
+            "media_id",
+            "kind",
+            "width",
+            "height",
+            out_w.alias("out_w"),
+            out_h.alias("out_h"),
+            (F.lit(float(target)) / g).alias("scale"),
+        )
+    )
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:
