@@ -160,3 +160,54 @@ def test_embedding_dup_sample_cap_pushdown(spark):
     assert max(max(r.id_a, r.id_b) for r in rows) == 9
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Filter" in plan
+
+
+def test_prefix_jaccard_property_random_corpora(spark):
+    """Property: prefix-filtered jaccard_pairs == naive all-pairs Jaccard
+    for arbitrary small corpora (hypothesis-driven)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    corpus_st = st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=10),
+        min_size=2,
+        max_size=6,
+    )
+
+    def naive(corpus, t=0.3):
+        sh = {
+            i: {" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)}
+            for i, ws in enumerate(corpus)
+            if len(ws) >= 2
+        }
+        out = {}
+        ids = sorted(k for k in sh if sh[k])
+        for x, a in enumerate(ids):
+            for b in ids[x + 1:]:
+                inter = len(sh[a] & sh[b])
+                if inter == 0:
+                    continue
+                j = inter / (len(sh[a]) + len(sh[b]) - inter)
+                if j >= t:
+                    out[(a, b)] = (inter, round(j, 9))
+        return out
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus_st)
+    def check(corpus):
+        df = spark.createDataFrame(
+            [(i, " ".join(ws), "en") for i, ws in enumerate(corpus)],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            (r.doc_a, r.doc_b): (r.n_common, round(r.jaccard, 9))
+            for r in jaccard_pairs(df, threshold=0.3).collect()
+        }
+        assert got == naive(corpus)
+
+    check()
