@@ -45,26 +45,40 @@ def build_chunks(
     )
 
 
-def save_index(chunks: DataFrame, path: str, buckets: int = 0) -> None:
+def save_index(chunks: DataFrame, path: str, buckets: int = 0) -> str:
     """S8 — persist the chunks table; Parquet IS the vector index
     (SURVEY §1.3). With ``buckets`` > 0, bucket by section so
     section-filtered retrieval (F2/J2/K3) prunes files and co-locates
-    joins without a shuffle."""
+    section joins WITHOUT a shuffle (test_bucketing pins the
+    Exchange-free plan). Returns the reference to pass to
+    ``load_index``: the table name when bucketed (bucket metadata lives
+    in the catalog — reading the files as bare parquet would silently
+    drop it), else the path."""
     if buckets:
+        # deterministic table name (NOT Python hash(): PYTHONHASHSEED
+        # varies across processes and sessions)
+        import hashlib
+
+        name = "ade_chunks_" + hashlib.md5(path.encode()).hexdigest()[:10]
         (
             chunks.write.mode("overwrite")
             .format("parquet")
             .bucketBy(buckets, "section")
             .sortBy("section", "chunk_id")
             .option("path", path)
-            .saveAsTable(f"ade_chunks_{abs(hash(path)) % 10_000}")
+            .saveAsTable(name)
         )
-    else:
-        chunks.write.mode("overwrite").partitionBy("section").parquet(path)
+        return name
+    chunks.write.mode("overwrite").partitionBy("section").parquet(path)
+    return path
 
 
-def load_index(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def load_index(spark, ref: str) -> DataFrame:
+    """Load a saved index: catalog table name (bucketed path) or a
+    filesystem path (partitioned path)."""
+    if "/" in ref or ref.startswith("file:"):
+        return spark.read.parquet(ref)
+    return spark.table(ref)
 
 
 def flagship_query(

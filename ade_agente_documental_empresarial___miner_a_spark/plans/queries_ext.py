@@ -1400,3 +1400,33 @@ def s6_transcript_reconstruct(spark: SparkSession, sf: str) -> DataFrame:
         "completion_tokens",
         "cost_usd",
     )
+
+
+# Stream-stream interval join, batch-mirrored (the live path is
+# streaming/chat_stream.py::interval_join, exercised in
+# tests/test_streaming.py): per purchase, the same user's views in the
+# trailing hour — aggregated per purchase so the result stays bounded.
+@register(
+    "stream_interval_join",
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+v AS (SELECT user_id, ts AS v_ts, event_id AS view_id FROM ev WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id FROM ev WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.user_id, p.purchase_id, v.view_id
+  FROM p JOIN v ON v.user_id = p.user_id
+   AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR)
+SELECT user_id, purchase_id, count(*) AS n_views,
+       CAST(min(view_id) AS BIGINT) AS first_view_id
+FROM j GROUP BY user_id, purchase_id""",
+)
+def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.chat_stream import interval_join
+
+    ev = events_table(spark, sf)
+    views = ev.where(F.col("event_type") == "view")
+    buys = ev.where(F.col("event_type") == "purchase")
+    joined = interval_join(views, buys)  # watermark is a no-op in batch
+    return joined.groupBy("user_id", "purchase_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.min("view_id").cast("long").alias("first_view_id"),
+    )

@@ -95,6 +95,40 @@ def session_metrics(
     )
 
 
+def interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "2 hours",
+    max_lag: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's view events within ``[p.ts - max_lag, p.ts]`` — the classic
+    attribution join. Watermarks on BOTH inputs plus the time-bound join
+    condition let Spark evict buffered state (a stream-stream join
+    without them grows state forever); inner-join matches emit as soon
+    as both sides arrive. Batch-mirrored (same expressions) by
+    ``stream_interval_join`` where the DuckDB oracle checks values.
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return v.join(p, cond).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "view_id", "v_ts", "p_ts"
+    )
+
+
 STATE_SCHEMA = StructType(
     [
         StructField("n_turns", LongType()),

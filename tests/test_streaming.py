@@ -149,3 +149,39 @@ def test_stateful_session_state(spark, tmp_path):
         "select * from state_out order by n_turns desc").collect()}
     assert rows[1].n_turns == 3 and rows[1].total_value == 14
     assert rows[2].n_turns == 1 and rows[2].total_value == 1
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Live stream-stream interval join: purchases attribute to the same
+    user's views within the trailing 1h window; cross-user and stale
+    views never match."""
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+        interval_join,
+    )
+
+    views_dir = tmp_path / "views_in"
+    buys_dir = tmp_path / "buys_in"
+    write_events(views_dir, [
+        {"event_id": 10, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1, "event_type": "view", "value": "1", "props": "{}"},
+        {"event_id": 11, "ts": "2024-01-01T10:40:00.000Z", "user_id": 1, "event_type": "view", "value": "1", "props": "{}"},
+        {"event_id": 12, "ts": "2024-01-01T08:00:00.000Z", "user_id": 1, "event_type": "view", "value": "1", "props": "{}"},  # stale
+        {"event_id": 13, "ts": "2024-01-01T10:30:00.000Z", "user_id": 2, "event_type": "view", "value": "1", "props": "{}"},  # other user
+    ])
+    write_events(buys_dir, [
+        {"event_id": 20, "ts": "2024-01-01T11:00:00.000Z", "user_id": 1, "event_type": "purchase", "value": "9", "props": "{}"},
+    ])
+    joined = interval_join(
+        stream_events(spark, str(views_dir)),
+        stream_events(spark, str(buys_dir)),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    rows = spark.sql("select * from ij_out").collect()
+    got = sorted((r.purchase_id, r.view_id) for r in rows)
+    assert got == [(20, 10), (20, 11)]  # stale + cross-user views excluded
