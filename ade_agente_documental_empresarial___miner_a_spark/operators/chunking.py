@@ -161,7 +161,7 @@ def chunk_sections(
     # numPartitions exchange is preserved and keeps the udf parallel
     from .dedup import spread
 
-    sectioned = spread(sectioned)
+    sectioned = spread(sectioned, "doc_id")
     return sectioned.select(
         "doc_id",
         "section",

@@ -112,7 +112,7 @@ FROM hashed GROUP BY doc_id, bucket""",
 def t5_embed_histogram(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import spread
 
-    toks = spread(table(spark, sf, "documents")).select(
+    toks = spread(table(spark, sf, "documents"), "doc_id").select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
     h = F.md5(F.concat(F.lit("42:"), F.col("tok")))
