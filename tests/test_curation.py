@@ -1,0 +1,109 @@
+"""Unit tests for the corpus-curation operators (pii scrub, repetition
+signals, deterministic split, decontamination) on constructed inputs with
+hand-computed expectations."""
+
+from pyspark.sql import functions as F
+
+from ade_agente_documental_empresarial___miner_a_spark.operators.curation import (
+    contamination_pairs,
+    hash_split,
+    pii_scrub,
+    repetition_signals,
+    split_bucket,
+    word_ngrams,
+)
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d@e-f.org now"),
+            (2, "call 555-1234 or 555-9999"),
+            (3, "clean text no pii"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert rows[1].n_emails == 2 and rows[1].n_phones == 0
+    assert rows[1].scrubbed == "mail <EMAIL> and <EMAIL> now"
+    assert rows[2].n_phones == 2
+    assert rows[2].scrubbed == "call <PHONE> or <PHONE>"
+    assert rows[3].scrubbed == "clean text no pii"
+
+
+def test_word_ngrams_preserves_frequency(spark):
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    grams = df.select(
+        F.explode(word_ngrams(F.col("text"), 2)).alias("g")
+    ).groupBy("g").count().collect()
+    counts = {r.g: r["count"] for r in grams}
+    # positional bigrams: "a b" x2, "b a" x2 — distinct-ing would lose this
+    assert counts == {"a b": 2, "b a": 2}
+
+
+def test_repetition_signals_known_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "each of twelve entirely unique tokens makes this sentence pass every threshold"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    spam = rows[1]
+    assert spam.n_words == 4 and spam.n_distinct == 1
+    assert spam.top_word_frac == 1.0 and spam.top_bigram_frac == 1.0
+    assert not spam.keep
+    clean = rows[2]
+    assert clean.distinct_ratio == 1.0
+    assert clean.top_word_frac == 1.0 / 12
+    assert clean.top_bigram_frac == 1.0 / 11  # 11 distinct bigrams of 11
+    assert clean.keep
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df)
+    a = {r.doc_id: (r.bucket, r.split) for r in out.collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in hash_split(df).collect()}
+    assert a == b  # stable across runs
+    assert all(0 <= v[0] < 100 for v in a.values())
+    frac_train = sum(1 for v in a.values() if v[1] == "train") / 1000
+    assert 0.7 < frac_train < 0.9  # md5 buckets roughly uniform
+    assert {v[1] for v in a.values()} == {"train", "valid", "test"}
+
+
+def test_split_bucket_matches_reimplementation(spark):
+    import hashlib
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), split_bucket(F.col("id")).alias("b")
+    )
+    for r in df.collect():
+        h = hashlib.md5(f"split:{r.doc_id}".encode()).hexdigest()
+        assert r.b == int(h[:4], 16) % 100
+
+
+def test_contamination_pairs_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words appear in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = contamination_pairs(corpus, bench, min_overlap=2).collect()
+    # doc 1 shares "quick brown fox" + "brown fox jumps" with the benchmark
+    assert len(out) == 1
+    assert out[0].doc_id == 1 and out[0].bench_id == 100
+    assert out[0].n_overlap == 2
+
+
+def test_contamination_excludes_self(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string"
+    )
+    assert contamination_pairs(docs, docs, min_overlap=1).count() == 0
