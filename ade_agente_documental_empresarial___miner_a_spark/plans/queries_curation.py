@@ -164,3 +164,120 @@ def cur_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return contamination_pairs(
         corpus, benchmark, shingle_n=3, min_overlap=2
     )
+
+
+# ---------------------------------------------------------------------------
+# cur_pack_sequences — sequence packing for pretraining: contiguous-fill
+# ("concat then chunk") assignment of docs to fixed CTX-token training
+# sequences. True greedy packing is inherently sequential; the standard
+# distributed design packs within (source, hash-bucket) shards — each shard
+# is one window partition, so parallelism = sources x buckets and no shard
+# ever sees the whole corpus. Output: per-sequence fill statistics.
+
+PACK_CTX, PACK_BUCKETS = 2048, 8
+
+
+@register(
+    "cur_pack_sequences",
+    f"""WITH t AS (
+  SELECT source, doc_id, doc_id % {PACK_BUCKETS} AS bucket,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, bucket, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source, bucket ORDER BY doc_id) AS cum
+  FROM t)
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST((cum - n_tokens) // {PACK_CTX} AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY source, bucket, seq_id""",
+)
+def cur_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source", "bucket").orderBy("doc_id")
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_CTX)),
+    )
+    return packed.groupBy(
+        "source", F.col("bucket").cast("long").alias("bucket"), "seq_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cur_dataset_card — per-(source, lang) corpus summary composing the
+# curation signals: doc/token counts, exact-dup rate, repetition keep rate.
+# Integer aggregates throughout (order-insensitive); the only doubles are
+# two final divisions of BIGINTs — bit-exact on both engines.
+
+@register(
+    "cur_dataset_card",
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+words AS (SELECT doc_id, unnest(ws) AS w FROM w),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                  CAST(count(*) AS BIGINT) AS n_distinct,
+                  CAST(max(c) AS BIGINT) AS top_word_n
+           FROM wc GROUP BY doc_id),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                                            i -> ws[i] || ' ' || ws[i+1])) AS g
+       FROM w WHERE len(ws) >= 2),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  CAST(max(c) AS BIGINT) AS top_bigram_n
+           FROM bc GROUP BY doc_id),
+keepf AS (
+  SELECT s.doc_id,
+         (CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2
+          AND CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2
+          AND coalesce(CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE),
+                       0.0) <= 0.1) AS keep
+  FROM wstats s LEFT JOIN bstats b USING (doc_id)),
+d AS (SELECT doc_id, source, lang, md5(trim(lower(text))) AS th,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT th) AS BIGINT) AS n_unique,
+       1.0 - CAST(count(DISTINCT th) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS dup_rate,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+       / CAST(count(*) AS DOUBLE) AS keep_rate
+FROM d JOIN keepf USING (doc_id)
+GROUP BY source, lang""",
+)
+def cur_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    keep = repetition_signals(docs).select("doc_id", "keep")
+    base = docs.select(
+        "doc_id", "source", "lang",
+        F.md5(F.trim(F.lower(F.col("text")))).alias("th"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    agg = base.join(keep, "doc_id").groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("th").cast("long").alias("n_unique"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "source", "lang", "n_docs", "n_tokens", "n_unique",
+        (F.lit(1.0) - dbl("n_unique") / dbl("n_docs")).alias("dup_rate"),
+        (dbl("n_keep") / dbl("n_docs")).alias("keep_rate"),
+    )

@@ -107,3 +107,36 @@ def test_contamination_excludes_self(spark):
         [(1, "one two three four five")], "doc_id long, text string"
     )
     assert contamination_pairs(docs, docs, min_overlap=1).count() == 0
+
+
+def test_pack_sequences_partitions_all_docs(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans.queries_curation import (
+        cur_pack_sequences,
+    )
+
+    out = cur_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = docs.count()
+    total_tokens = docs.selectExpr(
+        "sum(size(split(text, ' '))) t"
+    ).collect()[0].t
+    assert sum(r.n_docs for r in out) == n_docs  # every doc packed once
+    assert sum(r.seq_tokens for r in out) == total_tokens
+    for r in out:
+        assert r.first_doc <= r.last_doc
+        assert 0 <= r.seq_id
+
+
+def test_pack_sequences_seq_ids_contiguous_per_shard(spark):
+    from collections import defaultdict
+
+    from ade_agente_documental_empresarial___miner_a_spark.plans.queries_curation import (
+        cur_pack_sequences,
+    )
+
+    out = cur_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    shards = defaultdict(list)
+    for r in out:
+        shards[(r.source, r.bucket)].append(r.seq_id)
+    for ids in shards.values():
+        assert sorted(ids) == list(range(len(ids)))  # 0..n-1, no gaps
