@@ -145,10 +145,17 @@ def main() -> None:
     # 16-query headline total, round-over-round comparable)
     scale: dict[str, float] = {}
     scale_dir = ensure_scale_corpus(spark, sf_dir)
+    # warm the 10x corpus scan once, then best-of-2 like the headline
+    # section: first execution of the 32-perm signature shape pays
+    # ~15s of whole-stage-codegen JIT that steady-state runs don't
+    spark.read.parquet(os.path.join(scale_dir, "documents.parquet")).count()
     for name, fn in scale10x_queries(qs).items():
-        t0 = time.time()
-        n = fn(spark, scale_dir).count()
-        scale[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, scale_dir).count()
+            best = min(best, time.time() - t0)
+        scale[name] = round(best, 3)
         print(f"# scale10x {name}: {scale[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     print(
