@@ -1430,3 +1430,77 @@ def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_views"),
         F.min("view_id").cast("long").alias("first_view_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_quantized_topk — int8 scalar-quantized retrieval: the 4× memory /
+# IO compression used by billion-vector stores. Quantized dot products are
+# exact INTEGER arithmetic (no float fold-order concerns); only the final
+# per-pair rescale multiplies doubles, so cross-engine parity is bit-exact.
+# Recall vs the exact path is pinned by a unit test (error bound), not by
+# this oracle (which checks the quantized computation itself).
+from ..functions.vector import (  # noqa: E402
+    abs_max,
+    duck_abs_max,
+    duck_int_dot,
+    duck_quantize_i8,
+    int_dot,
+    quantize_i8,
+)
+
+
+@register(
+    "sim_quantized_topk",
+    f"""WITH e AS (
+  SELECT vec_id, embedding, {duck_abs_max("embedding")} AS m FROM embeddings),
+q8 AS (
+  SELECT vec_id, m, {duck_quantize_i8("embedding", "m")} AS q FROM e),
+qs AS (SELECT vec_id AS query_id, m AS qm, q AS qq FROM q8 WHERE vec_id < 10),
+sc AS (
+  SELECT s.query_id, e.vec_id,
+         CAST({duck_int_dot("e.q", "s.qq")} AS DOUBLE)
+         * (e.m / 127.0) * (s.qm / 127.0) AS approx_dot
+  FROM q8 e CROSS JOIN qs s WHERE e.vec_id <> s.query_id),
+ranked AS (
+  SELECT query_id, vec_id, approx_dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_dot DESC, vec_id) AS rnk
+  FROM sc)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk, approx_dot
+FROM ranked WHERE rnk <= 5""",
+)
+def sim_quantized_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q8 = emb.select(
+        "vec_id",
+        F.greatest(
+            abs_max(F.col("embedding")), F.lit(1e-30)
+        ).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id", "m",
+        quantize_i8(F.col("embedding"), F.col("m")).alias("q"),
+    )
+    qs = q8.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("q").alias("qq"),
+    )
+    scored = (
+        q8.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "approx_dot",
+            int_dot(F.col("q"), F.col("qq")).cast("double")
+            * (F.col("m") / 127.0)
+            * (F.col("qm") / 127.0),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "vec_id", "rnk", "approx_dot")
+    )

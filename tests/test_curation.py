@@ -140,3 +140,42 @@ def test_pack_sequences_seq_ids_contiguous_per_shard(spark):
         shards[(r.source, r.bucket)].append(r.seq_id)
     for ids in shards.values():
         assert sorted(ids) == list(range(len(ids)))  # 0..n-1, no gaps
+
+
+def test_quantized_dot_error_bound(spark):
+    """int8 quantization error: per-element error <= 0.5*scale, so
+    |approx_dot - exact_dot| <= 0.5*sb*sum|a| + 0.5*sa*sum|b| + d*0.25*sa*sb."""
+    from ade_agente_documental_empresarial___miner_a_spark.functions.vector import (
+        abs_max,
+        dot,
+        int_dot,
+        quantize_i8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("va")
+    )
+    b = emb.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("vb")
+    )
+    pairs = a.crossJoin(b)
+    sa = F.greatest(abs_max(F.col("va")), F.lit(1e-30)) / 127.0
+    sb = F.greatest(abs_max(F.col("vb")), F.lit(1e-30)) / 127.0
+    qa = quantize_i8(F.col("va"), sa * 127.0)
+    qb = quantize_i8(F.col("vb"), sb * 127.0)
+    abssum = lambda v: F.aggregate(  # noqa: E731
+        v, F.lit(0.0), lambda s, x: s + F.abs(x.cast("double"))
+    )
+    out = pairs.select(
+        (int_dot(qa, qb).cast("double") * sa * sb).alias("approx"),
+        dot(F.col("va"), F.col("vb")).alias("exact"),
+        (
+            0.5 * sb * abssum(F.col("va"))
+            + 0.5 * sa * abssum(F.col("vb"))
+            + F.size(F.col("va")) * 0.25 * sa * sb
+        ).alias("bound"),
+    ).collect()
+    assert len(out) == 400
+    for r in out:
+        assert abs(r.approx - r.exact) <= r.bound + 1e-12
