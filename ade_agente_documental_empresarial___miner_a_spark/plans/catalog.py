@@ -27,14 +27,49 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's correctness harness checks only the first ~50 entries of
+# queries(), in iteration order. Names below already have a green row in a
+# recorded CORRECTNESS_r{N}.json (r01/r02 — identical 50-entry files), so we
+# rotate them to the BACK of the catalog: everything not yet driver-checked
+# surfaces first and lands inside the next round's 50-entry window. Append to
+# this set each round as new CORRECTNESS rows land.
+_DRIVER_GREEN = frozenset(
+    {
+        "f1_title_filter", "t1_paragraph_split", "t2_section_assign",
+        "j2_section_semi_join", "a1_distinct_sections", "a2_group_by_section",
+        "a3_chunk_count", "k1_topk_search", "k2_topk_titles",
+        "k3_topk_per_section", "k4_a4_topk_normalized", "k5_head_limit",
+        "k6_enumerate_rank", "a6_result_union", "e2_hierarchical_search",
+        "t6_context_concat", "t7_prompt_assemble", "a5_token_cost_agg",
+        "d2_legacy_corpus_concat", "f3_nonempty_guards", "f5_truncate_preview",
+        "j1_zip_join", "t4_doc_construct", "s28_scalar_fns",
+        "t3_chunk_pipeline", "t3b_chunk_long_docs", "t5_embed_histogram",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_embedding_cosine",
+        "dedup_clusters", "dedup_embedding_lsh", "sim_knn_bruteforce",
+        "sim_lsh_bucketed", "text_token_count", "text_quality_score",
+        "text_lang_id", "text_fingerprint", "mm_binary_meta",
+        "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_revenue",
+        "rel_window_running", "rel_rollup_orders", "rel_cube_events",
+        "rel_set_ops", "rel_join_family",
+    }
+)
+
+
+def _ordered(mapping: dict) -> dict:
+    unchecked = {k: v for k, v in mapping.items() if k not in _DRIVER_GREEN}
+    checked = {k: v for k, v in mapping.items() if k in _DRIVER_GREEN}
+    return {**unchecked, **checked}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 _LOADED = False
