@@ -22,6 +22,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(salt_buckets: int) -> Column:
+    """Deterministic row-unique salt in [0, salt_buckets).
+
+    Derived from ``monotonically_increasing_id()`` (partition id << 33 +
+    partition-local counter), so consecutive rows of a partition round-robin
+    across buckets regardless of their VALUES. Never salt from payload
+    columns: a hot key whose rows share one value would collapse into a
+    single bucket, defeating the rewrite.
+    """
+    return F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -39,12 +51,7 @@ def salted_join(
         F.sequence(F.lit(0), F.lit(salt_buckets - 1))
     ).alias("_salt")
     small_rep = small.select("*", salts)
-    big_salted = big.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[c for c in big.columns if c != on]), salt_buckets).cast(
-            "int"
-        ),
-    )
+    big_salted = big.withColumn("_salt", _row_salt(salt_buckets))
     out = big_salted.join(small_rep, [on, "_salt"], how)
     return out.drop("_salt")
 
@@ -57,9 +64,7 @@ def two_phase_agg(
 ):
     """Two-phase sum over a potentially hot key: partial per (key, salt),
     then final per key. Returns (key, total)."""
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(agg_col)), salt_buckets).cast("int")
-    )
+    salted = df.withColumn("_salt", _row_salt(salt_buckets))
     partial = salted.groupBy(key, "_salt").agg(
         F.sum(agg_col).alias("_partial")
     )

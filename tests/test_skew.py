@@ -3,6 +3,7 @@
 from pyspark.sql import functions as F
 
 from ade_agente_documental_empresarial___miner_a_spark.operators.skew import (
+    _row_salt,
     salted_join,
     two_phase_agg,
 )
@@ -39,3 +40,23 @@ def test_two_phase_agg_matches_groupby(spark):
     assert set(got) == set(expected)
     for k in expected:
         assert abs(got[k] - expected[k]) < 1e-6
+
+
+def test_hot_key_identical_values_still_fan_out(spark):
+    # The classic skew case: one hot key, every row carrying the SAME value.
+    # A value-derived salt would map all rows to one bucket; the row-unique
+    # salt must spread them across at least half the buckets.
+    buckets = 16
+    hot = spark.createDataFrame(
+        [("hot", 1.0)] * 2000, "k string, x double"
+    ).repartition(8)
+    n_buckets = (
+        hot.withColumn("_salt", _row_salt(buckets))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets >= buckets // 2
+
+    got = {r.k: r.total for r in two_phase_agg(hot, "k", "x").collect()}
+    assert got == {"hot": 2000.0}
