@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..operators.chunking import chunk_sections
 from ..operators.sectioning import assign_sections
+from ..session import CONF_DEFAULTS, config_source
 from ..sources.extract import binary_scan, csv_scan, extract_text
 from .catalog import register
 
@@ -125,6 +126,47 @@ def s3_extract_degrade(spark: SparkSession, sf: str) -> DataFrame:
         F.col("mime").isin("application/pdf", "application/octet-stream")
     )
     return extract_text(scanned).select(_fname(), "text", "error")
+
+
+# ---------------------------------------------------------------------------
+# S5 — xlsx degrade contract (app.py:17,191: xlsx accepted by the uploader
+# but never handled; our xlsx_scan_distributed implements the declared
+# branch). openpyxl is absent from this container, so the CONTRACT under
+# test — same shape as s3_extract_degrade — is: one error row per workbook,
+# null parse columns, job survives. Deterministic error string → exact
+# oracle.
+@register(
+    "s5_xlsx_degrade",
+    f"""SELECT {_FNAME} AS fname,
+       CAST(NULL AS BIGINT) AS row_idx,
+       'NotImplementedError: openpyxl not installed' AS error
+FROM read_blob('{FIXTURE_DIR}/*.xlsx')""",
+)
+def s5_xlsx_degrade(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.extract import xlsx_scan_distributed
+
+    rows = xlsx_scan_distributed(spark, FIXTURE_DIR)
+    return rows.select(
+        _fname(), F.col("row_idx").cast("long").alias("row_idx"), "error"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 — env/config source (app.py:22,54,122,249): os.getenv-with-fallback
+# re-expressed as the spark.conf settings namespace. Under the driver's
+# fresh session every key resolves to its documented default, so the oracle
+# is the literal default table (built from CONF_DEFAULTS — one source of
+# truth for both engines).
+_S7_ORACLE = "SELECT * FROM (VALUES {}) AS t(key, value, is_default)".format(
+    ", ".join(
+        f"('{k}', '{v}', true)" for k, v in sorted(CONF_DEFAULTS.items())
+    )
+)
+
+
+@register("s7_conf_roundtrip", _S7_ORACLE)
+def s7_conf_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    return config_source(spark)
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,40 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     spark.conf.set(key, "true")
 
 
+# S7 — env_config_source (micro-infobot/app.py:22, 54, 122, 249): the
+# reference pulls MONGO_URI / OPENAI_API_KEY via load_dotenv + os.getenv
+# with hardcoded fallbacks. Re-expressed as a spark.conf settings namespace:
+# same key → default contract, but session-scoped, inspectable, and
+# cluster-propagated instead of process-env-dependent.
+CONF_DEFAULTS = {
+    "spark.ade.mongo.uri": "mongodb://localhost:27017",  # app.py:54-58
+    "spark.ade.mongo.db": "db-historial-chats",  # app.py:59
+    "spark.ade.mongo.collection": "coleccion-histochats",  # app.py:59
+    "spark.ade.llm.model": "gpt-4-turbo",  # app.py:247
+    "spark.ade.embed.dim": "1536",  # app.py:122 (ada-002)
+    "spark.ade.chunk.size": "500",  # app.py:117
+    "spark.ade.chunk.overlap": "50",  # app.py:118
+}
+
+
+def config_source(spark: SparkSession):
+    """S7 — resolve every engine setting: session conf wins, else default.
+
+    Returns (key, value, is_default) rows, deterministic under a fresh
+    session (all defaults). Mirrors ``os.getenv(key, fallback)``.
+    """
+    rows = []
+    for k, default in sorted(CONF_DEFAULTS.items()):
+        try:
+            cur = spark.conf.get(k, None)
+        except Exception:  # noqa: BLE001
+            cur = None
+        rows.append((k, cur if cur is not None else default, cur is None))
+    return spark.createDataFrame(
+        rows, "key string, value string, is_default boolean"
+    )
+
+
 def get_spark(
     app_name: str = "ade-spark",
     master: str | None = None,
