@@ -62,14 +62,20 @@ def duck_cosine(a: str, b: str) -> str:
 # rescales per pair.
 
 def abs_max(a: Column) -> Column:
-    return F.aggregate(
-        a, F.lit(0.0), lambda s, x: F.greatest(s, F.abs(x.cast("double")))
+    """max|aᵢ| guarded away from zero (an all-zero vector quantizes to
+    all-zero codes instead of NaN) — the guard lives HERE, mirroring
+    duck_abs_max, so no call site can forget it."""
+    return F.greatest(
+        F.aggregate(
+            a, F.lit(0.0), lambda s, x: F.greatest(s, F.abs(x.cast("double")))
+        ),
+        F.lit(1e-30),
     )
 
 
 def quantize_i8(a: Column, scale: Column) -> Column:
     """int8-range codes as ARRAY<LONG> (stored as bytes at rest); scale
-    is abs_max(a) guarded away from zero."""
+    is abs_max(a), already zero-guarded."""
     return F.transform(
         a,
         lambda x: F.floor(x.cast("double") * 127.0 / scale + F.lit(0.5)),

@@ -170,6 +170,53 @@ def _centroid_rows(
     return sorted((r[0], list(r[1])) for r in rows)
 
 
+def lloyd_refine_codebook(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """Seeded Lloyd's refinement of the coarse codebook, engine-portable.
+
+    Each iteration: (1) map-only nearest-centroid assignment against the
+    current literal codebook (zero shuffle); (2) centroid update as the
+    element-wise mean of the assigned vectors' **int8 codes** — integer
+    sums are exact and order-independent, so the refined centroids are
+    bit-identical on any engine (same trick as ``sim_quantized_topk``; a
+    float mean would be shuffle-order-dependent and break the oracle).
+    Code space is per-vector scale-normalized (q ≈ 127·v/|v|∞), i.e. this
+    is spherical k-means up to quantization — exactly what cosine wants.
+
+    One groupBy per iteration over (cell, dim) keys — at 100 TB this is a
+    single well-partitioned agg per pass; the collect is n_centroids × dim
+    doubles (bounded). Empty cells drop out deterministically.
+    """
+    from ..functions.vector import abs_max, quantize_i8
+
+    cents = _centroid_rows(emb, n_centroids, vec_col, id_col)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, n_centroids, vec_col, id_col, cents=cents)
+        codes = assigned.select(
+            "cell",
+            F.posexplode(
+                quantize_i8(F.col(vec_col), abs_max(F.col(vec_col)))
+            ).alias("i", "code"),
+        )
+        means = codes.groupBy("cell", "i").agg(
+            (
+                F.sum("code").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("c")
+        )
+        rows = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("s"))
+            .collect()
+        )
+        cents = sorted((r["cell"], [e["c"] for e in r["s"]]) for r in rows)
+    return cents
+
+
 def _cell_scores(vec_col: Column, cents: list[tuple[int, list[float]]]) -> Column:
     """array<struct<score,cid>> of cosine(v, centroid) — centroids are
     literals, so this is a pure projection (no join, no shuffle, fully
@@ -210,15 +257,24 @@ def ivf_topk(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_iters: int = 1,
 ) -> DataFrame:
     """IVF-flat ANN search: probe the nprobe nearest cells, exact cosine
     rerank inside them, global top-k via orderBy().limit(k)
     (TakeOrderedAndProject — per-partition heaps, no global sort).
     Returns (vec_id, label, score, rnk). Recall is nprobe/n_centroids-
-    tunable; nprobe = n_centroids degenerates to exact search."""
+    tunable; nprobe = n_centroids degenerates to exact search.
+    ``refine_iters`` Lloyd's passes sharpen the seed codebook (default 1);
+    0 reproduces the raw smallest-id seeds."""
     from pyspark.sql import Window
 
-    cents = _centroid_rows(emb, n_centroids, vec_col, id_col)
+    cents = (
+        lloyd_refine_codebook(
+            emb, n_centroids, vec_col, id_col, iters=refine_iters
+        )
+        if refine_iters > 0
+        else _centroid_rows(emb, n_centroids, vec_col, id_col)
+    )
     assigned = ivf_assign(emb, n_centroids, vec_col, id_col, cents=cents)
 
     probed = F.slice(
@@ -242,6 +298,9 @@ def ivf_topk(
         cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("score"),
     )
     top = scored.orderBy(F.desc("score"), id_col).limit(k)
+    # Unpartitioned Window = single-partition sort — safe ONLY because it
+    # runs on the k rows already reduced by TakeOrderedAndProject above.
+    # Never lift this pattern onto an unreduced table.
     w = Window.orderBy(F.desc("score"), id_col)
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 

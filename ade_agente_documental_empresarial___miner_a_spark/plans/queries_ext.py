@@ -1125,18 +1125,41 @@ def stream_incremental_index(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # IVF-flat ANN (the third ANN family next to hyperplane-LSH and MLlib
-# BRP-LSH): deterministic coarse codebook (vec_id < 16), map-only cell
-# assignment (argmax over literal centroids — zero shuffle), nprobe=4
+# BRP-LSH): seeded codebook (vec_id < 16) sharpened by ONE Lloyd's pass —
+# centroid update = element-wise mean of assigned vectors' int8 codes, so
+# the refinement is exact integer arithmetic and bit-identical on both
+# engines (a float mean would be shuffle-order-dependent). Then map-only
+# cell assignment (argmax over literal centroids — zero shuffle), nprobe=4
 # probing, exact cosine rerank, TakeOrderedAndProject top-5. The oracle
-# replays quantization + probing + rerank with the same tie-breaks
-# (max-struct ≡ ORDER BY score DESC, cid DESC).
+# replays seed-assign → code-mean update → assign → probe → rerank with
+# the same tie-breaks (max-struct ≡ ORDER BY score DESC, cid DESC).
 _IVF_N, _IVF_QID, _IVF_NPROBE, _IVF_K = 16, 7, 4, 5
+
+from ..functions.vector import duck_abs_max, duck_quantize_i8  # noqa: E402
+
+_DUCK_IVF_CODEBOOK = f"""seed AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_N}),
+a0 AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {duck_cosine("e.embedding", "c.cvec")} DESC,
+                                     c.cid DESC) AS rn
+  FROM embeddings e CROSS JOIN seed c),
+cells0 AS (SELECT vec_id, embedding, cid AS cell FROM a0 WHERE rn = 1),
+qcodes AS (
+  SELECT cell,
+         unnest(generate_series(0, len(embedding) - 1)) AS i,
+         unnest({duck_quantize_i8("embedding", duck_abs_max("embedding"))}) AS code
+  FROM cells0),
+cdims AS (
+  SELECT cell, i, CAST(sum(code) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+  FROM qcodes GROUP BY cell, i),
+cent AS (SELECT cell AS cid, list(c ORDER BY i) AS cvec FROM cdims GROUP BY cell)"""
 
 
 @register(
     "sim_ivf_topk",
-    f"""WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_N}),
+    f"""WITH {_DUCK_IVF_CODEBOOK},
 assign AS (
   SELECT e.vec_id, e.label, e.embedding, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
@@ -1163,6 +1186,7 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         k=_IVF_K,
         nprobe=_IVF_NPROBE,
         n_centroids=_IVF_N,
+        refine_iters=1,
     )
 
 
@@ -1473,9 +1497,7 @@ def sim_quantized_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     q8 = emb.select(
         "vec_id",
-        F.greatest(
-            abs_max(F.col("embedding")), F.lit(1e-30)
-        ).alias("m"),
+        abs_max(F.col("embedding")).alias("m"),  # zero-guard folded in
         "embedding",
     ).select(
         "vec_id", "m",

@@ -91,6 +91,41 @@ def test_ivf_full_probe_equals_exact(spark, sf_dir):
     assert got == want
 
 
+def test_ivf_lloyd_recall_at_nprobe4(spark, sf_dir):
+    """The Lloyd-refined codebook must hold recall@5 >= 0.8 at nprobe=4
+    of 16 cells (measured 0.90 vs 0.72 for the raw smallest-id seeds)."""
+    import os
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qids = [3, 7, 23, 57, 81, 123]
+    total = 0.0
+    for qid in qids:
+        ivf = ann.ivf_topk(
+            emb, query_id=qid, k=5, nprobe=4, n_centroids=16, refine_iters=1
+        )
+        got = {r.vec_id for r in ivf.collect()}
+        q = emb.where(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("_q")
+        )
+        exact = (
+            emb.crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                cosine_similarity(F.col("embedding"), F.col("_q")).alias("s"),
+            )
+            .orderBy(F.desc("s"), "vec_id")
+            .limit(5)
+            .collect()
+        )
+        total += len(got & {r.vec_id for r in exact}) / 5.0
+    assert total / len(qids) >= 0.8
+
+
 def test_ivf_assign_covers_all_vectors(spark, sf_dir):
     import os
 
