@@ -305,6 +305,79 @@ def ivf_topk(
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+def ivf_quantized_topk(
+    emb: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 1,
+) -> DataFrame:
+    """IVF-pruned int8 retrieval — how a billion-vector index actually
+    combines the two: the coarse codebook prunes the scan to nprobe cells,
+    and within them scoring reads 4×-compressed int8 codes (exact integer
+    dot + one double rescale). Neither piece alone scales: quantized
+    brute-force still scans everything, un-quantized IVF still reads full
+    floats. Returns (query_id, vec_id, rnk, approx_dot) for every query
+    vector with id < query_max_id.
+
+    Scale shape: codebook refine is one agg; assignment + quantization are
+    map-only scan projections; the per-query candidate set is
+    output-sensitive (nprobe/n_centroids of the data); the final rank is
+    WindowGroupLimit per query. Partition the index by cell at rest and
+    the probe becomes partition pruning.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import abs_max, int_dot, quantize_i8
+
+    cents = (
+        lloyd_refine_codebook(
+            emb, n_centroids, vec_col, id_col, iters=refine_iters
+        )
+        if refine_iters > 0
+        else _centroid_rows(emb, n_centroids, vec_col, id_col)
+    )
+    assigned = ivf_assign(emb, n_centroids, vec_col, id_col, cents=cents)
+    e8 = assigned.select(
+        id_col,
+        "cell",
+        F.col(vec_col).alias("_vec"),
+        abs_max(F.col(vec_col)).alias("m"),
+        quantize_i8(F.col(vec_col), abs_max(F.col(vec_col))).alias("q"),
+    )
+    probed = F.slice(
+        F.sort_array(_cell_scores(F.col("_vec"), cents), asc=False), 1, nprobe
+    )
+    qs = (
+        e8.where(F.col(id_col) < query_max_id)
+        .withColumn("_cells", F.transform(probed, lambda s: s["cid"].cast("long")))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("m").alias("qm"),
+            F.col("q").alias("qq"),
+            "_cells",
+        )
+    )
+    cand = e8.join(
+        F.broadcast(qs), F.array_contains(F.col("_cells"), F.col("cell"))
+    ).where(F.col(id_col) != F.col("query_id"))
+    scored = cand.withColumn(
+        "approx_dot",
+        int_dot(F.col("q"), F.col("qq")).cast("double")
+        * (F.col("m") / 127.0)
+        * (F.col("qm") / 127.0),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", id_col, "rnk", "approx_dot")
+    )
+
+
 # ---- DuckDB oracle mirrors -------------------------------------------------
 def duck_plane_literal(plane: list[int]) -> str:
     return "[" + ", ".join(f"{float(x)!r}" for x in plane) + "]"

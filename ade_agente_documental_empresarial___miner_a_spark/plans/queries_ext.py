@@ -1526,3 +1526,59 @@ def sim_quantized_topk_q(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("query_id", "vec_id", "rnk", "approx_dot")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_quantized — the composition that actually ships at scale: IVF
+# cell pruning (nprobe/n_centroids of the data touched) over int8 codes
+# (4× less IO inside the probed cells). sim_quantized_topk above is the
+# compressed-SCAN baseline; this is the pruned path. Shares the Lloyd-
+# refined codebook CTE with sim_ivf_topk, so the oracle replays codebook →
+# assign → quantize → probe → integer-dot rank end-to-end.
+@register(
+    "sim_ivf_quantized",
+    f"""WITH {_DUCK_IVF_CODEBOOK},
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {duck_cosine("e.embedding", "c.cvec")} DESC,
+                                     c.cid DESC) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+e8 AS (
+  SELECT vec_id, cell, embedding,
+         {duck_abs_max("embedding")} AS m,
+         {duck_quantize_i8("embedding", duck_abs_max("embedding"))} AS q
+  FROM cells),
+qs AS (SELECT vec_id AS query_id, embedding AS qvec, m AS qm, q AS qq
+       FROM e8 WHERE vec_id < 10),
+probe AS (
+  SELECT s.query_id, c.cid,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY {duck_cosine("c.cvec", "s.qvec")} DESC,
+                                     c.cid DESC) AS prn
+  FROM qs s CROSS JOIN cent c),
+sc AS (
+  SELECT s.query_id, e.vec_id,
+         CAST({duck_int_dot("e.q", "s.qq")} AS DOUBLE)
+         * (e.m / 127.0) * (s.qm / 127.0) AS approx_dot
+  FROM e8 e, qs s, (SELECT query_id, cid FROM probe WHERE prn <= 4) p
+  WHERE p.query_id = s.query_id AND p.cid = e.cell
+    AND e.vec_id <> s.query_id),
+ranked AS (
+  SELECT query_id, vec_id, approx_dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_dot DESC, vec_id) AS rnk
+  FROM sc)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk, approx_dot
+FROM ranked WHERE rnk <= 5""",
+)
+def sim_ivf_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    return ann.ivf_quantized_topk(
+        table(spark, sf, "embeddings"),
+        query_max_id=10,
+        k=5,
+        nprobe=_IVF_NPROBE,
+        n_centroids=_IVF_N,
+        refine_iters=1,
+    )
