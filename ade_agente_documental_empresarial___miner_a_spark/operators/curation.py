@@ -163,14 +163,18 @@ def contamination_pairs(
     are hash-partitioned by doc_id, so that final groupBy is co-located
     too when min_overlap filtering happens after it."""
     def shingled(df, out_id):
-        return spread(df, id_col).select(
+        return df.select(
             F.col(id_col).alias(out_id),
             F.explode(
                 word_shingles(F.lower(F.col(text_col)), shingle_n)
             ).alias("shingle"),
         )
 
-    corpus_sh = shingled(corpus, "doc_id_out")
+    # spread() (doc_id hash partitioning) only on the corpus side — it keeps
+    # the explode co-partitioned for the groupBy below. The benchmark side
+    # is about to be broadcast-collected, so repartitioning it first would
+    # be a wasted shuffle.
+    corpus_sh = shingled(spread(corpus, id_col), "doc_id_out")
     bench_sh = shingled(benchmark, "bench_id")
     return (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")

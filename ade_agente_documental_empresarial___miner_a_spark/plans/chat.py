@@ -86,10 +86,19 @@ def answer_question(
                 F.col("user") == user
             )
             if last_n_turns is not None:
-                tail = hist.orderBy(F.desc("ts")).limit(last_n_turns)
-                past = sorted(tail.collect(), key=lambda r: r.ts)
+                # turn_id breaks same-timestamp ties deterministically
+                # (matching the stable full-replay order below)
+                tail = hist.orderBy(
+                    F.desc("ts"), F.desc_nulls_last("turn_id")
+                ).limit(last_n_turns)
+                past = sorted(
+                    tail.collect(),
+                    key=lambda r: (r.ts, r.turn_id if r.turn_id is not None else -1),
+                )
             else:
-                past = hist.orderBy("ts").collect()
+                past = hist.orderBy(
+                    "ts", F.asc_nulls_first("turn_id")
+                ).collect()
         except Exception:  # noqa: BLE001 — no history yet
             past = []
         for turn in past:

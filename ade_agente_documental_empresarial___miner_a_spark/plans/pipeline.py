@@ -75,10 +75,14 @@ def save_index(chunks: DataFrame, path: str, buckets: int = 0) -> str:
 
 def load_index(spark, ref: str) -> DataFrame:
     """Load a saved index: catalog table name (bucketed path) or a
-    filesystem path (partitioned path)."""
-    if "/" in ref or ref.startswith("file:"):
-        return spark.read.parquet(ref)
-    return spark.table(ref)
+    filesystem path (partitioned path). Catalog membership decides —
+    a path-shaped heuristic would misread a relative single-segment
+    parquet path (e.g. ``'idx'``) as a table name."""
+    # tableExists() itself throws on slash-containing refs, so only probe
+    # the catalog for identifier-shaped refs.
+    if "/" not in ref and not ref.startswith("file:") and spark.catalog.tableExists(ref):
+        return spark.table(ref)
+    return spark.read.parquet(ref)
 
 
 def flagship_query(

@@ -16,10 +16,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-CHAT_SCHEMA = (
+_CHAT_ROW_SCHEMA = (
     "user string, message string, response string, ts timestamp, "
     "prompt_tokens long, completion_tokens long"
 )
+# turn_id: monotonically increasing per append batch — the deterministic
+# tiebreaker for same-timestamp turns (timestamps have finite resolution;
+# two turns in the same microsecond would otherwise make `ORDER BY ts
+# LIMIT n` nondeterministic across runs).
+CHAT_SCHEMA = _CHAT_ROW_SCHEMA + ", turn_id long"
+
+
+def _next_turn_id(spark: SparkSession, path: str) -> int:
+    try:
+        prev = spark.read.schema(CHAT_SCHEMA).parquet(path)
+        row = prev.agg(F.max("turn_id").alias("m")).collect()[0]
+        return (row.m if row.m is not None else -1) + 1
+    except Exception:  # noqa: BLE001 — no history yet
+        return 0
 
 
 def append_chat_history(
@@ -28,10 +42,13 @@ def append_chat_history(
     path: str,
 ) -> None:
     """Append chat turns (S6). ``rows`` are (user, message, response,
-    ts, prompt_tokens, completion_tokens) tuples; ts=None → now()."""
-    df = spark.createDataFrame(rows, CHAT_SCHEMA).withColumn(
-        "ts", F.coalesce(F.col("ts"), F.current_timestamp())
-    )
+    ts, prompt_tokens, completion_tokens) tuples; ts=None → now().
+    Each row gets a persisted ``turn_id`` continuing from the stored
+    history (single-writer append, as in the reference's chat loop)."""
+    base = _next_turn_id(spark, path)
+    df = spark.createDataFrame(
+        [r + (base + i,) for i, r in enumerate(rows)], CHAT_SCHEMA
+    ).withColumn("ts", F.coalesce(F.col("ts"), F.current_timestamp()))
     mongo_uri = spark.conf.get("spark.ade.mongo.uri", None)
     if mongo_uri:
         (

@@ -37,6 +37,10 @@ HEADLINE = [
     "rel_asof_join",           # point-in-time join (union + forward-fill)
     "rel_range_join",          # bucketized trailing-window join
     "stream_tumbling_1h",
+    # ingest + curation stages (round 3: regression-tracked like the rest)
+    "e1_ingest_chunks",        # binary scan -> extract -> sections -> chunks
+    "cur_repetition_signals",  # Gopher repetition rules (explode+groupBy)
+    "cur_decontaminate",       # benchmark-overlap scrub (broadcast side)
 ]
 
 
@@ -56,18 +60,20 @@ def ensure_scale_corpus(spark, sf_dir: str) -> str:
         return out
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     replicas = spark.range(SCALE_FACTOR).select(F.col("id").alias("r"))
+    new_text = F.concat(
+        F.col("text"),
+        F.lit(" replica marker "),
+        F.md5(F.concat_ws(":", "doc_id", "r")),
+    )
     scaled = (
         docs.crossJoin(replicas)
         .select(
             (F.col("doc_id") * SCALE_FACTOR + F.col("r")).alias("doc_id"),
-            F.concat(
-                F.col("text"),
-                F.lit(" replica marker "),
-                F.md5(F.concat_ws(":", "doc_id", "r")),
-            ).alias("text"),
+            new_text.alias("text"),
             "lang",
             "source",
-            (F.length("text") + 47).cast("long").alias("n_chars"),
+            # n_chars must agree with length(text) (suffix = 16 + 32 chars)
+            F.length(new_text).cast("long").alias("n_chars"),
         )
     )
     scaled.repartition(32).write.mode("overwrite").parquet(

@@ -92,3 +92,74 @@ def test_last_n_turns_bounds_replay(spark, tmp_path):
     # full replay now includes the 5 seeded + the bounded turn just persisted
     assert full_user[:5] == ["q0", "q1", "q2", "q3", "q4"]
     assert "final question" in full_user
+
+
+def test_bounded_replay_is_o_n_over_long_history(spark, tmp_path):
+    """Regression guard for the bounded path: over a ~50-turn history the
+    last_n_turns prompt must be IDENTICAL in size to the same tail over a
+    10-turn history (O(n) in the cap, O(1) in stored history), while
+    full replay (the reference's ConversationBufferMemory parity mode,
+    app.py:228-242) grows linearly with every stored turn."""
+    import datetime as dt
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
+        append_chat_history,
+    )
+
+    chunks = make_index(spark)
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def seed(path, n):
+        append_chat_history(
+            spark,
+            [
+                ("ana", f"q{i:03d}", f"a{i:03d}", base + dt.timedelta(minutes=i), 3, 2)
+                for i in range(n)
+            ],
+            path,
+        )
+
+    short, long = str(tmp_path / "short"), str(tmp_path / "long")
+    seed(short, 10)
+    seed(long, 50)
+
+    b_short = answer_question(
+        spark, chunks, "ana", "Q", history_path=short, last_n_turns=3
+    )
+    b_long = answer_question(
+        spark, chunks, "ana", "Q", history_path=long, last_n_turns=3
+    )
+    # bounded: same message count and same token bill regardless of depth
+    assert len(b_long.messages) == len(b_short.messages)
+    replayed = [m["content"] for m in b_long.messages if m["role"] == "user"]
+    assert replayed[:3] == ["q047", "q048", "q049"]
+
+    f_short = answer_question(spark, chunks, "ana", "Q", history_path=short)
+    f_long = answer_question(spark, chunks, "ana", "Q", history_path=long)
+    # full replay: grows with stored history (parity mode, unbounded)
+    assert len(f_long.messages) - len(f_short.messages) == 2 * (50 - 10)
+
+
+def test_same_ts_ties_break_on_turn_id(spark, tmp_path):
+    """All turns sharing ONE timestamp: the bounded tail must still be the
+    most recently appended turns, in append order, on every run."""
+    import datetime as dt
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
+        append_chat_history,
+    )
+
+    ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+    chunks = make_index(spark)
+    for run in range(3):  # stable across repeated executions
+        path = str(tmp_path / f"chat{run}")
+        append_chat_history(
+            spark,
+            [("ana", f"q{i}", f"a{i}", ts, 1, 1) for i in range(6)],
+            path,
+        )
+        turn = answer_question(
+            spark, chunks, "ana", "Q", history_path=path, last_n_turns=2
+        )
+        replayed = [m["content"] for m in turn.messages if m["role"] == "user"]
+        assert replayed[:2] == ["q4", "q5"]
