@@ -21,7 +21,8 @@ INGEST_KEYS = [
 def test_fixture_tree_committed():
     names = sorted(os.listdir(FIXTURE_DIR))
     assert "alpha.html" in names and "golf.pdf" in names
-    assert len(names) == 8
+    assert "india.xlsx" in names  # S5 degrade fixture (round 3)
+    assert len(names) == 9
 
 
 def test_registered_with_oracles():
