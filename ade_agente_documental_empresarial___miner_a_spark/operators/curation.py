@@ -187,3 +187,42 @@ def contamination_pairs(
             F.col("n_overlap").cast("long").alias("n_overlap"),
         )
     )
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.45,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+) -> DataFrame:
+    """Corpus admission gate — the filter stage every training-data
+    pipeline runs before tokenization: known language AND heuristic
+    quality above threshold AND token count in bounds.
+
+    One map-only scan: the language/quality/token expressions come from
+    ``textstats`` expression builders, so this does NOT re-join three
+    operator outputs (three scans + two shuffles at 100 TB) — it is a
+    single projection, fully codegen'd. Returns per-doc pass flags plus
+    the combined verdict so downstream can either filter (``passes``) or
+    audit rejection reasons.
+    """
+    from .textstats import pred_lang_expr, quality_expr
+
+    t = F.col(text_col)
+    pred, _best = pred_lang_expr(t)
+    quality = quality_expr(t)
+    n_tokens = F.size(F.split(t, " ")).cast("long")
+    pass_lang = pred != "unk"
+    pass_quality = quality >= min_quality
+    pass_len = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        quality.alias("quality"),
+        n_tokens.alias("n_tokens"),
+        pass_lang.alias("pass_lang"),
+        pass_quality.alias("pass_quality"),
+        pass_len.alias("pass_len"),
+        (pass_lang & pass_quality & pass_len).alias("passes"),
+    )

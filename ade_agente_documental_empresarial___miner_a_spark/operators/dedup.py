@@ -376,3 +376,47 @@ def embedding_dup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_para: int = 10,
+) -> DataFrame:
+    """CCNet-style PARAGRAPH-level dedup: drop repeated passages globally,
+    keeping each passage's first occurrence (smallest (doc_id, para_pos)).
+
+    The fixture corpus has no hard paragraph breaks, so passages are
+    deterministic ``words_per_para``-word windows — the dedup shape
+    (explode → hash → first-occurrence-per-hash → per-doc survival
+    counts) is exactly the production operator; only the paragraphizer is
+    synthetic. First-occurrence selection is a window over the passage
+    hash: partitions are uniform (md5), so no reducer sees more than one
+    passage's duplicates — linear at 100 TB, same scale shape as
+    ``exact_dedup``. Returns (doc_id, n_paragraphs, n_kept, n_removed).
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    n_paras = F.ceil(F.size(words) / F.lit(float(words_per_para))).cast("int")
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda p: F.array_join(
+                    F.slice(words, p * words_per_para + 1, words_per_para), " "
+                ),
+            )
+        ).alias("para_pos", "para"),
+    ).withColumn("h", F.md5(F.col("para")))
+    w = Window.partitionBy("h").orderBy("doc_id", "para_pos")
+    flagged = paras.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("long").alias("n_removed"),
+    )

@@ -37,6 +37,27 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_expr(t):
+    """Heuristic quality score expression (see ``quality_scores``) —
+    exposed so composites (e.g. ``curation.quality_gate``) can reuse the
+    exact formula in a single scan instead of re-joining operator outputs."""
+    words = F.split(t, " ")
+    n_words = F.size(words).cast("double")
+    n_chars = F.length(t).cast("double")
+    avg_word_len = (n_chars - (n_words - 1)) / n_words
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    ).cast("double")
+    stop_ratio = stop_hits / n_words
+    len_component = F.lit(0.4) * F.least(F.lit(1.0), n_words / 100.0)
+    stop_component = F.least(F.lit(0.3), F.lit(0.3) * stop_ratio * 3.0)
+    wl_dev = F.abs(avg_word_len - 5.0) / 5.0
+    wl_component = F.lit(0.3) * F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.least(F.lit(1.0), wl_dev)
+    )
+    return len_component + stop_component + wl_component
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score from length / stopword ratio / word length.
 
@@ -52,25 +73,19 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(words, lambda w: w.isin(*STOPWORDS))
     ).cast("double")
     stop_ratio = stop_hits / n_words
-    len_component = F.lit(0.4) * F.least(F.lit(1.0), n_words / 100.0)
-    stop_component = F.least(F.lit(0.3), F.lit(0.3) * stop_ratio * 3.0)
-    wl_dev = F.abs(avg_word_len - 5.0) / 5.0
-    wl_component = F.lit(0.3) * F.greatest(
-        F.lit(0.0), F.lit(1.0) - F.least(F.lit(1.0), wl_dev)
-    )
     return docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         avg_word_len.alias("avg_word_len"),
         stop_ratio.alias("stopword_ratio"),
-        (len_component + stop_component + wl_component).alias("quality"),
+        quality_expr(t).alias("quality"),
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-marker language ID with deterministic argmax tie-break
-    (marker-list order). Returns (doc_id, pred_lang, best_hits)."""
-    words = F.split(F.col(text_col), " ")
+def pred_lang_expr(t):
+    """Language-ID argmax expression (see ``language_id``), reusable in
+    single-scan composites. Ties break in marker-list order."""
+    words = F.split(t, " ")
     hit_cols = {
         lang: F.size(F.filter(words, lambda w: w.isin(*markers))).cast("long")
         for lang, markers in LANG_MARKERS.items()
@@ -82,7 +97,13 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.lit("unk")
     for lang in reversed(langs):  # earlier langs win ties
         pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise(F.lit("unk"))
+    return F.when(best > 0, pred).otherwise(F.lit("unk")), best
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID with deterministic argmax tie-break
+    (marker-list order). Returns (doc_id, pred_lang, best_hits)."""
+    pred, best = pred_lang_expr(F.col(text_col))
     return docs.select(
         "doc_id", pred.alias("pred_lang"), best.alias("best_hits")
     )

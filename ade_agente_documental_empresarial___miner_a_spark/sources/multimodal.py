@@ -137,6 +137,31 @@ def resize_plan(
     )
 
 
+def audio_chunk_plan(
+    media: DataFrame, chunk_ms: int = 5000
+) -> DataFrame:
+    """Audio chunking *plan*: fixed-length segments (final one partial) per
+    audio/video row — the shape an ASR/feature pipeline consumes; one row
+    per (media_id, seg_idx, start_ms, end_ms). Same contract as
+    ``frame_sample_plan``: the explode IS the deliverable, decode is the
+    stubbed step. Map-only (metadata projection + explode)."""
+    features = extract_media_features(media)
+    n_segs = F.ceil(F.col("duration_ms") / F.lit(float(chunk_ms))).cast("int")
+    return (
+        features.where(F.col("kind").isin("audio", "video"))
+        .withColumn("seg_idx", F.explode(F.sequence(F.lit(0), n_segs - 1)))
+        .select(
+            "media_id",
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            (F.col("seg_idx") * chunk_ms).cast("long").alias("start_ms"),
+            F.least(
+                (F.col("seg_idx") + 1) * F.lit(chunk_ms).cast("long"),
+                F.col("duration_ms"),
+            ).cast("long").alias("end_ms"),
+        )
+    )
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

@@ -168,3 +168,21 @@ def stateful_session_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_events_stream(
+    stream: DataFrame,
+    keys: tuple = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup: keep the FIRST event per key, dropping duplicates
+    that arrive within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is evicted once the
+    watermark passes, so state size is bounded by the horizon, not the
+    stream length). Batch mirror: ``stream_dedup`` in the catalog
+    (row_number = 1 per key). At scale the dedup state is hash-partitioned
+    by key — the same shuffle a batch groupBy would pay, amortized per
+    micro-batch."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
