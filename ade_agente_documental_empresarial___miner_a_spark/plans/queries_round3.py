@@ -208,13 +208,14 @@ GROUP BY c_nationkey""",
 )
 def rel_q22_inactive(spark: SparkSession, sf: str) -> DataFrame:
     cust = table(spark, sf, "customer")
-    pos = cust.where(F.col("c_acctbal") > 0.0)
-    avg_row = pos.agg(
+    # scalar subquery as a broadcast 1-row cross join — stays lazy and
+    # fully planned (no driver-side collect of the average)
+    avg_df = cust.where(F.col("c_acctbal") > 0.0).agg(
         (
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1))
-        ).alias("a")
-    ).collect()[0]
+        ).alias("_avg_bal")
+    )
     recent = (
         table(spark, sf, "orders")
         .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
@@ -222,7 +223,8 @@ def rel_q22_inactive(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return (
-        cust.where(F.col("c_acctbal") > F.lit(avg_row.a))
+        cust.crossJoin(F.broadcast(avg_df))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(
@@ -464,5 +466,84 @@ def stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.col("ts").alias("first_ts"),
             F.col("event_id").alias("first_event_id"),
             (F.col("n_total") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — the forecasting-revenue filter-aggregate: no join at
+# all, the whole query is scan-side predicate pushdown + one partial-
+# final agg. The PLANS.md entry shows every predicate reaching the
+# parquet scan.
+@register(
+    "rel_q6_revenue_delta",
+    """SELECT
+  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,8))) AS DOUBLE)
+    AS revenue_delta,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0""",
+)
+def rel_q6_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(24,8)"
+                )
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows — §2.9 breadth next to tumbling: 2-hour windows sliding
+# by 1 hour, so every event lands in exactly two windows. Spark's
+# window() enumerates the covering windows per row (epoch-aligned);
+# the oracle replays that as an explicit 2-element window-start union.
+@register(
+    "stream_sliding_2h1h",
+    f"""WITH {DUCK_EVENTS},
+w AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, value FROM ev),
+slid AS (
+  SELECT h AS win_start, event_type, value FROM w
+  UNION ALL
+  SELECT h - INTERVAL 1 HOUR, event_type, value FROM w)
+SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM slid GROUP BY win_start, event_type""",
+)
+def stream_sliding_2h1h(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf)
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
         )
     )
