@@ -35,14 +35,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Iteration order is the driver-facing view: entries without a recorded
+    CORRECTNESS green row (plus any green entry whose implementation was
+    touched this round) come first, so they land inside the driver's
+    ~50-entry check window. catalog.queries() itself keeps stable
+    registration order for all other consumers."""
     from ade_agente_documental_empresarial___miner_a_spark.plans import catalog
 
-    return catalog.queries()
+    return catalog.driver_ordered(catalog.queries())
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() key (omissions = rows-only)."""
     from ade_agente_documental_empresarial___miner_a_spark.plans import catalog
 
-    return catalog.oracle_sql()
+    return catalog.driver_ordered(catalog.oracle_sql())

@@ -27,14 +27,18 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver's correctness harness checks only the first ~50 entries of
-# queries(), in iteration order. Names below already have a green row in a
-# recorded CORRECTNESS_r{N}.json (r01/r02 — identical 50-entry files), so we
-# rotate them to the BACK of the catalog: everything not yet driver-checked
-# surfaces first and lands inside the next round's 50-entry window. Append to
-# this set each round as new CORRECTNESS rows land.
+# The driver's correctness harness checks only the first ~50 entries of the
+# __spark_entry__ queries() dict, in iteration order. Names below have a green
+# row in a recorded CORRECTNESS_r{N}.json (r01/r02: reference + dedup/text
+# surface; r03: ingest/curation/streaming/relational additions). The
+# driver-facing view (driver_ordered(), used only by __spark_entry__.py)
+# rotates them to the BACK so not-yet-checked registrations land inside the
+# window. The catalog's own queries()/oracle_sql() stay in stable
+# registration order for every other consumer (tests, bench, tools/parity).
+# Append newly-green names each round after reading CORRECTNESS_r{N}.json.
 _DRIVER_GREEN = frozenset(
     {
+        # green in CORRECTNESS_r01/r02
         "f1_title_filter", "t1_paragraph_split", "t2_section_assign",
         "j2_section_semi_join", "a1_distinct_sections", "a2_group_by_section",
         "a3_chunk_count", "k1_topk_search", "k2_topk_titles",
@@ -52,24 +56,64 @@ _DRIVER_GREEN = frozenset(
         "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_revenue",
         "rel_window_running", "rel_rollup_orders", "rel_cube_events",
         "rel_set_ops", "rel_join_family",
+        # green in CORRECTNESS_r03 (50/50 pass)
+        "rel_asof_join", "rel_range_join", "stream_multi_rollup",
+        "rel_window_family", "rel_percentiles", "text_edit_distance",
+        "stream_funnel", "stream_tumbling_1h", "stream_session_windows",
+        "stream_watermark_drop", "stream_incremental_index", "sim_ivf_topk",
+        "mm_frame_plan", "rel_q10_returned", "rel_q14_promo_share",
+        "skew_salted_agg", "mm_resize_plan", "s6_transcript_reconstruct",
+        "stream_interval_join", "sim_quantized_topk", "sim_ivf_quantized",
+        "s1_binary_scan_mime", "s2_html_extract", "s3_extract_degrade",
+        "s5_xlsx_degrade", "s7_conf_roundtrip", "s4_csv_serialize",
+        "s4b_csv_relational", "e1_ingest_chunks", "cur_pii_scrub",
+        "cur_repetition_signals", "cur_hash_split", "cur_decontaminate",
+        "cur_pack_sequences", "cur_dataset_card", "rel_q4_priority",
+        "rel_q12_priority_class", "rel_q18_large_orders",
+        "rel_q19_disjunctive", "rel_q22_inactive", "rel_sessionize",
+        "rel_approx_distinct", "dedup_paragraph", "text_term_stats",
+        "cur_quality_gate", "mm_audio_chunks", "stream_dedup",
+        "rel_q6_revenue_delta", "stream_sliding_2h1h",
+    }
+)
+
+# Green names whose IMPLEMENTATION was touched this round: re-included in the
+# front of the driver window so the external gate re-verifies them instead of
+# trusting a stale record (VERDICT r3 / ADVICE: a refactor behind a
+# green-listed name must not escape independent verification). Reset each
+# round after the CORRECTNESS file lands.
+_RECHECK = frozenset(
+    {
+        "s2_html_extract",         # round 4: stdlib html.parser extractor
+        "s5_xlsx_degrade",         # round 4: oracle derived from import probe
+        "s6_transcript_reconstruct",  # round 4: sinks error-path narrowing
+        "skew_salted_agg",         # round 4: salted_join/docs hardening
     }
 )
 
 
-def _ordered(mapping: dict) -> dict:
-    unchecked = {k: v for k, v in mapping.items() if k not in _DRIVER_GREEN}
-    checked = {k: v for k, v in mapping.items() if k in _DRIVER_GREEN}
-    return {**unchecked, **checked}
+def driver_ordered(mapping: dict) -> dict:
+    """Driver-facing iteration order: not-yet-green and re-check names first
+    (inside the driver's ~50-entry CORRECTNESS window), recorded-green last.
+    Used ONLY by __spark_entry__.py — everything else gets registration
+    order from queries()/oracle_sql()."""
+    front = {
+        k: v
+        for k, v in mapping.items()
+        if k not in _DRIVER_GREEN or k in _RECHECK
+    }
+    back = {k: v for k, v in mapping.items() if k not in front}
+    return {**front, **back}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load()
-    return _ordered(_QUERIES)
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load()
-    return _ordered(_ORACLES)
+    return dict(_ORACLES)
 
 
 _LOADED = False
