@@ -1,0 +1,67 @@
+"""Round-4 relational shapes: TPC-H Q13/Q21/Q2/Q7/Q8/Q9 adaptations.
+
+Semantic assertions at small SF plus physical-plan checks that the
+join strategies are the ones the docstrings promise (semi/anti with
+residuals for Q21, broadcast for the small sides)."""
+
+import pytest
+
+from ade_agente_documental_empresarial___miner_a_spark.plans import catalog
+from tests.conftest import SF001_DIR, SF_DIR
+
+
+def _q(name):
+    return catalog.queries()[name]
+
+
+def test_q13_distribution_accounts_for_every_customer(spark):
+    rows = _q("rel_q13_custdist")(spark, SF_DIR).collect()
+    total_customers = sum(r.custdist for r in rows)
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert total_customers == n_cust
+    # the left join must preserve zero-order customers (c_count = 0 bucket
+    # exists whenever some customer has only URGENT or no orders)
+    assert all(r.c_count >= 0 for r in rows)
+
+
+def test_q21_plan_has_semi_and_anti_join(spark):
+    df = _q("rel_q21_waiting")(spark, SF001_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    rows = df.collect()
+    assert rows and all(r.numwait >= 1 for r in rows)
+
+
+def test_q2_rows_are_size_class_minima(spark):
+    rows = _q("rel_q2_min_price")(spark, SF_DIR).collect()
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    mins = {
+        r.p_size: r.m
+        for r in part.groupBy("p_size").min("p_retailprice").withColumnRenamed(
+            "min(p_retailprice)", "m"
+        ).collect()
+    }
+    assert rows
+    for r in rows:
+        assert r.p_retailprice == pytest.approx(mins[r.p_size])
+
+
+def test_q7_symmetric_nation_pair(spark):
+    rows = _q("rel_q7_volume")(spark, SF001_DIR).collect()
+    assert rows
+    pairs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert pairs <= {("NATION_2", "NATION_9"), ("NATION_9", "NATION_2")}
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_q8_share_bounded(spark):
+    rows = _q("rel_q8_market_share")(spark, SF001_DIR).collect()
+    assert rows
+    assert all(0.0 <= r.mkt_share <= 1.0 for r in rows)
+
+
+def test_q9_profit_grouping(spark):
+    rows = _q("rel_q9_profit")(spark, SF_DIR).collect()
+    assert rows
+    assert len({(r.nation, r.o_year) for r in rows}) == len(rows)
