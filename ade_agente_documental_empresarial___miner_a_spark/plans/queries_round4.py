@@ -19,10 +19,14 @@ to BIGINT on both sides; year extraction is EXTRACT/F.year cast BIGINT.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import register, table
+from ..operators import ann
+from .catalog import _ORACLES, register, table
+from .queries_ext import _IVF_N, _IVF_NPROBE
 
 _REV_DECIMAL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))"
 
@@ -357,3 +361,32 @@ def rel_q9_profit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum(amount).cast("double").alias("sum_profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_persisted — S8 at serving scale: the IVF/int8 index is BUILT
+# ONCE (codebook + cell-partitioned int8 codes on disk,
+# operators/ann.save_ivf_i8_index) and the query only READS it — no
+# codebook refinement, assignment, or quantization job at query time
+# (test_index_ann pins that by making the build entry points raise).
+# The oracle is sim_ivf_quantized's full replay SQL: the persisted path
+# must be bit-identical to recomputing the index from scratch, which is
+# exactly the invariant a saved index has to honor.
+def _register_sim_ivf_persisted():
+    @register("sim_ivf_persisted", _ORACLES["sim_ivf_quantized"])
+    def sim_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
+        emb = table(spark, sf, "embeddings")
+        tag = os.path.basename(sf.rstrip("/"))
+        path = f"/tmp/ade_ivf_i8_{tag}"
+        if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+            ann.save_ivf_i8_index(
+                emb, path, n_centroids=_IVF_N, refine_iters=1
+            )
+        codes, cents = ann.load_ivf_i8_index(spark, path)
+        queries = emb.where(F.col("vec_id") < 10)
+        return ann.ivf_i8_search(
+            codes, cents, queries, k=5, nprobe=_IVF_NPROBE
+        )
+
+
+_register_sim_ivf_persisted()

@@ -137,3 +137,41 @@ def test_ivf_assign_covers_all_vectors(spark, sf_dir):
     assert assigned.count() == emb.count()
     n_cells = assigned.select("cell").distinct().count()
     assert 1 <= n_cells <= 8
+
+
+def test_ivf_i8_persisted_serves_without_rebuild(spark, sf_dir, tmp_path, monkeypatch):
+    """The saved ivf_i8 index must serve queries WITHOUT re-running any
+    build stage: after save, the build entry points are poisoned and the
+    load+search path still produces results identical to a from-scratch
+    ivf_quantized_topk run."""
+    from ade_agente_documental_empresarial___miner_a_spark.operators import ann
+    from ade_agente_documental_empresarial___miner_a_spark.plans import pipeline
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    expected = {
+        (r.query_id, r.rnk): (r.vec_id, r.approx_dot)
+        for r in ann.ivf_quantized_topk(
+            emb, query_max_id=5, k=3, nprobe=4, n_centroids=16, refine_iters=1
+        ).collect()
+    }
+
+    path = str(tmp_path / "ivf_idx")
+    ref = pipeline.save_index(emb, path, kind="ivf_i8")
+    assert ref == path
+
+    def _boom(*a, **k):
+        raise AssertionError("index build stage ran at query time")
+
+    monkeypatch.setattr(ann, "lloyd_refine_codebook", _boom)
+    monkeypatch.setattr(ann, "_centroid_rows", _boom)
+    monkeypatch.setattr(ann, "ivf_assign", _boom)
+
+    codes, cents = pipeline.load_index(spark, path, kind="ivf_i8")
+    assert len(cents) == 16 and codes.columns == ["vec_id", "m", "q", "cell"]
+    got = {
+        (r.query_id, r.rnk): (r.vec_id, r.approx_dot)
+        for r in ann.ivf_i8_search(
+            codes, cents, emb.where(F.col("vec_id") < 5), k=3, nprobe=4
+        ).collect()
+    }
+    assert got == expected
