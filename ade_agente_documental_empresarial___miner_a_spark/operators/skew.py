@@ -30,6 +30,15 @@ def _row_salt(salt_buckets: int) -> Column:
     across buckets regardless of their VALUES. Never salt from payload
     columns: a hot key whose rows share one value would collapse into a
     single bucket, defeating the rewrite.
+
+    NONDETERMINISM CAVEAT: the id — hence the bucket assignment — varies
+    with the input partitioning and across task retries. Row-level join
+    results are unaffected (every salt matches the replicated small side),
+    but ``two_phase_agg`` sums arrive in a run-dependent order, so its
+    ``agg_col`` must be an order-insensitive type (integer/decimal — the
+    catalog's ``skew_salted_agg`` pairs it with DECIMAL). For a
+    float/double agg that must be bit-reproducible across runs, salt from
+    a stable row key instead (e.g. ``pmod(xxhash64(<unique id col>), R)``).
     """
     return F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).cast("int")
 
@@ -46,7 +55,19 @@ def salted_join(
     The small side is replicated ``salt_buckets`` times (explode over the
     salt range); the big side picks a deterministic salt per row. Result
     equals ``big.join(small, on, how)`` for row-level semantics.
+
+    Only big-side-preserving join types are supported: under ``right`` or
+    ``full``/``outer``, an UNMATCHED small-side row would surface once per
+    replica (salt_buckets null-extended duplicates). For those, salt the
+    other way around or de-duplicate the unmatched side explicitly.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — "
+            "right/full outer joins would duplicate unmatched small-side "
+            "rows once per salt replica"
+        )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(salt_buckets - 1))
     ).alias("_salt")

@@ -88,6 +88,7 @@ _RECHECK = frozenset(
         "s5_xlsx_degrade",         # round 4: oracle derived from import probe
         "s6_transcript_reconstruct",  # round 4: sinks error-path narrowing
         "skew_salted_agg",         # round 4: salted_join/docs hardening
+        "rel_sessionize",          # round 4: with_session_ids refactor
     }
 )
 

@@ -79,6 +79,8 @@ def answer_question(
     hits = topk_similar(chunks, qvec, k=k).collect()  # K1
     context = "\n".join(r.text for r in hits)  # T6 app.py:224
 
+    from pyspark.errors import AnalysisException
+
     messages = [{"role": "system", "content": SYSTEM_PROMPT}]
     if history_path:  # T7 history replay (app.py:228-242)
         try:
@@ -99,7 +101,12 @@ def answer_question(
                 past = hist.orderBy(
                     "ts", F.asc_nulls_first("turn_id")
                 ).collect()
-        except Exception:  # noqa: BLE001 — no history yet
+        except AnalysisException as e:
+            # only the first-turn missing-history path may be empty; a
+            # transient read failure must surface (same contract as
+            # sinks._next_turn_id)
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             past = []
         for turn in past:
             messages.append({"role": "user", "content": turn.message})

@@ -390,3 +390,79 @@ def _register_sim_ivf_persisted():
 
 
 _register_sim_ivf_persisted()
+
+
+# ---------------------------------------------------------------------------
+# chat_session_costs — the reference's tab-2 analytics generalized
+# (micro-infobot/app.py:270-283 shows per-conversation token cost): the
+# A5 token/cost model rolled up per SESSION instead of per user, by
+# composing the sessionization window with the cost projections at the
+# EVENT level — one user-partitioned window + one groupBy, no
+# session⋈event range join. DECIMAL cost sums stay order-insensitive.
+def _register_chat_session_costs():
+    from .catalog import DUCK_EVENTS, events_table
+
+    @register(
+        "chat_session_costs",
+        f"""WITH {DUCK_EVENTS},
+t AS (
+  SELECT user_id, event_id, ts,
+         CAST(value AS DECIMAL(18,2)) AS ptok,
+         CAST(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)
+              AS DECIMAL(18,2)) AS ctok
+  FROM ev),
+o AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 43200000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS session_id
+  FROM o)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_turns,
+       CAST(sum(ptok) AS DOUBLE) AS prompt_tokens,
+       CAST(sum(ctok) AS DOUBLE) AS completion_tokens,
+       CAST(sum(ptok * 0.00001 + ctok * 0.00003) AS DOUBLE) AS cost_usd,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000.0
+         AS duration_s
+FROM s GROUP BY user_id, session_id""",
+    )
+    def chat_session_costs(spark: SparkSession, sf: str) -> DataFrame:
+        from decimal import Decimal
+
+        from ..operators.sessions import with_session_ids
+
+        ev = events_table(spark, sf).select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("value").cast("decimal(18,2)").alias("ptok"),
+            F.regexp_extract("props", r"([0-9]+)", 1)
+            .cast("bigint")
+            .cast("decimal(18,2)")
+            .alias("ctok"),
+        )
+        s = with_session_ids(ev, gap_minutes=720)
+        return s.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("ptok").cast("double").alias("prompt_tokens"),
+            F.sum("ctok").cast("double").alias("completion_tokens"),
+            F.sum(
+                F.col("ptok") * F.lit(Decimal("0.00001"))
+                + F.col("ctok") * F.lit(Decimal("0.00003"))
+            )
+            .cast("double")
+            .alias("cost_usd"),
+            (
+                (
+                    F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("duration_s"),
+        )
+
+
+_register_chat_session_costs()

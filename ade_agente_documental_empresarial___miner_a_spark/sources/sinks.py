@@ -28,12 +28,20 @@ CHAT_SCHEMA = _CHAT_ROW_SCHEMA + ", turn_id long"
 
 
 def _next_turn_id(spark: SparkSession, path: str) -> int:
+    from pyspark.errors import AnalysisException
+
     try:
         prev = spark.read.schema(CHAT_SCHEMA).parquet(path)
         row = prev.agg(F.max("turn_id").alias("m")).collect()[0]
         return (row.m if row.m is not None else -1) + 1
-    except Exception:  # noqa: BLE001 — no history yet
-        return 0
+    except AnalysisException as e:
+        # ONLY the missing-history case may restart numbering at 0. A
+        # transient read failure must propagate — swallowing it would
+        # assign duplicate turn_ids and corrupt the same-timestamp
+        # tiebreaker chat.py's bounded replay depends on.
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return 0
+        raise
 
 
 def append_chat_history(

@@ -104,6 +104,53 @@ def scale10x_queries(qs):
     }
 
 
+CHAT_TURNS = 8
+
+
+def bench_chat_turns(spark, sf_dir: str) -> float:
+    """E2 chat loop end-to-end — the reference's primary entry point
+    (micro-infobot/app.py:214-283): retrieve (K1) → context fold (T6) →
+    prompt assembly with full-history replay (T7, the parity default) →
+    stub LLM → history append (S6), over CHAT_TURNS turns against a
+    PRE-BUILT chunks index (the reference chats against a persisted
+    Chroma index; the one-time ingest is not chat latency). Fresh
+    history per repetition so replay length is identical across reps;
+    best-of-2 like the rest of the headline."""
+    import shutil
+    import tempfile
+
+    from ade_agente_documental_empresarial___miner_a_spark.plans.chat import (
+        answer_question,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
+        build_chunks,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/ade_bench_chat_idx_{tag}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_chunks(docs).write.mode("overwrite").parquet(idx)
+    chunks = spark.read.parquet(idx)
+
+    best = float("inf")
+    for _ in range(2):
+        hist_dir = tempfile.mkdtemp(prefix="ade_chat_hist_")
+        hist = os.path.join(hist_dir, "hist")
+        t0 = time.time()
+        for i in range(CHAT_TURNS):
+            answer_question(
+                spark,
+                chunks,
+                "bench-user",
+                f"spark vector join query number {i}",
+                history_path=hist,
+            )
+        best = min(best, time.time() - t0)
+        shutil.rmtree(hist_dir, ignore_errors=True)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -144,6 +191,12 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         results[name] = round(best, 3)
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+
+    results["chat_turn"] = bench_chat_turns(spark, sf_dir)
+    print(
+        f"# chat_turn: {results['chat_turn']:.3f}s ({CHAT_TURNS} turns)",
+        file=sys.stderr,
+    )
 
     total = round(sum(results.values()), 3)
 

@@ -168,3 +168,23 @@ def test_xlsx_scan_distributed_two_files(spark, tmp_path):
         assert all(r.cells is None for r in rows)
     paths = {r.path.rsplit("/", 1)[-1] for r in rows}
     assert paths == {"one.xlsx", "two.xlsx"}
+
+
+def test_india_xlsx_is_real_workbook():
+    """The S5 fixture must be a well-formed OOXML zip so that, in an
+    environment WITH openpyxl, the success branch is exercised (the
+    oracle pins 3 sheet rows); in this container the import-probe branch
+    pins the degrade row instead."""
+    import zipfile
+
+    from ade_agente_documental_empresarial___miner_a_spark.plans.queries_ingest import (
+        FIXTURE_DIR,
+    )
+
+    path = f"{FIXTURE_DIR}/india.xlsx"
+    with zipfile.ZipFile(path) as z:
+        assert z.testzip() is None
+        names = set(z.namelist())
+        assert {"xl/workbook.xml", "xl/worksheets/sheet1.xml"} <= names
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert sheet.count("<row ") == 3
