@@ -89,6 +89,7 @@ _RECHECK = frozenset(
         "s6_transcript_reconstruct",  # round 4: sinks error-path narrowing
         "skew_salted_agg",         # round 4: salted_join/docs hardening
         "rel_sessionize",          # round 4: with_session_ids refactor
+        "stream_sliding_2h1h",     # round 4: routed through sliding_metrics
     }
 )
 

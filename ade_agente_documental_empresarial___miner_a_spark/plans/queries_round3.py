@@ -529,21 +529,9 @@ SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end, event_type,
 FROM slid GROUP BY win_start, event_type""",
 )
 def stream_sliding_2h1h(spark: SparkSession, sf: str) -> DataFrame:
-    ev = events_table(spark, sf)
-    win = F.window("ts", "2 hours", "1 hour")
-    return (
-        ev.groupBy(win.alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_value"),
-        )
-        .select(
-            F.col("w.start").alias("win_start"),
-            F.col("w.end").alias("win_end"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+    # SAME code path as the live stream (test_streaming drives
+    # sliding_metrics over readStream; this batch run is what the oracle
+    # checks)
+    from ..streaming.chat_stream import sliding_metrics
+
+    return sliding_metrics(events_table(spark, sf))

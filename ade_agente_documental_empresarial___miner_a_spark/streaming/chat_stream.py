@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -73,6 +74,36 @@ def tumbling_metrics(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
+        )
+    )
+
+
+def sliding_metrics(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (overlapping) windows: each event lands in
+    window/slide windows. ONE code path for both engines — the batch
+    mirror ``stream_sliding_2h1h`` calls this too (watermark applies
+    only on a streaming source; batch reads are complete by
+    definition)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
         )
     )
 
@@ -165,6 +196,83 @@ def stateful_session_state(events: DataFrame) -> DataFrame:
         _update_session,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("first_view", TimestampType()),
+        StructField("first_purchase", TimestampType()),
+    ]
+)
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_view", TimestampType()),
+        StructField("first_purchase", TimestampType()),
+        StructField("converted", BooleanType()),
+        StructField("us_to_convert", LongType()),
+    ]
+)
+
+
+def _update_funnel(key, pdf_iter, state: GroupState):
+    """Per-user view→purchase funnel state: earliest view, earliest
+    purchase strictly after it. State is two timestamps per user —
+    bounded regardless of stream length. Exact when a user's views are
+    not delivered in a LATER micro-batch than the purchases they
+    precede (the watermark-ordered feed case); the batch mirror
+    ``stream_funnel`` is the at-rest oracle."""
+    (user_id,) = key
+    fv, fp = state.get if state.exists else (None, None)
+    # state roundtrips as datetime.datetime; pdf["ts"] is pandas
+    # Timestamp — normalize so comparisons and .value work uniformly
+    fv = pd.Timestamp(fv) if fv is not None else None
+    fp = pd.Timestamp(fp) if fp is not None else None
+    for pdf in pdf_iter:
+        views = pdf.loc[pdf["event_type"] == "view", "ts"]
+        if len(views):
+            mv = views.min()
+            if fv is None or mv < fv:
+                fv, fp = mv, None  # earlier view resets the purchase race
+        if fv is not None:
+            purchases = pdf.loc[
+                (pdf["event_type"] == "purchase") & (pdf["ts"] > fv), "ts"
+            ]
+            if len(purchases):
+                mp = purchases.min()
+                if fp is None or mp < fp:
+                    fp = mp
+    state.update((fv, fp))
+    if fv is None:  # purchase-only users: not in the funnel (yet)
+        return
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "first_view": [fv],
+            "first_purchase": [fp],
+            "converted": [fp is not None],
+            "us_to_convert": [
+                None
+                if fp is None
+                else (fp.value - fv.value) // 1000  # ns → us
+            ],
+        }
+    )
+
+
+def funnel_state(events: DataFrame) -> DataFrame:
+    """Streaming view→purchase conversion funnel via
+    ``applyInPandasWithState`` (batch mirror: catalog
+    ``stream_funnel``). NoTimeout: local availableNow runs hang with
+    ProcessingTimeTimeout (see tests)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -185,3 +185,87 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = spark.sql("select * from ij_out").collect()
     got = sorted((r.purchase_id, r.view_id) for r in rows)
     assert got == [(20, 10), (20, 11)]  # stale + cross-user views excluded
+
+
+def test_sliding_stream_matches_batch(spark, tmp_path):
+    """Live counterpart of the oracle-checked stream_sliding_2h1h batch
+    mirror — the SAME sliding_metrics code path over readStream."""
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+        EVENT_SCHEMA,
+        sliding_metrics,
+    )
+
+    src = tmp_path / "sliding_in"
+    write_events(src, EVENTS)
+    q = (
+        sliding_metrics(stream_events(spark, str(src)))
+        .writeStream.format("memory")
+        .queryName("sliding_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    live = {
+        (str(r.win_start), r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("select * from sliding_out").collect()
+    }
+    batch = {
+        (str(r.win_start), r.event_type): (r.n_events, r.total_value)
+        for r in sliding_metrics(
+            spark.read.schema(EVENT_SCHEMA).json(str(src))
+        ).collect()
+    }
+    assert live == batch
+    # each event lands in exactly window/slide = 2 windows
+    assert sum(n for n, _ in live.values()) == 2 * len(EVENTS)
+
+
+def test_funnel_stream_matches_batch_semantics(spark, tmp_path):
+    """Live stateful funnel (applyInPandasWithState) must agree with the
+    oracle-checked batch funnel on a watermark-ordered feed, including
+    across micro-batches (maxFilesPerTrigger=1 → one batch per file)."""
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+        funnel_state,
+    )
+
+    first = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1, "event_type": "view", "value": "1", "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T10:05:00.000Z", "user_id": 2, "event_type": "view", "value": "1", "props": "{}"},
+        # purchase BEFORE user 2's first view: must not count
+        {"event_id": 3, "ts": "2024-01-01T10:01:00.000Z", "user_id": 2, "event_type": "purchase", "value": "9", "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T10:20:00.000Z", "user_id": 3, "event_type": "purchase", "value": "9", "props": "{}"},
+    ]
+    second = [
+        # user 1 converts in a later micro-batch
+        {"event_id": 5, "ts": "2024-01-01T11:00:00.000Z", "user_id": 1, "event_type": "purchase", "value": "9", "props": "{}"},
+        # user 2: later purchase after the view -> converts
+        {"event_id": 6, "ts": "2024-01-01T12:30:00.000Z", "user_id": 2, "event_type": "purchase", "value": "9", "props": "{}"},
+    ]
+    src = tmp_path / "funnel_in"
+    write_events(src, first)
+    write_events(src, second)
+
+    q = (
+        funnel_state(stream_events(spark, str(src)))
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    # update mode emits one row per user per micro-batch: keep the latest
+    rows = spark.sql(
+        "select * from funnel_out"
+    ).collect()
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = r  # memory sink appends in batch order
+    assert set(latest) == {1, 2}  # purchase-only user 3 not in funnel
+    u1, u2 = latest[1], latest[2]
+    assert u1.converted and str(u1.first_purchase) == "2024-01-01 11:00:00"
+    assert u1.us_to_convert == 3600 * 1_000_000
+    assert u2.converted and str(u2.first_purchase) == "2024-01-01 12:30:00"
+    # the pre-view purchase at 10:01 was correctly excluded
+    assert str(u2.first_view) == "2024-01-01 10:05:00"
