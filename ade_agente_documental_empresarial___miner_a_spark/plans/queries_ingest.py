@@ -96,8 +96,7 @@ _DUCK_UNESC = (
 @register(
     "s2_html_extract",
     f"""SELECT {_FNAME} AS fname, {_DUCK_UNESC} AS text
-FROM read_text('{FIXTURE_DIR}/*')
-WHERE filename LIKE '%.html' OR filename LIKE '%.xml'""",
+FROM read_text(['{FIXTURE_DIR}/*.html', '{FIXTURE_DIR}/*.xml'])""",
 )
 def s2_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     scanned = binary_scan(spark, FIXTURE_DIR).where(

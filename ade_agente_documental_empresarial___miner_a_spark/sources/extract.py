@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import io
 import re
+from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -81,30 +82,54 @@ def binary_scan(spark: SparkSession, path: str, glob: str | None = None) -> Data
     )
 
 
+class _VisibleText(HTMLParser):
+    """Event-driven visible-text extraction on the stdlib tokenizer —
+    the same get_text() semantics BeautifulSoup('html.parser') provides,
+    because bs4 delegates tokenization to this very parser. Tracks a
+    skip depth for script/style (case-insensitive: the tokenizer
+    lowercases tag names) and collects data outside them;
+    ``convert_charrefs=True`` unescapes entities in-stream."""
+
+    _HIDDEN = frozenset({"script", "style"})
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self.chunks: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._HIDDEN:
+            self._skip += 1
+
+    def handle_endtag(self, tag):
+        if tag in self._HIDDEN and self._skip:
+            self._skip -= 1
+
+    def handle_data(self, data):
+        if not self._skip:
+            self.chunks.append(data)
+
+
 def _strip_markup(data: bytes) -> str:
     """Visible-text extraction. With bs4: BeautifulSoup.get_text()
-    (app.py:197-199). Fallback: deterministic regex tag-strip (drops
-    script/style bodies, collapses whitespace)."""
+    verbatim (app.py:197-199). Without (this container): the stdlib
+    ``html.parser`` tokenizer above — a real parser, not a regex strip.
+
+    The DuckDB oracle mirrors the original regex pipeline; both agree on
+    the committed corpus (parity-pinned). Known semantic deltas on
+    richer inputs: the parser unescapes EVERY charref (the regex mirror
+    only the 6 common ones), recovers differently from malformed
+    markup, and drops comments/PIs/DOCTYPE as non-data (the regex turns
+    them into spaces — whitespace-collapse equalizes the common case)."""
     raw = data.decode("utf-8", errors="replace")
     if HAVE_BS4:
         return BeautifulSoup(raw, "html.parser").get_text()
-    # one regex per hidden tag (no backreference) so the DuckDB oracle can
-    # mirror the exact pipeline — RE2 has no \1
-    no_hidden = raw
-    for tag in ("script", "style"):
-        no_hidden = re.sub(
-            rf"<{tag}\b[^>]*>.*?</{tag}>", " ", no_hidden, flags=re.S | re.I
-        )
-    no_tags = re.sub(r"<[^>]+>", " ", no_hidden)
-    unescaped = (
-        no_tags.replace("&amp;", "&")
-        .replace("&lt;", "<")
-        .replace("&gt;", ">")
-        .replace("&quot;", '"')
-        .replace("&#39;", "'")
-        .replace("&nbsp;", " ")
-    )
-    return re.sub(r"\s+", " ", unescaped).strip()
+    p = _VisibleText()
+    p.feed(raw)
+    p.close()
+    # element boundaries become spaces, then collapse + trim — the same
+    # normalization the regex pipeline (and the oracle) applies
+    return re.sub(r"\s+", " ", " ".join(p.chunks)).strip()
 
 
 def _pdf_text(data: bytes) -> str:

@@ -188,3 +188,20 @@ def test_india_xlsx_is_real_workbook():
         assert {"xl/workbook.xml", "xl/worksheets/sheet1.xml"} <= names
         sheet = z.read("xl/worksheets/sheet1.xml").decode()
     assert sheet.count("<row ") == 3
+
+
+def test_visible_text_parser_semantics():
+    """The stdlib-parser S2 branch: hidden-tag bodies skipped (any
+    case, nested), entities unescaped, whitespace collapsed — matching
+    BeautifulSoup.get_text() behavior on the same markup."""
+    from ade_agente_documental_empresarial___miner_a_spark.sources.extract import (
+        _strip_markup,
+    )
+
+    html = (
+        b"<html><head><SCRIPT>var x = '<p>not text</p>';</SCRIPT>"
+        b"<style>p{}</style></head>"
+        b"<body><h1>A &amp; B</h1><p>5 &lt; 7,&nbsp;ok &#39;q&#39;</p>"
+        b"<div>tail</div></body></html>"
+    )
+    assert _strip_markup(html) == "A & B 5 < 7, ok 'q' tail"
