@@ -466,3 +466,151 @@ FROM s GROUP BY user_id, session_id""",
 
 
 _register_chat_session_costs()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier(s) by quarterly revenue: an aggregated
+# CTE consumed twice, once as the join input and once reduced to a
+# scalar max the selection compares against. The Spark side mirrors
+# Catalyst's decorrelation: the 1-row max broadcasts as a lazy cross
+# join (the rel_q22 pattern — no driver-side collect), and the equality
+# compares DECIMALs, so ties are exact on both engines.
+@register(
+    "rel_q15_top_supplier",
+    f"""WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum({_REV_DECIMAL}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+)
+def rel_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx))  # 1-row broadcast cross join
+        .where(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape — small-quantity-order revenue: a correlated AVG
+# threshold per part (l_quantity < 0.2 * avg(l_quantity) over the same
+# part). Float division is not cross-engine-stable, so the predicate is
+# rewritten exactly: qty < sum/(5*cnt)  ⇔  qty·5·cnt < sum, all in
+# DECIMAL (quantities are exact in (18,2)) — bit-identical booleans on
+# both engines. The per-part agg is the small side and broadcasts.
+@register(
+    "rel_q17_small_qty",
+    """WITH agg AS (
+  SELECT l_partkey AS a_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN agg ON a_partkey = l_partkey
+WHERE p_brand = 'Brand#17'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty""",
+)
+def rel_q17_small_qty(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    agg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    part = table(spark, sf, "part").where(
+        F.col("p_brand") == "Brand#17"
+    ).select("p_partkey")
+    small = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(agg), F.col("a_partkey") == F.col("l_partkey"))
+        .where(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("cnt")
+            < F.col("sum_qty")
+        )
+    )
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(24,8)")).cast("double")
+            / 7.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape — nested IN with a grouped-HAVING inner query:
+# nation-filtered suppliers who shipped more than a quantity threshold
+# of color-named parts. Both INs become left-semi joins; the inner
+# GROUP BY ... HAVING reduces lineitem⋈part before the semi, so the
+# outer supplier scan never joins raw lineitem. (The reference's
+# partsupp availqty correlation has no fixture analogue; the shipped-
+# quantity threshold keeps the nested-semi + agg-threshold shape.)
+@register(
+    "rel_q20_excess_shippers",
+    """SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY l_suppkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 500)
+  AND s_nationkey IN (
+    SELECT n_nationkey FROM nation
+    WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9', 'NATION_13'))""",
+)
+def rel_q20_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part").where(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    shippers = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+        .where(F.col("sq") > 500)
+    )
+    nations = table(spark, sf, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_5", "NATION_9", "NATION_13")
+    )
+    supp = table(spark, sf, "supplier")
+    return (
+        supp.join(
+            F.broadcast(shippers),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )

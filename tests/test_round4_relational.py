@@ -65,3 +65,23 @@ def test_q9_profit_grouping(spark):
     rows = _q("rel_q9_profit")(spark, SF_DIR).collect()
     assert rows
     assert len({(r.nation, r.o_year) for r in rows}) == len(rows)
+
+
+def test_q15_selects_the_max_revenue_supplier(spark):
+    rows = _q("rel_q15_top_supplier")(spark, SF001_DIR).collect()
+    assert rows and len({r.total_revenue for r in rows}) == 1
+
+
+def test_q17_small_qty_threshold(spark):
+    r = _q("rel_q17_small_qty")(spark, SF001_DIR).collect()[0]
+    assert r.n_small >= 0
+    if r.n_small:
+        assert r.avg_yearly > 0
+
+
+def test_q20_semi_joins_only(spark):
+    df = _q("rel_q20_excess_shippers")(spark, SF001_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 2
+    rows = df.collect()
+    assert len({r.s_suppkey for r in rows}) == len(rows)
