@@ -97,9 +97,17 @@ def scale10x_queries(qs):
         pairs = lsh_verified_pairs(docs, num_perm=32, bands=8, threshold=0.3)
         return connected_components(pairs)
 
+    def lsh_verified_sharp(spark, sf_dir):
+        # the designated dedup scale path alone (candidates + exact
+        # verify, no clustering) at 10x docs — VERDICT r3 asked for this
+        # to be tracked at 50k docs since it is the scale claim
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return lsh_verified_pairs(docs, num_perm=32, bands=8, threshold=0.3)
+
     return {
         "t2_section_assign": qs["t2_section_assign"],
         "t3_chunk_pipeline": qs["t3_chunk_pipeline"],
+        "dedup_lsh_verified_sharp": lsh_verified_sharp,
         "dedup_clusters_sharp": clusters_sharp,
     }
 
