@@ -614,3 +614,215 @@ def rel_q20_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape — "important stock": per-key value HAVING a threshold
+# that is a FRACTION OF A GLOBAL AGGREGATE over the same filtered set
+# (the one TPC-H shape where the scalar subquery scans the query's own
+# CTE, not a different table). Fixture adaptation: no partsupp, so
+# value(part) = lineitem revenue restricted to suppliers of two nations
+# (Q11's GERMANY filter). The fractional threshold is rewritten
+# multiplication-only — value * 1000 > total ⇔ value > 0.001 * total —
+# so the comparison stays in DECIMAL and is bit-identical across
+# engines (no float division). Scale: the per-part agg shuffles on
+# l_partkey (uniform); the global total is a 1-row broadcast cross
+# join, never a driver collect.
+@register(
+    "rel_q11_important_parts",
+    f"""WITH pv AS (
+  SELECT l_partkey, sum({_REV_DECIMAL}) AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_7', 'NATION_19')
+  GROUP BY l_partkey)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM pv
+WHERE part_value * 1000 > (SELECT sum(part_value) FROM pv)""",
+)
+def rel_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    nations = table(spark, sf, "nation").where(
+        F.col("n_name").isin("NATION_7", "NATION_19")
+    )
+    supp = (
+        table(spark, sf, "supplier")
+        .join(
+            F.broadcast(nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        table(spark, sf, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("part_value"))
+    )
+    total = pv.agg(F.sum("part_value").alias("_total"))
+    return (
+        pv.join(F.broadcast(total))  # 1-row broadcast cross join
+        .where(F.col("part_value") * 1000 > F.col("_total"))
+        .select(
+            "l_partkey", F.col("part_value").cast("double").alias("part_value")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape — supplier-count distribution: COUNT(DISTINCT) under a
+# multi-column GROUP BY, with a NOT IN subquery (→ anti join; the
+# "complaint suppliers" of the reference become negative-balance
+# suppliers, the fixture's only supplier-quality signal) and a
+# negated LIKE + IN-list part filter. The distinct-agg + anti-join
+# combination is the one Q-shape the sweep still lacked. Scale: the
+# anti join's right side is supplier (broadcast-size); the distinct
+# agg shuffles on (p_brand, p_type, p_size, l_suppkey) — Spark plans
+# it as a two-phase partial-distinct expand, map-side combinable.
+@register(
+    "rel_q16_supplier_cnt",
+    """SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size""",
+)
+def rel_q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    part = table(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    complaints = (
+        table(spark, sf, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        table(spark, sf, "lineitem")
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation additions — the three sampling/batching steps between quality
+# gating and tokenization in a pretraining-data pipeline: per-domain
+# quota caps, stratified language rebalancing, and length-bucketed batch
+# assignment. All deterministic (salted-md5 order/buckets — reproducible
+# across engines and retries, no RNG), all expressible as one window or
+# a map-only projection.
+
+_DUCK_HEX = "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+
+
+def _duck_salt_bucket(salt: str) -> str:
+    h = f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
+    hv = [_DUCK_HEX.format(h=h, p=p) for p in (1, 2, 3, 4)]
+    return (
+        f"((({hv[0]} * 16 + {hv[1]}) * 256 + ({hv[2]} * 16 + {hv[3]})) % 100)"
+    )
+
+
+@register(
+    "cur_source_quota",
+    """WITH r AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY source""",
+)
+def cur_source_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain quota cap (operators/curation.py:source_quota) summarized
+    as kept-vs-total per source."""
+    from ..operators.curation import source_quota
+
+    q = source_quota(table(spark, sf, "documents"), quota=15)
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+    )
+
+
+@register(
+    "cur_stratified_sample",
+    f"""WITH b AS (
+  SELECT lang, {_duck_salt_bucket('sample:')} AS bucket FROM documents),
+s AS (
+  SELECT lang,
+         CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 40 ELSE 80 END)
+              THEN 1 ELSE 0 END AS sampled
+  FROM b)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_in,
+       CAST(sum(sampled) AS BIGINT) AS n_sampled,
+       CAST(sum(sampled) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac
+FROM s GROUP BY lang""",
+)
+def cur_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified rebalancing: keep 40% of the
+    over-represented 'en' stratum, 80% of every other language
+    (operators/curation.py:stratified_sample). Map-only."""
+    from ..operators.curation import stratified_sample
+
+    s = stratified_sample(
+        table(spark, sf, "documents"), {"en": 40}, default_pct=80
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.sum(F.col("sampled").cast("long")).cast("long").alias("n_sampled"),
+        (
+            F.sum(F.col("sampled").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("frac"),
+    )
+
+
+@register(
+    "cur_length_batches",
+    """WITH b AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(n_chars / 128.0) AS BIGINT) AS len_bucket
+  FROM documents),
+r AS (
+  SELECT len_bucket, n_chars,
+         row_number() OVER (PARTITION BY len_bucket
+           ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM b),
+a AS (SELECT len_bucket, n_chars,
+             CAST(floor((rn - 1) / 8.0) AS BIGINT) AS batch_id FROM r)
+SELECT len_bucket, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(count(*) * max(n_chars) AS BIGINT) AS padded_cost,
+       CAST(sum(n_chars) AS BIGINT) AS actual_chars
+FROM a GROUP BY len_bucket, batch_id""",
+)
+def cur_length_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed batch assignment + the padding economics per batch
+    (operators/curation.py:length_bucket_batches): padded_cost is what a
+    fixed-shape batch pays, actual_chars what the tokens need."""
+    from ..operators.curation import length_bucket_batches
+
+    b = length_bucket_batches(
+        table(spark, sf, "documents"), bucket_chars=128, batch_size=8
+    )
+    return b.groupBy("len_bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        (F.count(F.lit(1)) * F.max("n_chars")).cast("long").alias("padded_cost"),
+        F.sum("n_chars").cast("long").alias("actual_chars"),
+    )

@@ -85,3 +85,55 @@ def test_q20_semi_joins_only(spark):
     assert plan.count("LeftSemi") >= 2
     rows = df.collect()
     assert len({r.s_suppkey for r in rows}) == len(rows)
+
+
+def test_q11_threshold_is_global_fraction(spark):
+    rows = _q("rel_q11_important_parts")(spark, SF001_DIR).collect()
+    assert rows
+    assert len({r.l_partkey for r in rows}) == len(rows)
+    # recompute the filtered global total independently and assert the
+    # fractional threshold strictly: kept parts exceed 0.1% of it,
+    # and the result-set total can never exceed the global total
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF001_DIR}/lineitem.parquet")
+    supp = spark.read.parquet(f"{SF001_DIR}/supplier.parquet")
+    nat = spark.read.parquet(f"{SF001_DIR}/nation.parquet").where(
+        F.col("n_name").isin("NATION_7", "NATION_19")
+    )
+    total = (
+        li.join(
+            supp.join(
+                nat, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+            ).select("s_suppkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,8)"
+                )
+            )
+        )
+        .collect()[0][0]
+    )
+    assert all(r.part_value * 1000 > float(total) * (1 - 1e-9) for r in rows)
+    assert sum(r.part_value for r in rows) <= float(total) * (1 + 1e-9)
+
+
+def test_q11_plan_broadcasts_scalar_total(spark):
+    df = _q("rel_q11_important_parts")(spark, SF001_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total, no collect
+
+
+def test_q16_anti_join_excludes_complaint_suppliers(spark):
+    df = _q("rel_q16_supplier_cnt")(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    rows = df.collect()
+    assert rows
+    assert all(r.supplier_cnt >= 1 for r in rows)
+    assert all(r.p_size in {1, 9, 14, 19, 23, 36, 45, 49} for r in rows)
+    assert all(not r.p_type.startswith("PROMO") for r in rows)
