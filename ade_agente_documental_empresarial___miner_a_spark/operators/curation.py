@@ -226,3 +226,97 @@ def quality_gate(
         pass_len.alias("pass_len"),
         (pass_lang & pass_quality & pass_len).alias("passes"),
     )
+
+
+QUOTA_SALT = "quota:"
+SAMPLE_SALT = "sample:"
+
+
+def source_quota(
+    docs: DataFrame,
+    quota: int = 15,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain representation cap — the curation step that stops a
+    handful of crawl domains from dominating the training mix: rank each
+    domain's docs in a deterministic md5 order and keep the first
+    ``quota``. Hash order (not ingestion order) makes the kept subset a
+    uniform sample of the domain, stable across runs and engines.
+
+    Adds ``rk`` (1-based within-domain rank) and ``kept``. Scale: one
+    window shuffling on the domain key. A mega-domain (the classic skew
+    case) serializes through one task's sort; since only the first
+    ``quota`` ranks matter, pre-filter with a per-partition local
+    row_number cap (quota per partition) before the global window when a
+    domain exceeds task memory — same output, bounded sort.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(QUOTA_SALT), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(h, F.col(id_col))
+    return docs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "kept", F.col("rk") <= quota
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    pct_by_stratum: dict[str, int],
+    default_pct: int = 100,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — rebalance the
+    language (or any stratum) mix by keeping ``pct_by_stratum[s]`` percent
+    of each stratum, selected by a salted md5 bucket of the id. Unlike
+    ``DataFrame.sample`` this is reproducible across runs, retries, and
+    engines, and needs no RNG state. Map-only, zero shuffle.
+
+    Adds ``sample_bucket`` (0-99) and ``sampled``.
+    """
+    h = F.md5(F.concat(F.lit(SAMPLE_SALT), F.col(id_col).cast("string")))
+    bucket = (
+        ((_hexval(h, 1) * 16 + _hexval(h, 2)) * 256
+         + (_hexval(h, 3) * 16 + _hexval(h, 4))).cast("long") % 100
+    )
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(pct_by_stratum.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return docs.withColumn("sample_bucket", bucket).withColumn(
+        "sampled", F.col("sample_bucket") < rate
+    )
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    bucket_chars: int = 128,
+    batch_size: int = 8,
+    len_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment — group docs of similar length so
+    fixed-shape training batches waste minimal padding: bucket by
+    ``len_col // bucket_chars``, deterministically order within the
+    bucket (md5 of id), and cut into batches of ``batch_size``.
+
+    Adds ``len_bucket``, ``batch_id`` (0-based within bucket). The
+    padding economics: a batch costs batch_rows x max(len) after padding;
+    bucketing bounds the max-min spread per batch by ``bucket_chars``.
+    Scale: one window shuffling on ``len_bucket`` — at 100 TB use a
+    composite key (len_bucket, split_bucket(id) % K) so each window
+    partition stays task-sized; batches never need to be globally
+    contiguous, only length-homogeneous.
+    """
+    from pyspark.sql import Window
+
+    bucket = (F.col(len_col).cast("long") / F.lit(bucket_chars)).cast("long")
+    h = F.md5(F.concat(F.lit(QUOTA_SALT), F.col(id_col).cast("string")))
+    w = Window.partitionBy("len_bucket").orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("len_bucket", bucket)
+        .withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / F.lit(batch_size)).cast("long"),
+        )
+    )

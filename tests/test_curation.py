@@ -179,3 +179,67 @@ def test_quantized_dot_error_bound(spark):
     assert len(out) == 400
     for r in out:
         assert abs(r.approx - r.exact) <= r.bound + 1e-12
+
+
+def test_source_quota_caps_and_is_deterministic(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.operators.curation import (
+        source_quota,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    out = source_quota(df, quota=4, domain_col="source")
+    kept = out.where("kept").groupBy("source").count().collect()
+    assert {r["count"] for r in kept} == {4}
+    # hash order, not id order: the kept set is not simply the lowest ids
+    kept_ids = sorted(r.doc_id for r in out.where("kept").collect())
+    assert kept_ids != sorted(r.doc_id for r in df.limit(12).collect())
+    # deterministic across re-evaluation
+    again = sorted(
+        r.doc_id for r in source_quota(df, quota=4).where("kept").collect()
+    )
+    assert again == kept_ids
+
+
+def test_stratified_sample_rates_and_no_shuffle(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, {"en": 10}, default_pct=90)
+    frac = {
+        r.lang: r.n
+        for r in out.where("sampled").groupBy("lang").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert frac["en"] < 0.25 * 200 and frac["fr"] > 0.75 * 200
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only contract
+
+
+def test_length_bucket_batches_shapes(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.operators.curation import (
+        length_bucket_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 50 + (i % 4) * 200) for i in range(40)],
+        "doc_id long, n_chars long",
+    )
+    out = length_bucket_batches(df, bucket_chars=128, batch_size=8).collect()
+    for r in out:
+        assert r.len_bucket == r.n_chars // 128
+    # every batch except a bucket's last is exactly batch_size
+    from collections import Counter
+
+    sizes = Counter((r.len_bucket, r.batch_id) for r in out)
+    per_bucket = Counter(r.len_bucket for r in out)
+    for (b, bid), n in sizes.items():
+        last_bid = (per_bucket[b] - 1) // 8
+        assert n == 8 or bid == last_bid
