@@ -826,3 +826,61 @@ def cur_length_batches(spark: SparkSession, sf: str) -> DataFrame:
         (F.count(F.lit(1)) * F.max("n_chars")).cast("long").alias("padded_cost"),
         F.sum("n_chars").cast("long").alias("actual_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned scan over a hive-partitioned events lake — the
+# time-predicate access path a 100 TB deployment lives on. The fixture
+# events table is written once (per sf) as a date-partitioned layout
+# via sources/layout.py::write_partitioned (repartition-by-key first,
+# so each day lands in ONE file, not one per writer task), then the
+# query's date range prunes whole directories before any I/O: the scan
+# node carries PartitionFilters on event_date and reads 3 of ~30
+# day-directories (pinned by test via inputFiles()). The oracle runs
+# the same predicate over the raw events parquet — pruning must be a
+# pure access-path optimization with zero semantic effect.
+
+
+def _ensure_partitioned_events(spark: SparkSession, sf: str) -> str:
+    import tempfile
+
+    from ..sources.layout import write_partitioned
+    from .catalog import events_table
+
+    tag = os.path.basename(sf.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"ade_part_events_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = events_table(spark, sf).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        write_partitioned(ev, out, ["event_date"])
+    return out
+
+
+@register(
+    "rel_partition_pruned_scan",
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-10'
+  AND CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-12'
+GROUP BY 1, 2""",
+)
+def rel_partition_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    path = _ensure_partitioned_events(spark, sf)
+    ev = spark.read.parquet(path)
+    return (
+        ev.where(
+            (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+            & (F.col("event_date") <= F.lit("2024-01-12").cast("date"))
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

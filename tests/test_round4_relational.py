@@ -137,3 +137,52 @@ def test_q16_anti_join_excludes_complaint_suppliers(spark):
     assert all(r.supplier_cnt >= 1 for r in rows)
     assert all(r.p_size in {1, 9, 14, 19, 23, 36, 45, 49} for r in rows)
     assert all(not r.p_type.startswith("PROMO") for r in rows)
+
+
+def test_partition_pruned_scan_reads_only_three_days(spark):
+    import os
+
+    from ade_agente_documental_empresarial___miner_a_spark.plans.queries_round4 import (
+        _ensure_partitioned_events,
+    )
+
+    path = _ensure_partitioned_events(spark, SF001_DIR)
+    # layout contract: repartition-by-key → ONE file per day-directory
+    days = [d for d in os.listdir(path) if d.startswith("event_date=")]
+    assert len(days) >= 25  # ~30 days of fixture events
+    for d in days:
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+
+    df = _q("rel_partition_pruned_scan")(spark, SF001_DIR)
+    # pruning contract, planned: the date range is consumed ENTIRELY as
+    # PartitionFilters — no residual DataFilters reach the parquet rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    assert "DataFilters: []" in plan
+    # pruning contract, executed: the files actually read at runtime are
+    # exactly the 3 filtered day-directories (inputFiles() would list the
+    # unpruned relation — input_file_name() sees what was scanned)
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(path).where(
+        (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("event_date") <= F.lit("2024-01-12").cast("date"))
+    )
+    touched = {
+        seg
+        for (f,) in ev.select(F.input_file_name()).distinct().collect()
+        for seg in f.split("/")
+        if seg.startswith("event_date=")
+    }
+    assert touched == {
+        "event_date=2024-01-10",
+        "event_date=2024-01-11",
+        "event_date=2024-01-12",
+    }
+    rows = df.collect()
+    assert rows and all(r.n_events >= 1 for r in rows)
