@@ -38,3 +38,36 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` range-clustered on ``cluster_col``: rows are range-
+    partitioned into ``n_files`` contiguous key ranges and sorted within
+    each, so every parquet file (and every row group inside it) carries
+    a narrow, near-disjoint min/max span for the cluster column.
+
+    This is what makes point/range predicates on ``cluster_col`` cheap
+    without hive-partitioning it: any parquet reader (Spark, DuckDB,
+    Trino) compares the pushed predicate against row-group statistics
+    and skips whole groups. Hive-partition the coarse time key,
+    range-cluster the high-cardinality secondary key — the standard
+    two-level layout at 100 TB (partitioning by a high-cardinality key
+    would explode the directory count instead).
+
+    ``repartitionByRange`` samples key quantiles, so file boundaries
+    stay balanced even for skewed keys.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -60,3 +60,22 @@ def test_hot_key_identical_values_still_fan_out(spark):
 
     got = {r.k: r.total for r in two_phase_agg(hot, "k", "x").collect()}
     assert got == {"hot": 2000.0}
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE runtime re-plan evidence: with shuffle.partitions=32 but tiny
+    post-shuffle data, the final plan must read a COALESCED shuffle —
+    the runtime fix for over-partitioned small stages (and the reason
+    shuffle.partitions can be sized for the large stages at 100 TB
+    without penalizing the small ones)."""
+    from tests.conftest import SF001_DIR
+
+    from ade_agente_documental_empresarial___miner_a_spark.plans.catalog import (
+        events_table,
+    )
+
+    df = events_table(spark, SF001_DIR).groupBy("event_type").count()
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan
