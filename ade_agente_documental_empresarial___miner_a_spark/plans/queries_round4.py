@@ -884,3 +884,323 @@ def rel_partition_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Element-wise embedding mean-pooling — the aggregation that turns chunk
+# or member vectors into a document/class-level vector (centroids for
+# classification, doc vectors from chunk vectors, cluster summaries).
+# Exactness: float sums are fold-order-dependent, and DECIMAL quantization
+# of raw doubles is engine-divergent at the last digit (Spark casts via the
+# double's shortest string repr, DuckDB via the exact binary value — a
+# 1e-10 disagreement per element surfaced at sf0.01). The bit-exact recipe
+# is the one round 1 verified for cosine/histogram parity: a DETERMINISTIC
+# left fold — collect per-(label,pos) values sorted by vec_id and sum with
+# F.aggregate, which DuckDB mirrors exactly with
+# list_aggregate(list(v ORDER BY vec_id), 'sum'). Scale: posexplode is
+# map-only (dim×N rows); groupBy(label,pos) shuffles once; the per-group
+# list is N/n_labels values — fine for centroid counts in the thousands.
+# For billion-vector corpora drop the determinism requirement and use
+# plain F.avg (map-side combinable, no lists); the fold here is the
+# oracle-exact shape, per-position means are identical up to float
+# addition order.
+@register(
+    "emb_label_centroids",
+    """WITH ex AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(embedding) AS v
+  FROM embeddings),
+agg AS (
+  SELECT label, pos,
+         list_aggregate(list(CAST(v AS DOUBLE) ORDER BY vec_id), 'sum')
+           / count(*) AS mean_v,
+         count(*) AS n
+  FROM ex GROUP BY label, pos)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+       list(mean_v ORDER BY pos) AS centroid
+FROM agg GROUP BY label""",
+)
+def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    ex = table(spark, sf, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    agg = ex.groupBy("label", "pos").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+                    lambda s: s["v"].cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+            lambda x: x["mean_v"],
+        ).alias("centroid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Okapi, k1=1.2 b=0.75) — the classic lexical
+# scorer the reference's vector search replaced (micro-infobot/app.py:130
+# uses Chroma similarity; BM25 is the corpus-statistics baseline every
+# retrieval stack keeps for hybrid search). Pure Catalyst: tokenize →
+# per-(doc,term) tf, per-doc length, per-term df — all map-side-combinable
+# groupBys on uniform keys; corpus scalars (N, avgdl) are a 1-row
+# broadcast cross-join, per-term df a broadcast (|query| rows). Top-10 is
+# TakeOrderedAndProject (no global sort). Float parity: idf/tf products
+# are per-term doubles from exact integer inputs; the only order-sensitive
+# reduction is the per-doc sum over matched query terms, done as a
+# term-sorted deterministic fold (F.aggregate ≡ list_aggregate 'sum').
+# ln() is the one non-exact primitive: JVM Math.log is allowed 1 ulp of
+# error and measurably differs from glibc's ln on some inputs (verified:
+# ln(1.2699619771863118) differs in the last bit), so the surfaced score
+# is quantized to 9 decimals on both engines and the top-10 ORDER BY
+# runs on the quantized value with doc_id tiebreak — the cross-engine
+# contract is exact while the 1e-16 libm drift stays far below the
+# quantum. Verified at sf0.001/0.01/0.1 by tools/parity.
+# At 100 TB: same plan — token explode is map-only, df/tf groupBys are
+# partial-agg'd, scalars broadcast; no all-pairs anywhere.
+_BM25_TERMS = ["hash", "spark", "vector"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_bm25_topk",
+    f"""WITH tokens AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents)
+  WHERE length(term) > 3),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl),
+q(term) AS (VALUES ('hash'), ('spark'), ('vector')),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY term),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         * (CAST(tf AS DOUBLE) * ({_BM25_K1} + 1))
+         / (CAST(tf AS DOUBLE) + {_BM25_K1}
+            * (1 - {_BM25_B} + {_BM25_B} * CAST(dl.dl AS DOUBLE) / avgdl))
+           AS term_score
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN df ON tf.term = df.term
+          CROSS JOIN corpus),
+docs AS (
+  SELECT doc_id,
+         round(list_aggregate(list(term_score ORDER BY term), 'sum'), 9)
+           AS score,
+         CAST(count(*) AS BIGINT) AS n_matched
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, score, n_matched FROM docs
+ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    tokens = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .filter(F.length("term") > 3)
+    )
+    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtok = tokens.filter(F.col("term").isin(_BM25_TERMS))
+    df = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    1
+                    + ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+                    / (F.col("df").cast("double") + 0.5)
+                )
+                * (F.col("tf").cast("double") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf").cast("double")
+                    + _BM25_K1
+                    * (
+                        1
+                        - _BM25_B
+                        + _BM25_B * F.col("dl").cast("double") / F.col("avgdl")
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    docs = scored.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("term", "term_score"))),
+                    lambda s: s["term_score"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+    )
+    return docs.orderBy(F.desc("score"), "doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification — assign every vector to its closest
+# label centroid (cosine) and report the confusion matrix. Composes
+# emb_label_centroids (the training step) with a broadcast scoring join:
+# centroids are labels×dim (10×64 here — kilobytes at any corpus size),
+# so scoring is a BROADCAST join on pos + one groupBy(vec_id, clabel);
+# nothing shuffles on the big side beyond the per-vector reduction. At
+# 100 TB you would fold the centroid matrix into a literal array and
+# zip_with it per-row (pure map); the exploded-join here is the
+# oracle-exact shape. Float parity: every reduction (dot, both norms,
+# centroid means) is a pos/vec_id-sorted deterministic fold; sqrt is
+# IEEE-correctly-rounded on both engines; argmax tie-breaks on clabel.
+@register(
+    "emb_centroid_classify",
+    """WITH ex AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+cent AS (
+  SELECT label AS clabel, pos,
+         list_aggregate(list(v ORDER BY vec_id), 'sum') / count(*) AS c
+  FROM ex GROUP BY label, pos),
+cnorm AS (
+  SELECT clabel,
+         sqrt(list_aggregate(list(c * c ORDER BY pos), 'sum')) AS nc
+  FROM cent GROUP BY clabel),
+vnorm AS (
+  SELECT vec_id,
+         sqrt(list_aggregate(list(v * v ORDER BY pos), 'sum')) AS nv
+  FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT ex.vec_id, cent.clabel,
+         list_aggregate(list(ex.v * cent.c ORDER BY ex.pos), 'sum') AS dot
+  FROM ex JOIN cent ON ex.pos = cent.pos
+  GROUP BY ex.vec_id, cent.clabel),
+ranked AS (
+  SELECT d.vec_id, d.clabel,
+         row_number() OVER (
+           PARTITION BY d.vec_id
+           ORDER BY d.dot / (vnorm.nv * cnorm.nc) DESC, d.clabel) AS rnk
+  FROM dots d
+  JOIN vnorm ON d.vec_id = vnorm.vec_id
+  JOIN cnorm ON d.clabel = cnorm.clabel),
+pred AS (
+  SELECT e.vec_id, e.label AS true_label, r.clabel AS pred_label
+  FROM (SELECT DISTINCT vec_id, label FROM ex) e
+  JOIN ranked r ON e.vec_id = r.vec_id AND r.rnk = 1)
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY true_label, pred_label""",
+)
+def emb_centroid_classify(spark: SparkSession, sf: str) -> DataFrame:
+    ex = table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+
+    def _fold(col):
+        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+
+    cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        (
+            _fold(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+                    lambda s: s["v"],
+                )
+            )
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sqrt(
+            _fold(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", (F.col("c") * F.col("c")).alias("cc")))
+                    ),
+                    lambda s: s["cc"],
+                )
+            )
+        ).alias("nc")
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sqrt(
+            _fold(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", (F.col("v") * F.col("v")).alias("vv")))
+                    ),
+                    lambda s: s["vv"],
+                )
+            )
+        ).alias("nv")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            _fold(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", (F.col("v") * F.col("c")).alias("vc")))
+                    ),
+                    lambda s: s["vc"],
+                )
+            ).alias("dot")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    ranked = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc(F.col("dot") / (F.col("nv") * F.col("nc"))),
+                    "clabel",
+                )
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("clabel").alias("pred_label"))
+    )
+    truth = ex.select("vec_id", F.col("label").alias("true_label")).distinct()
+    return (
+        truth.join(ranked, "vec_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -139,6 +139,22 @@ def test_q16_anti_join_excludes_complaint_suppliers(spark):
     assert all(not r.p_type.startswith("PROMO") for r in rows)
 
 
+def test_emb_label_centroids_match_numpy_mean(spark):
+    import numpy as np
+
+    rows = _q("emb_label_centroids")(spark, SF001_DIR).collect()
+    emb = spark.read.parquet(f"{SF001_DIR}/embeddings.parquet").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    assert {r.label for r in rows} == set(by_label)
+    for r in rows:
+        vecs = np.array(by_label[r.label], dtype=np.float64)
+        assert r.n_vecs == len(vecs)
+        assert len(r.centroid) == vecs.shape[1]
+        assert np.allclose(r.centroid, vecs.mean(axis=0), atol=1e-12)
+
+
 def test_partition_pruned_scan_reads_only_three_days(spark):
     import os
 
@@ -186,3 +202,50 @@ def test_partition_pruned_scan_reads_only_three_days(spark):
     }
     rows = df.collect()
     assert rows and all(r.n_events >= 1 for r in rows)
+
+
+def test_bm25_topk_scores_match_reference_formula(spark):
+    import math
+
+    rows = _q("text_bm25_topk")(spark, SF001_DIR).collect()
+    assert len(rows) == 10
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.n_matched <= 3 for r in rows)
+
+    # recompute BM25 for the top hit from raw tokens (python floats)
+    docs = spark.read.parquet(f"{SF001_DIR}/documents.parquet").collect()
+    toks = {
+        d.doc_id: [t for t in d.text.lower().split(" ") if len(t) > 3]
+        for d in docs
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    top = rows[0]
+    expect = 0.0
+    for term in sorted(["hash", "spark", "vector"]):
+        tf = toks[top.doc_id].count(term)
+        if tf == 0:
+            continue
+        df = sum(1 for v in toks.values() if term in v)
+        idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+        dl = len(toks[top.doc_id])
+        expect += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert abs(top.score - expect) < 1e-8
+
+
+def test_centroid_classify_confusion_is_consistent_and_learns(spark):
+    rows = _q("emb_centroid_classify")(spark, SF001_DIR).collect()
+    emb = spark.read.parquet(f"{SF001_DIR}/embeddings.parquet").collect()
+    # row sums per true label == label counts; every vector classified once
+    from collections import Counter
+
+    truth = Counter(r.label for r in emb)
+    by_true = Counter()
+    for r in rows:
+        by_true[r.true_label] += r.n
+    assert by_true == truth
+    total = sum(r.n for r in rows)
+    diag = sum(r.n for r in rows if r.true_label == r.pred_label)
+    assert total == len(emb)
+    assert diag / total > 0.3  # 10 labels, chance = 0.1; observed 0.41
