@@ -142,10 +142,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet reader
-# rejects. Read it with an explicit INT64 schema (physical type matches) and
-# convert nanos → microsecond timestamps. The DuckDB oracle mirrors this with
-# CAST(ts AS TIMESTAMP) (ns→us truncation matches integer `div 1000`).
+# events.parquet's ts column has shipped in two physical layouts across
+# driver testdata generations: TIMESTAMP(NANOS) (which Spark's parquet
+# reader rejects — read as raw INT64 and divide to micros) and plain
+# TIMESTAMP(MICROS) (read natively). Probe the parquet footer (metadata
+# only, no data IO) and branch. The DuckDB oracle side is layout-invariant:
+# CAST(ts AS TIMESTAMP) truncates ns→us in the nanos layout and is the
+# identity in the micros layout.
 _EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
@@ -157,15 +160,36 @@ DUCK_EVENTS = (
 )
 
 
+def _events_ts_unit(path: str) -> str:
+    """'ns' | 'us' | ... from the parquet footer; 'ns' when the field is
+    raw INT64 (the nanos layout Spark can't type as a timestamp)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field("ts").type
+    return getattr(t, "unit", "ns")
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..session import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(
-        os.path.join(sf_dir, "events.parquet")
-    )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    path = os.path.join(sf_dir, "events.parquet")
+    if _events_ts_unit(path) == "ns":
+        raw = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # Native micros read arrives as TIMESTAMP_NTZ; the engine's contract
+    # (and the pre-regeneration behavior of this function) is TIMESTAMP.
+    # The session timezone is pinned to UTC (ensure_package_shipped), so
+    # the cast is a pure re-tag: same epoch micros, same wall clock.
+    return spark.read.parquet(path).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
     )
