@@ -31,6 +31,18 @@ from .queries_ext import _IVF_N, _IVF_NPROBE
 _REV_DECIMAL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))"
 
 
+def _source_tag(sf: str, name: str) -> str:
+    """Cache key for a derived-artifact directory: sf dir name + the
+    source parquet's (mtime, size), so a regenerated fixture invalidates
+    the cache instead of silently serving data derived from the old
+    file (the driver regenerated testdata between rounds 3 and 4)."""
+    st = os.stat(os.path.join(sf, f"{name}.parquet"))
+    return (
+        f"{os.path.basename(sf.rstrip('/'))}"
+        f"_{int(st.st_mtime)}_{st.st_size}"
+    )
+
+
 def _rev():
     return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(24,8)"
@@ -376,8 +388,7 @@ def _register_sim_ivf_persisted():
     @register("sim_ivf_persisted", _ORACLES["sim_ivf_quantized"])
     def sim_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
         emb = table(spark, sf, "embeddings")
-        tag = os.path.basename(sf.rstrip("/"))
-        path = f"/tmp/ade_ivf_i8_{tag}"
+        path = f"/tmp/ade_ivf_i8_{_source_tag(sf, 'embeddings')}"
         if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
             ann.save_ivf_i8_index(
                 emb, path, n_centroids=_IVF_N, refine_iters=1
@@ -847,8 +858,10 @@ def _ensure_partitioned_events(spark: SparkSession, sf: str) -> str:
     from ..sources.layout import write_partitioned
     from .catalog import events_table
 
-    tag = os.path.basename(sf.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"ade_part_events_{tag}")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ade_part_events_{_source_tag(sf, 'events')}",
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = events_table(spark, sf).withColumn(
             "event_date", F.to_date("ts")
