@@ -33,6 +33,20 @@ def cosine_distance(a: Column, b: Column) -> Column:
     return F.lit(1.0) - cosine_similarity(a, b)
 
 
+def l2_sq(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² as a left-fold in array order — the PQ training/ADC
+    metric. Same determinism contract as dot(): FLOAT→DOUBLE casts are
+    exact, subtraction/multiply/add are correctly-rounded IEEE ops, and
+    the fold order is the array order on every engine."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda s, x: s + x)
+
+
 # DuckDB-oracle mirrors of the expressions above (same fold order, same
 # float→double casts) — used by __spark_entry__.oracle_sql().
 def duck_dot(a: str, b: str) -> str:
@@ -51,6 +65,15 @@ def duck_norm(a: str) -> str:
 
 def duck_cosine(a: str, b: str) -> str:
     return f"({duck_dot(a, b)} / ({duck_norm(a)} * {duck_norm(b)}))"
+
+
+def duck_l2_sq(a: str, b: str) -> str:
+    """DuckDB mirror of l2_sq (same fold order, same casts)."""
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+        f"* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), 'sum')"
+    )
 
 
 # --- int8 scalar quantization -------------------------------------------

@@ -502,3 +502,217 @@ def duck_bucket(vec: str, planes: list[list[int]] | None = None) -> str:
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {2**p} ELSE 0 END)")
     return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+# ---- product quantization (PQ / ADC) ---------------------------------------
+# The compression step beyond int8 scalar quantization: split each vector
+# into M subspaces and store ONE small code per subspace — at
+# M=8 × ksub=16 a 64-dim float32 vector (256 bytes) becomes 8 codes
+# (8 bytes, 32× at rest; 4 bits/code would halve it again). This is the
+# storage layout of every billion-vector serving system (IVF-PQ); the
+# composition with IVF cell pruning mirrors ivf_quantized_topk above.
+# Like the IVF codebook, PQ training is deterministic and engine-
+# portable: per-subspace centroids are the sub-slices of the ksub
+# smallest-id vectors (a production system would Lloyd-refine offline —
+# the query-time plan is identical), so the DuckDB oracle replays
+# training, encoding, and ADC scoring end-to-end from the same parquet.
+
+# Config picked by measured recall@5 on the fixture embeddings (scan of
+# m×ksub×iters in docs/ROUND4.md): m=8/ksub=16 (8 bytes/vec, 32×) gave
+# 0.22; m=32/ksub=32 with one Lloyd pass gives 0.70 at 20 bytes/vec
+# (12.8× vs float32) — the standard PQ accuracy lever is more, smaller
+# subspaces, not more refinement (2 passes made it worse: overfit seeds).
+PQ_M = 32          # subspaces
+PQ_SUBDIM = 2      # dims per subspace (M * SUBDIM = 64, the fixture dim)
+PQ_KSUB = 32       # centroids per subspace (5-bit codes)
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    ksub: int = PQ_KSUB,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace codebooks: codebooks[s][cid] = sub-slice s of seed
+    vector cid. Bounded collect (ksub rows)."""
+    seeds = _centroid_rows(emb, ksub, vec_col, id_col)
+    return [
+        [(cid, vec[s * subdim : (s + 1) * subdim]) for cid, vec in seeds]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    subdim: int = PQ_SUBDIM,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``codes ARRAY<INT>``: per subspace, the cid of the nearest
+    (min L2²) centroid, ties to the smaller cid (struct-min order).
+    Map-only — the codebooks are literals, so encoding is a pure
+    projection inside whole-stage codegen: no join, no shuffle, no
+    Python. At 100 TB this is the one full scan a PQ build needs."""
+    from ..functions.vector import l2_sq
+
+    code_cols = []
+    for s, cb in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), s * subdim + 1, subdim)
+        cands = F.array(
+            *[
+                F.struct(
+                    l2_sq(
+                        sub, F.array(*[F.lit(float(x)) for x in cvec])
+                    ).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in cb
+            ]
+        )
+        code_cols.append(F.array_min(cands)["cid"])
+    return emb.withColumn("codes", F.array(*code_cols))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    ksub: int = PQ_KSUB,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 1,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k: the query keeps its
+    float vector; each candidate is approximated by its PQ centroids, so
+    approx L2² = Σ_s l2_sq(query_sub_s, centroid[code_s]). The per-
+    subspace terms are summed in subspace order (left fold — matches the
+    oracle's list ORDER BY sub). Returns (query_id, vec_id, rnk,
+    approx_l2) for every query id < query_max_id, k rows each.
+
+    Scale shape: this is the compressed-SCAN baseline (like
+    sim_quantized_topk for int8) — the scan reads 8-byte codes instead
+    of 256-byte vectors; compose with IVF cells for the pruned path. The
+    centroid lookup is element_at on an M×ksub literal matrix — per-row
+    projection work, zero shuffle beyond the final WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import l2_sq
+
+    codebooks = pq_codebooks(emb, m, subdim, ksub, vec_col, id_col)
+    if refine_iters > 0:
+        codebooks = pq_refine_codebooks(
+            emb, codebooks, subdim, vec_col, id_col, iters=refine_iters
+        )
+    encoded = pq_encode(emb, codebooks, subdim, vec_col).select(
+        id_col, "codes"
+    )
+    qs = emb.where(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    # literal cid→centroid map per subspace, keyed by the stored code
+    # (a map, not a positional array: refinement can drop empty cells,
+    # after which cid ≠ list position)
+    cb_maps = [
+        F.map_from_arrays(
+            F.array(*[F.lit(cid) for cid, _ in cb]),
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cvec])
+                    for _cid, cvec in cb
+                ]
+            ),
+        )
+        for cb in codebooks
+    ]
+    approx = None
+    for s in range(m):
+        qsub = F.slice(F.col("_qvec"), s * subdim + 1, subdim)
+        cent = F.element_at(cb_maps[s], F.element_at(F.col("codes"), s + 1))
+        term = l2_sq(qsub, cent)
+        approx = term if approx is None else approx + term
+    cand = encoded.join(F.broadcast(qs), F.col(id_col) != F.col("query_id"))
+    scored = cand.withColumn("approx_l2", approx)
+    w = Window.partitionBy("query_id").orderBy("approx_l2", F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", id_col, "rnk", "approx_l2")
+    )
+
+
+def pq_refine_codebooks(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    subdim: int = PQ_SUBDIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 1,
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic Lloyd's refinement of the PQ codebooks (same role as
+    lloyd_refine_codebook for IVF, different exactness recipe: PQ is an
+    L2 quantizer, so centroid updates must preserve scale — the int8
+    code-mean trick would warp the geometry. Instead the per-position
+    mean is the emb_label_centroids fold: values sorted by vec_id,
+    F.aggregate left fold ≡ DuckDB list_aggregate(list(v ORDER BY
+    vec_id), 'sum'), then one exact division — bit-identical on any
+    engine). Empty cells drop out deterministically (both engines see
+    the same assignment, hence the same surviving cids).
+
+    Scale: one encode (map-only literal projection) + one groupBy over
+    (sub, cid, pos) keys per iteration — m·ksub·subdim groups, a bounded
+    collect. At corpus scale swap the fold for plain F.avg and accept
+    run-to-run float jitter; the fold is the oracle-exact shape."""
+    m = len(codebooks)
+    for _ in range(iters):
+        enc = pq_encode(emb, codebooks, subdim, vec_col)
+        ex = (
+            enc.select(
+                id_col, "codes", F.posexplode(vec_col).alias("p64", "v")
+            )
+            .select(
+                id_col,
+                F.expr(f"p64 div {subdim}").alias("sub"),
+                (F.col("p64") % subdim).alias("spos"),
+                F.col("codes"),
+                F.col("v").cast("double").alias("v"),
+            )
+            .select(
+                id_col,
+                "sub",
+                "spos",
+                F.element_at(
+                    F.col("codes"), (F.col("sub") + 1).cast("int")
+                ).alias("cid"),
+                "v",
+            )
+        )
+        agg = ex.groupBy("sub", "cid", "spos").agg(
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(id_col, "v"))),
+                        lambda s: s["v"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        rows = agg.collect()
+        by_cell: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault((r["sub"], r["cid"]), {})[r["spos"]] = r["c"]
+        codebooks = [
+            sorted(
+                (cid, [vals[p] for p in range(subdim)])
+                for (s, cid), vals in by_cell.items()
+                if s == sub
+            )
+            for sub in range(m)
+        ]
+    return codebooks

@@ -145,3 +145,91 @@ def rel_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
 FROM gs_rev_src
 GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ADC — the compression step beyond sim_quantized_
+# topk's int8 (4×): M=8 subspace codes of ksub=16 make a 64-dim float32
+# vector 8 bytes at rest (32×), the storage layout of billion-vector
+# IVF-PQ serving (Jégou et al., TPAMI'11). Training (sub-slices of the
+# 16 smallest-id seeds), encoding (min-L2² code per subspace, map-only
+# literal projection), and ADC scoring (query keeps floats, candidates
+# are approximated by their centroids; per-subspace terms summed in
+# subspace order) all replay in the oracle from the same parquet. See
+# operators/ann.py:pq_* for the 100 TB shape discussion.
+def _register_sim_pq():
+    from ..functions.vector import duck_l2_sq
+    from ..operators.ann import PQ_KSUB, PQ_M, PQ_SUBDIM
+
+    oracle = f"""WITH subs AS (
+  SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub),
+seeds AS (SELECT vec_id AS cid, embedding FROM embeddings
+          WHERE vec_id < {PQ_KSUB}),
+cent1 AS (
+  SELECT s.sub, cid,
+         list_slice(embedding, s.sub*{PQ_SUBDIM}+1, s.sub*{PQ_SUBDIM}+{PQ_SUBDIM}) AS cvec
+  FROM seeds, subs s),
+subv AS (
+  SELECT vec_id, s.sub,
+         list_slice(embedding, s.sub*{PQ_SUBDIM}+1, s.sub*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sv
+  FROM embeddings, subs s),
+codes1 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT v.vec_id, v.sub, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id, v.sub
+                              ORDER BY {duck_l2_sq('v.sv', 'c.cvec')}, c.cid) AS rn
+    FROM subv v JOIN cent1 c ON v.sub = c.sub)
+  WHERE rn = 1),
+-- one Lloyd pass: per (sub, cid, pos) exact sorted-fold mean of the
+-- assigned subvectors (mirrors pq_refine_codebooks bit-for-bit)
+exs AS (
+  SELECT vec_id,
+         (unnest(generate_series(1, len(embedding))) - 1) // {PQ_SUBDIM} AS sub,
+         (unnest(generate_series(1, len(embedding))) - 1) % {PQ_SUBDIM} AS spos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+cent2p AS (
+  SELECT a.sub, a.cid, e.spos,
+         list_aggregate(list(e.v ORDER BY e.vec_id), 'sum') / count(*) AS c
+  FROM codes1 a JOIN exs e ON a.vec_id = e.vec_id AND a.sub = e.sub
+  GROUP BY a.sub, a.cid, e.spos),
+cent AS (
+  SELECT sub, cid, list(c ORDER BY spos) AS cvec
+  FROM cent2p GROUP BY sub, cid),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT v.vec_id, v.sub, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id, v.sub
+                              ORDER BY {duck_l2_sq('v.sv', 'c.cvec')}, c.cid) AS rn
+    FROM subv v JOIN cent c ON v.sub = c.sub)
+  WHERE rn = 1),
+qsub AS (
+  SELECT vec_id AS query_id, sub, sv AS qv FROM subv WHERE vec_id < 10),
+terms AS (
+  SELECT q.query_id, e.vec_id, e.sub, {duck_l2_sq('q.qv', 'c.cvec')} AS t
+  FROM codes e
+  JOIN cent c ON e.sub = c.sub AND e.cid = c.cid
+  JOIN qsub q ON q.sub = e.sub
+  WHERE e.vec_id <> q.query_id),
+adist AS (
+  SELECT query_id, vec_id,
+         list_aggregate(list(t ORDER BY sub), 'sum') AS approx_l2
+  FROM terms GROUP BY query_id, vec_id),
+ranked AS (
+  SELECT query_id, vec_id, approx_l2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_l2, vec_id) AS rnk
+  FROM adist)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk, approx_l2
+FROM ranked WHERE rnk <= 5"""
+
+    @register("sim_pq_adc_topk", oracle)
+    def sim_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators import ann
+
+        return ann.pq_adc_topk(
+            table(spark, sf, "embeddings"), query_max_id=10, k=5
+        )
+
+
+_register_sim_pq()
