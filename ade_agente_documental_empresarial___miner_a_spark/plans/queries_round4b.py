@@ -233,3 +233,83 @@ FROM ranked WHERE rnk <= 5"""
 
 
 _register_sim_pq()
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# dense (embedding cosine) rankings for the SAME query text — the
+# standard combiner every hybrid search stack runs (RRF, Cormack et al.
+# SIGIR'09: score(d) = Σ_legs 1/(60 + rank_leg(d)); rank-space fusion
+# needs no score normalization between legs, which is why it won). The
+# dense query vector is the engine's own T5 hashing embedder applied to
+# the query string at plan-build time (operators/embedding.embed_one —
+# pure Python, deterministic), so both legs genuinely share one query
+# and the oracle inlines the same 64 literal floats. Each leg reduces
+# with TakeOrderedAndProject before the bounded-10-row rank window; the
+# fusion join is 10×10. Float parity: 1/(60+rank) is one correctly-
+# rounded division, the fusion sum is one addition with fixed operand
+# order (lex + dense) — no fold, no quantization needed.
+def _register_rrf():
+    from ..functions.vector import cosine_similarity, duck_cosine
+    from ..operators.embedding import embed_one
+    from .catalog import _ORACLES
+    from .queries_round4 import _BM25_TERMS, text_bm25_topk
+
+    qtext = " ".join(_BM25_TERMS)
+    qvec = embed_one(qtext)
+    qlit_sql = "[" + ", ".join(repr(float(x)) for x in qvec) + "]"
+
+    oracle = f"""WITH lex0 AS ({_ORACLES["text_bm25_topk"]}),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rnk
+  FROM lex0),
+dense0 AS (
+  SELECT vec_id AS doc_id,
+         {duck_cosine("embedding", qlit_sql)} AS dscore
+  FROM embeddings
+  ORDER BY dscore DESC, doc_id LIMIT 10),
+dense AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY dscore DESC, doc_id) AS vec_rnk
+  FROM dense0)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rnk, d.vec_rnk,
+       COALESCE(1.0 / (60 + l.lex_rnk), 0.0)
+       + COALESCE(1.0 / (60 + d.vec_rnk), 0.0) AS rrf_score
+FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id"""
+
+    @register("sim_rrf_fusion", oracle)
+    def sim_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+        lex0 = text_bm25_topk(spark, sf)  # already TakeOrdered k=10
+        wl = Window.orderBy(F.desc("score"), "doc_id")
+        lex = lex0.withColumn(
+            "lex_rnk", F.row_number().over(wl).cast("long")
+        ).select("doc_id", "lex_rnk")
+
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        emb = table(spark, sf, "embeddings")
+        dense0 = (
+            emb.select(
+                F.col("vec_id").alias("doc_id"),
+                cosine_similarity(F.col("embedding"), qlit).alias("dscore"),
+            )
+            .orderBy(F.desc("dscore"), "doc_id")
+            .limit(10)
+        )
+        wd = Window.orderBy(F.desc("dscore"), "doc_id")
+        dense = dense0.withColumn(
+            "vec_rnk", F.row_number().over(wd).cast("long")
+        ).select("doc_id", "vec_rnk")
+
+        fused = lex.join(dense, ["doc_id"], "full_outer")
+        rrf = F.coalesce(
+            F.lit(1.0) / (F.lit(60) + F.col("lex_rnk")), F.lit(0.0)
+        ) + F.coalesce(
+            F.lit(1.0) / (F.lit(60) + F.col("vec_rnk")), F.lit(0.0)
+        )
+        return fused.select(
+            "doc_id", "lex_rnk", "vec_rnk", rrf.alias("rrf_score")
+        )
+
+
+_register_rrf()
