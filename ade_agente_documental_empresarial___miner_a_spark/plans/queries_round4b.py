@@ -313,3 +313,320 @@ FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id"""
 
 
 _register_rrf()
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-per-key — the batch mirror of a streaming upsert
+# materialized view (the engine's foreachBatch merge in
+# streaming/cdc.py: events are a changelog keyed by (user_id,
+# event_type); last write wins by (ts, event_id)). n_versions counts the
+# changelog depth per key — the compaction-debt metric an upsert sink
+# tracks. One window over the key partition serves both the rank and the
+# count (single shuffle); at scale this is the standard
+# "latest-snapshot-from-log" query and the shuffle key is the upsert
+# key, i.e. exactly how the state store would partition.
+@register(
+    "stream_cdc_latest",
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                          event_type, value FROM events),
+r AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+  FROM ev)
+SELECT user_id, event_type, value AS last_value, ts AS last_ts,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM r WHERE rn = 1""",
+)
+def stream_cdc_latest(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("user_id", "event_type")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(wc).cast("long"))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            "n_versions",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed trending top-k — per tumbling hour, the top-3 event types by
+# count. The windowed counts are the streaming aggregation
+# (tumbling_metrics in streaming/chat_stream.py runs the same groupBy on
+# a stream); the top-k rank runs over the materialized sink — rank over
+# an open streaming aggregate isn't expressible without complete-mode
+# re-emission, so the split IS the production shape (aggregate in the
+# stream, rank in the serving view). WindowGroupLimit prunes the rank.
+@register(
+    "stream_topk_trending",
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+c AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events
+  FROM ev GROUP BY 1, 2)
+SELECT window_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS rnk
+  FROM c)
+WHERE rnk <= 3""",
+)
+def stream_topk_trending(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf)
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture weights — temperature-scaled source sampling (the
+# multilingual-pretraining recipe, e.g. XLM-R's p^α re-weighting): from
+# per-source token mass, compute the raw share p, the α=0.3-tempered
+# share q ∝ p^α, and the sampling boost q/p that a weighted reservoir
+# or per-source rate limiter would apply. All corpus scalars ride a
+# 1-row broadcast; per-source work is one groupBy on a low-cardinality
+# key. Float parity: pow() carries a 1-ulp license, so p^α is quantized
+# to 9 decimals BEFORE the normalizing sum (a sorted fold over the ~20
+# sources), making every downstream division engine-exact.
+@register(
+    "cur_domain_mix",
+    """WITH tok AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM tok),
+p AS (
+  SELECT source, n_docs, n_tokens,
+         round(pow(n_tokens / total_tokens, 0.3), 9) AS pa,
+         n_tokens / total_tokens AS praw
+  FROM tok CROSS JOIN tot),
+z AS (SELECT list_aggregate(list(pa ORDER BY source), 'sum') AS zsum FROM p)
+SELECT source, n_docs, n_tokens,
+       round(praw, 9) AS p_share,
+       round(pa / zsum, 9) AS q_share,
+       round((pa / zsum) / praw, 9) AS boost
+FROM p CROSS JOIN z""",
+)
+def cur_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    tok = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    tot = tok.agg(F.sum("n_tokens").cast("double").alias("total_tokens"))
+    p = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.pow(F.col("n_tokens") / F.col("total_tokens"), 0.3), 9
+        ).alias("pa"),
+        (F.col("n_tokens") / F.col("total_tokens")).alias("praw"),
+    )
+    z = p.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "pa"))),
+                lambda s: s["pa"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("zsum")
+    )
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("praw", 9).alias("p_share"),
+        F.round(F.col("pa") / F.col("zsum"), 9).alias("q_share"),
+        F.round((F.col("pa") / F.col("zsum")) / F.col("praw"), 9).alias(
+            "boost"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — top-3 characteristic terms per document
+# (the classic doc-summarization / topic-tagging primitive; complements
+# text_bm25_topk, which ranks docs for a query — this ranks terms for a
+# doc). Same tokenizer contract as BM25 (whitespace split, len > 3).
+# idf = ln(N/df) quantized to 9 decimals (the catalog's ln() rule);
+# tf·idf multiplies an exact integer by the quantized idf — one
+# correctly-rounded multiply, engine-exact — then is re-quantized for
+# the surfaced score. df/tf are map-side-combinable groupBys; the rank
+# is WindowGroupLimit per doc. Scoped to doc_id < 50 to keep the
+# catalog entry output bounded (the operator itself is corpus-wide).
+@register(
+    "text_tfidf_terms",
+    """WITH tokens AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents)
+  WHERE length(term) > 3),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tokens),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens
+       WHERE doc_id < 50 GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf * round(ln(n_docs / df), 9), 9) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rnk
+  FROM scored)
+WHERE rnk <= 3""",
+)
+def text_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    tokens = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .filter(F.length("term") > 3)
+    )
+    n = tokens.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        tokens.where(F.col("doc_id") < 50)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs") / F.col("df")), 9),
+                9,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted-join equivalence — the catalog entry that pins
+# operators/skew.salted_join's row-level semantics against the PLAIN
+# join the oracle runs: revenue per supplier through a lineitem ⋈
+# supplier join executed with 8-way big-side salting (the rewrite for
+# hot keys AQE can't split — the salt spreads each supplier key over 8
+# reducers; the small side is replicated 8×, broadcast-size here).
+# DECIMAL sums make the aggregate order-insensitive, so the salted
+# shuffle's arbitrary arrival order cannot show through.
+@register(
+    "skew_salted_join_rev",
+    """SELECT s_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name""",
+)
+def skew_salted_join_rev(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = table(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(24,8)")
+        .alias("rev"),
+    )
+    supp = table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    joined = salted_join(li, supp, on="suppkey", salt_buckets=8)
+    return joined.groupBy("s_name").agg(
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash banding over binary payloads — the near-duplicate
+# candidate generator for image/media dedup: hash the binary content,
+# split the hash into bands, and bucket-join docs sharing any band
+# (exactly the LSH banding shape dedup_minhash_lsh uses for text). A
+# real perceptual hash (pHash/aHash over decoded pixels) is env-gated
+# like every decode in sources/multimodal.py; the deterministic stand-in
+# is md5 over the payload bytes, which exercises the identical banding /
+# bucket-join / pair-dedup plumbing with an exact SQL mirror. 8-bit
+# bands (4 per doc) keep bucket fan-out bounded: expected pair count is
+# Σ_buckets C(n_b, 2) with n_b ≈ N/256 — linear in N for uniform
+# hashes, never all-pairs.
+@register(
+    "mm_phash_band_pairs",
+    """WITH h AS (
+  SELECT doc_id, md5(text) AS ph FROM documents),
+bands AS (
+  SELECT doc_id, b.band_idx,
+         substring(ph, b.band_idx * 2 + 1, 2) AS band_val
+  FROM h, (SELECT unnest(generate_series(0, 3)) AS band_idx) b),
+pairs AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         count(*) AS n_shared_bands
+  FROM bands a JOIN bands c
+    ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+   AND a.doc_id < c.doc_id
+  GROUP BY a.doc_id, c.doc_id)
+SELECT doc_a, doc_b, CAST(n_shared_bands AS BIGINT) AS n_shared_bands
+FROM pairs""",
+)
+def mm_phash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    h = docs.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("ph")
+    )
+    bands = h.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
+        "ph",
+    ).select(
+        "doc_id",
+        "band_idx",
+        F.expr("substring(ph, band_idx * 2 + 1, 2)").alias("band_val"),
+    )
+    a = bands.alias("a")
+    c = bands.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )

@@ -269,3 +269,55 @@ def test_funnel_stream_matches_batch_semantics(spark, tmp_path):
     assert u2.converted and str(u2.first_purchase) == "2024-01-01 12:30:00"
     # the pre-view purchase at 10:01 was correctly excluded
     assert str(u2.first_view) == "2024-01-01 10:05:00"
+
+
+def test_cdc_upsert_state_matches_batch_mirror(spark, tmp_path):
+    """Two micro-batches through the foreachBatch upsert sink; final
+    snapshot must equal the stream_cdc_latest batch mirror over the
+    union of all events (same keys, same (ts, event_id) order, same
+    n_versions changelog depth)."""
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.cdc import (
+        cdc_state,
+        cdc_upsert_query,
+    )
+
+    src = tmp_path / "cdc_in"
+    state = tmp_path / "cdc_state"
+    batch1 = EVENTS
+    batch2 = [
+        # overwrites (1, click) with a later ts; same-ts tiebreak by id
+        {"event_id": 9, "ts": "2024-01-01T12:00:00.000Z", "user_id": 1,
+         "event_type": "click", "value": "99", "props": "{}"},
+        {"event_id": 8, "ts": "2024-01-01T12:00:00.000Z", "user_id": 1,
+         "event_type": "click", "value": "88", "props": "{}"},
+        {"event_id": 10, "ts": "2024-01-01T11:00:00.000Z", "user_id": 3,
+         "event_type": "signup", "value": "1", "props": "{}"},
+    ]
+
+    write_events(src, batch1)
+    stream = stream_events(spark, str(src), max_files_per_trigger=1)
+    q = (
+        cdc_upsert_query(stream, str(state))
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    write_events(src, batch2)
+    q = (
+        cdc_upsert_query(stream, str(state))
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, r.event_type): (r.last_value, r.last_event_id, r.n_versions)
+        for r in cdc_state(spark, str(state)).collect()
+    }
+    assert got[(1, "click")] == ("99", 9, 5)  # 4 clicks + late tiebreak win
+    assert got[(2, "view")] == ("1", 3, 1)
+    assert got[(3, "signup")] == ("1", 10, 1)
