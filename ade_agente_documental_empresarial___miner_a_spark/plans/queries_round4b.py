@@ -630,3 +630,144 @@ def mm_phash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history — the other half of the CDC pair: stream_cdc_latest
+# materializes the SNAPSHOT; this builds the full slowly-changing-
+# dimension history (validity intervals per key version) from the same
+# changelog, the standard warehouse dimension-table shape. One lead()
+# window per key in (ts, event_id) order — same single shuffle as the
+# snapshot query; is_current marks the open interval. At scale the
+# history table is append-mostly and partitions by valid_from date.
+@register(
+    "rel_scd2_history",
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                          event_type, value FROM events)
+SELECT user_id, event_type, value AS attr_value,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS BIGINT) AS version,
+       lead(ts) OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) IS NULL AS is_current
+FROM ev""",
+)
+def rel_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection — per label, the 3 members farthest (by
+# cosine distance) from their label centroid: the curation screen that
+# catches mislabeled/garbage vectors before training (the embedding-
+# space sibling of cur_quality_gate). Composes the emb_label_centroids
+# training step (sorted-fold exact means) with a broadcast scoring join
+# — labels×dim centroids are kilobytes at any corpus size — and a
+# per-label WindowGroupLimit. Every reduction is a pos/vec_id-ordered
+# deterministic fold; sqrt is correctly-rounded IEEE; argsort ties break
+# on vec_id. At 100 TB: fold centroids into a literal matrix and score
+# with zip_with per row (pure map) — the exploded-join here is the
+# oracle-exact shape.
+@register(
+    "emb_outlier_scores",
+    """WITH ex AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+cent AS (
+  SELECT label, pos,
+         list_aggregate(list(v ORDER BY vec_id), 'sum') / count(*) AS c
+  FROM ex GROUP BY label, pos),
+cnorm AS (
+  SELECT label, sqrt(list_aggregate(list(c * c ORDER BY pos), 'sum')) AS nc
+  FROM cent GROUP BY label),
+vnorm AS (
+  SELECT vec_id, sqrt(list_aggregate(list(v * v ORDER BY pos), 'sum')) AS nv
+  FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT e.vec_id, e.label,
+         list_aggregate(list(e.v * c.c ORDER BY e.pos), 'sum') AS dot
+  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY e.vec_id, e.label),
+scored AS (
+  SELECT d.vec_id, d.label,
+         1.0 - d.dot / (vnorm.nv * cnorm.nc) AS centroid_dist
+  FROM dots d
+  JOIN vnorm ON d.vec_id = vnorm.vec_id
+  JOIN cnorm ON d.label = cnorm.label)
+SELECT label, vec_id, centroid_dist, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY centroid_dist DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 3""",
+)
+def emb_outlier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    ex = (
+        table(spark, sf, "embeddings")
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+
+    def _fold(col):
+        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+
+    def _sorted_fold(key, val):
+        return _fold(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(key.alias("k"), val.alias("x")))
+                ),
+                lambda s: s["x"],
+            )
+        )
+
+    cent = ex.groupBy("label", "pos").agg(
+        (_sorted_fold(F.col("vec_id"), F.col("v")) / F.count(F.lit(1))).alias("c")
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(
+            _sorted_fold(F.col("pos"), F.col("c") * F.col("c"))
+        ).alias("nc")
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sqrt(
+            _sorted_fold(F.col("pos"), F.col("v") * F.col("v"))
+        ).alias("nv")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            _sorted_fold(F.col("pos"), F.col("v") * F.col("c")).alias("dot")
+        )
+    )
+    scored = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "label",
+            "vec_id",
+            (
+                F.lit(1.0) - F.col("dot") / (F.col("nv") * F.col("nc"))
+            ).alias("centroid_dist"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("centroid_dist"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
