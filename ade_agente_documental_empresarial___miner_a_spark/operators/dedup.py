@@ -420,3 +420,108 @@ def paragraph_dedup(
         F.sum("kept").cast("long").alias("n_kept"),
         (F.count(F.lit(1)) - F.sum("kept")).cast("long").alias("n_removed"),
     )
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring detection: for every doc, the fraction of
+    its ``span_words``-word windows (every start offset, stride 1) that
+    also occur verbatim in at least one OTHER document.
+
+    This is the distributed approximation of suffix-array substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): a suffix array finds duplicated spans of
+    ANY length on one machine; at cluster scale the standard re-expression
+    is fixed-length rolling n-gram fingerprints — any duplicated run of
+    >= span_words words is covered by at least one shared window, so the
+    per-doc duplicated fraction is a faithful contamination signal.
+
+    Scale shape: explode is map-side (one row per window); the per-gram
+    distinct-doc count is ONE hash aggregate on md5-uniform keys with
+    partial aggregation; the gram->count join is co-partitioned on the
+    same key (single exchange each side); the final per-doc rollup
+    re-uses the ``spread(by=doc_id)`` pre-partitioning so the exploded
+    side never re-shuffles for it. Mega-duplicated grams (boilerplate)
+    skew the gram key — AQE skew-join handles the join side; the
+    aggregate side is safe (partial agg collapses before shuffle).
+
+    Returns (doc_id, n_spans, dup_spans, dup_frac) — docs shorter than
+    ``span_words`` words have no windows and are absent (the caller
+    left-joins if absence must be surfaced).
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = (
+        spread(docs, id_col)
+        .select(F.col(id_col).alias("doc_id"), words.alias("w"))
+        .where(F.size("w") >= span_words)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (span_words - 1)),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("w"), i, span_words), " ")),
+                )
+            ).alias("gram"),
+        )
+    )
+    per_gram = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        grams.join(per_gram, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("dup_spans"),
+            F.round(
+                F.sum((F.col("nd") >= 2).cast("long")) / F.count(F.lit(1)), 9
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    historic: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: classify each NEW document against the
+    already-ingested corpus without re-deduplicating the corpus itself.
+
+    status = 'dup_historic'  — content hash already exists in `historic`
+             'dup_in_batch'  — first seen in this batch, but an earlier
+                               (smaller id) row of the SAME batch has it
+             'new'           — genuinely novel content
+
+    Scale shape: the historic side reduces to DISTINCT content hashes —
+    at 100 TB that set is far too large to broadcast, so the membership
+    probe is a shuffle LEFT join on md5-uniform keys (no skew). Spark's
+    runtime bloom-filter injection (spark.sql.optimizer.runtime.
+    bloomFilter.enabled) turns it into a pre-filtered probe when the new
+    batch is small relative to history — the common nightly-ingest case.
+    Within-batch ordering is a window over the same hash key, so both
+    steps share one partitioning.
+    """
+    h = F.md5(normalized_text(F.col(text_col)))
+    hist_hashes = historic.select(h.alias("text_hash")).distinct()
+    batch = new_batch.select(F.col(id_col).alias("doc_id"), h.alias("text_hash"))
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        batch.join(
+            hist_hashes.withColumn("in_hist", F.lit(1)), "text_hash", "left"
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "text_hash",
+            F.when(F.col("in_hist").isNotNull(), F.lit("dup_historic"))
+            .when(F.col("rk") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
