@@ -187,3 +187,198 @@ def rel_json_props(spark: SparkSession, sf: str) -> DataFrame:
         F.min(k).alias("k_min"),
         F.max(k).alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment — the canonical streaming-ETL join: the event
+# firehose enriched against a slowly-changing dimension (customer
+# master), aggregated per (tumbling hour, market segment). ONE code path
+# (streaming/chat_stream.py::enriched_metrics) serves both the live
+# stream (test_streaming.py drives a file stream through it) and this
+# batch mirror; the dim side is broadcast (re-used across micro-batches,
+# never reshuffled with the stream).
+@register(
+    "stream_static_enrich",
+    f"""WITH {DUCK_EVENTS}
+SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM ev JOIN customer ON user_id = c_custkey
+GROUP BY window_start, c_mktsegment""",
+)
+def stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.chat_stream import enriched_metrics
+
+    return enriched_metrics(
+        events_table(spark, sf), table(spark, sf, "customer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade graph — the catalog's iterative-
+# algorithm representative. Edges: DISTINCT (customer nation -> supplier
+# nation) pairs realized by lineitems (the Q7 join shape); 3 unrolled
+# power iterations with damping 0.85. Iterative float math is the parity
+# minefield here: each node's inbound contribution sum has engine-
+# specific fold order, so every contribution is quantized round(·,12)
+# then summed as DECIMAL(22,12) (order-insensitive, exact at scale 12),
+# and each new rank is re-quantized round(·,12) — the recurrence is
+# bit-identical on both engines at every iteration. Scale shape: the
+# contribution join is co-partitioned on src; rank/deg/node frames are
+# node-sized (tiny vs edges); at web scale each iteration is one shuffle
+# and the loop would checkpoint every few iterations to cut lineage —
+# noted, not needed for 3 unrolled steps.
+_PR_ITERS = 3
+
+
+def _pagerank_sql() -> str:
+    parts = [
+        """edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n, 12) AS pr
+       FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node,
+         CAST(round(r.pr / d.outdeg, 12) AS DECIMAL(22,12)) AS c
+  FROM r{i - 1} r JOIN edges e ON r.node = e.src JOIN deg d ON e.src = d.src),
+s{i} AS (SELECT node, sum(c) AS csum FROM c{i} GROUP BY node),
+r{i} AS (
+  SELECT nodes.node,
+         round(CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(CAST(csum AS DOUBLE), CAST(0 AS DOUBLE)),
+               12) AS pr
+  FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node CROSS JOIN nn)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT r{_PR_ITERS}.node AS nationkey, n_name AS nation, pr AS pagerank
+FROM r{_PR_ITERS} JOIN nation ON node = n_nationkey"""
+    )
+
+
+@register("graph_pagerank", _pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 12).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contribs = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("pr") / F.col("outdeg"), 12)
+                .cast("decimal(22,12)")
+                .alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("csum"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("csum").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+        )
+    return ranks.join(
+        F.broadcast(nation), ranks["node"] == F.col("n_nationkey")
+    ).select(
+        F.col("node").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.col("pr").alias("pagerank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram language-model scoring — the KenLM-perplexity stand-in
+# (CCNet's quality signal) computable without external models: train the
+# trigram unigram-frequency model ON the corpus (one hash aggregate),
+# then score each doc by mean log-probability of its trigrams. Same
+# quantize-then-fold discipline as BM25: ln() carries a 1-ulp JVM/glibc
+# license, so each log is round(·,9)-quantized and summed as
+# DECIMAL(20,9); the per-doc mean divides the exact decimal sum once.
+# Plan: explode is map-side on the spread(doc_id) partitioning; the
+# gram->model join is co-partitioned on the gram key; corpus total rides
+# a 1-row broadcast.
+@register(
+    "text_trigram_lm",
+    """WITH grams AS (
+  SELECT doc_id, substr(text, i, 3) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 2)) AS i
+        FROM documents WHERE length(text) >= 3)),
+model AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM model)
+SELECT doc_id, count(*) AS n_trigrams,
+       round(CAST(sum(logp) AS DOUBLE) / count(*), 9) AS avg_logp
+FROM (SELECT doc_id, CAST(round(ln(cnt / total), 9) AS DECIMAL(20,9)) AS logp
+      FROM grams JOIN model USING (g) CROSS JOIN tot)
+GROUP BY doc_id""",
+)
+def text_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import spread
+
+    docs = spread(table(spark, sf, "documents"), "doc_id")
+    grams = docs.where(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    model = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = model.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = (
+        grams.join(model, "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("cnt") / F.col("total")), 9)
+            .cast("decimal(20,9)")
+            .alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 9).alias(
+            "avg_logp"
+        ),
+    )

@@ -294,3 +294,44 @@ def dedup_events_stream(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def enriched_metrics(
+    events: DataFrame,
+    dim: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a slowly-
+    changing dimension (customer master), then aggregate revenue per
+    (tumbling window, market segment).
+
+    ONE code path for both engines — the batch mirror
+    ``stream_static_enrich`` calls this with a batch frame. The dim side
+    is marked broadcast: in a stream-static join the static side is
+    re-usable across micro-batches and a customer master (even 10^9 rows
+    of it) is dwarfed by a 100 TB event firehose; if the dim outgrows
+    broadcast, Spark falls back to a per-batch shuffle join with the
+    SAME semantics. The post-join aggregate is the standard watermarked
+    tumbling shape (state bounded by the watermark horizon).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    joined = src.join(
+        F.broadcast(dim.select("c_custkey", "c_mktsegment")),
+        src["user_id"] == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy(F.window("ts", window).alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -93,3 +93,29 @@ def test_text_normalize_catalog_entry(spark):
     # fixture corpus is single-spaced lowercase ASCII -> idempotent
     assert row["changed"] == 0
     assert df.where(F.length("norm_hash") != 32).count() == 0
+
+
+def test_graph_pagerank_is_a_distribution(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        queries_round4c as q,
+    )
+
+    rows = q.graph_pagerank(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 25
+    total = sum(r["pagerank"] for r in rows)
+    # leaky formulation: mass from dangling nations is dropped, so the
+    # total is <= 1 and within the teleport floor of 1
+    assert 0.15 <= total <= 1.000001
+    assert all(r["pagerank"] >= 0.15 / 25 - 1e-9 for r in rows)
+
+
+def test_trigram_lm_scores_are_negative_logs(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        queries_round4c as q,
+    )
+
+    df = q.text_trigram_lm(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["avg_logp"] < 0 for r in rows)
+    assert all(r["n_trigrams"] > 0 for r in rows)

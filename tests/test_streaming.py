@@ -321,3 +321,46 @@ def test_cdc_upsert_state_matches_batch_mirror(spark, tmp_path):
     assert got[(1, "click")] == ("99", 9, 5)  # 4 clicks + late tiebreak win
     assert got[(2, "view")] == ("1", 3, 1)
     assert got[(3, "signup")] == ("1", 10, 1)
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Live stream-static join: the SAME enriched_metrics code path over
+    a file stream + a static dim must agree with the batch run."""
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+        enriched_metrics,
+    )
+
+    src = tmp_path / "events_enrich"
+    write_events(src, EVENTS)
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], "c_custkey long, c_mktsegment string"
+    )
+    stream = stream_events(spark, str(src))
+    agg = enriched_metrics(stream, dim, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    live = {
+        (str(r.window_start), r.c_mktsegment): (r.n_events, r.total_value)
+        for r in spark.sql("select * from enrich_out").collect()
+    }
+    batch_events = spark.createDataFrame(
+        [
+            (e["event_id"], e["ts"].replace("T", " ").replace(".000Z", ""),
+             e["user_id"], e["event_type"], float(e["value"]), e["props"])
+            for e in EVENTS
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        (str(r.window_start), r.c_mktsegment): (r.n_events, r.total_value)
+        for r in enriched_metrics(batch_events, dim).collect()
+    }
+    assert live == batch
+    assert live[("2024-01-01 10:00:00", "BUILDING")] == (3, 14.0)
+    assert live[("2024-01-01 11:00:00", "MACHINERY")] == (1, 1.0)
