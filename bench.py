@@ -41,6 +41,11 @@ HEADLINE = [
     "e1_ingest_chunks",        # binary scan -> extract -> sections -> chunks
     "cur_repetition_signals",  # Gopher repetition rules (explode+groupBy)
     "cur_decontaminate",       # benchmark-overlap scrub (broadcast side)
+    # round-4 additions (tracked from their first round; not part of the
+    # 16-query round-over-round comparable subset)
+    "dedup_substring",         # rolling 8-word-window span dedup
+    "text_trigram_lm",         # corpus-trained trigram LM scoring
+    "graph_pagerank",          # 3 unrolled power iterations on the trade graph
 ]
 
 
