@@ -382,3 +382,139 @@ def text_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
             "avg_logp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel — the composite every training-data team
+# reports: per source, how many docs entered, survived the quality gate,
+# survived exact dedup among survivors, and how many tokens ship. Spark
+# side COMPOSES the real operators (quality_gate + first-occurrence
+# window); the oracle restates the same textstats formulas the
+# cur_quality_gate oracle uses (imported fragments, not re-derived).
+# Scale shape: gate is map-only; dedup is one window on md5-uniform
+# hash; the per-source rollup is a 20-key aggregate.
+def _funnel_sql() -> str:
+    from ..operators.textstats import STOPWORDS
+    from .queries_ext import _BEST, _HIT_EXPRS, _PRED, _duck_in_list
+    from .queries_round3 import _DUCK_QUALITY
+
+    return f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ({_duck_in_list(STOPWORDS)}))) AS DOUBLE) AS stop_hits
+  FROM documents),
+h AS (SELECT doc_id, n_words, n_chars, stop_hits, {_HIT_EXPRS} FROM w),
+g AS (
+  SELECT doc_id,
+         CASE WHEN {_BEST} > 0 THEN {_PRED} ELSE 'unk' END AS pred_lang,
+         {_DUCK_QUALITY} AS quality,
+         CAST(n_words AS BIGINT) AS n_tokens
+  FROM h),
+s AS (
+  SELECT g.doc_id, d.source, d.text, g.n_tokens,
+         (pred_lang <> 'unk' AND quality >= 0.45
+          AND n_tokens BETWEEN 5 AND 5000) AS passes
+  FROM g JOIN documents d USING (doc_id)),
+surv AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(trim(lower(text)))
+                            ORDER BY doc_id) = 1 AS is_first
+  FROM s WHERE passes)
+SELECT source,
+       count(*) AS n_input,
+       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN coalesce(is_first, false) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN coalesce(is_first, false) THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_out
+FROM s LEFT JOIN surv USING (doc_id)
+GROUP BY source"""
+
+
+@register("cur_corpus_funnel", _funnel_sql())
+def cur_corpus_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.curation import quality_gate
+    from ..operators.dedup import normalized_text
+
+    docs = table(spark, sf, "documents")
+    gated = quality_gate(docs).select("doc_id", "n_tokens", "passes")
+    flags = docs.select(
+        "doc_id", "source", F.md5(normalized_text(F.col("text"))).alias("h")
+    ).join(gated, "doc_id")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    surv = (
+        flags.where("passes")
+        .withColumn("is_first", F.row_number().over(w) == 1)
+        .select("doc_id", "is_first")
+    )
+    full = flags.join(surv, "doc_id", "left")
+    first = F.coalesce(F.col("is_first"), F.lit(False))
+    return full.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("passes").cast("long")).alias("n_quality"),
+        F.sum(first.cast("long")).alias("n_unique"),
+        F.sum(F.when(first, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "tokens_out"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Columnar sink fidelity: ORC round trip — the second columnar format a
+# lakehouse ingests besides parquet (Spark ships the ORC reader/writer
+# in-core). The query writes documents to ORC ONCE per fixture identity
+# (mtime+size cache key — a regenerated fixture invalidates), reads it
+# back, and the oracle is the identity SELECT on the parquet source:
+# parity === bit-exact round-trip fidelity for longs and UTF-8 strings.
+# The same shape at 100 TB is a distributed format-migration job; the
+# read-back scan gets the same pushdown/pruning treatment as parquet.
+def _roundtrip_dir(sf: str, fmt: str) -> str:
+    import os
+    import tempfile
+
+    from .queries_round4 import _source_tag
+
+    return os.path.join(
+        tempfile.gettempdir(), f"ade_{fmt}_{_source_tag(sf, 'documents')}"
+    )
+
+
+@register(
+    "s9_orc_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def s9_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    out = _roundtrip_dir(sf, "orc")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf, "documents").write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-based interchange: JSONL round trip — newline-delimited JSON is the
+# lingua franca of crawl/annotation pipelines. Write once per fixture
+# identity, read back with an EXPLICIT schema (schema inference is a
+# second full scan and makes the result schema data-dependent — never at
+# 100 TB). Oracle = identity SELECT: parity proves value fidelity
+# through JSON serialization (integer longs, UTF-8 text).
+@register(
+    "s10_jsonl_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def s10_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    out = _roundtrip_dir(sf, "jsonl")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf, "documents").write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(out)

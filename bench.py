@@ -109,11 +109,23 @@ def scale10x_queries(qs):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         return lsh_verified_pairs(docs, num_perm=32, bands=8, threshold=0.3)
 
+    from ade_agente_documental_empresarial___miner_a_spark.operators.dedup import (
+        substring_duplicate_spans,
+    )
+
+    def substring_scale(spark, sf_dir):
+        # substring-span dedup at 10x docs (50k at sf0.1): the replica
+        # corpus is duplicate-dense, so the gram join carries real
+        # multi-doc grams, not a degenerate all-unique fast path
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return substring_duplicate_spans(docs)
+
     return {
         "t2_section_assign": qs["t2_section_assign"],
         "t3_chunk_pipeline": qs["t3_chunk_pipeline"],
         "dedup_lsh_verified_sharp": lsh_verified_sharp,
         "dedup_clusters_sharp": clusters_sharp,
+        "dedup_substring": substring_scale,
     }
 
 

@@ -119,3 +119,29 @@ def test_trigram_lm_scores_are_negative_logs(spark):
     assert len(rows) > 0
     assert all(r["avg_logp"] < 0 for r in rows)
     assert all(r["n_trigrams"] > 0 for r in rows)
+
+
+def test_corpus_funnel_is_monotone(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        queries_round4c as q,
+    )
+
+    rows = q.cur_corpus_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_input"] >= r["n_quality"] >= r["n_unique"] >= 0
+        assert (r["tokens_out"] > 0) == (r["n_unique"] > 0)
+
+
+def test_format_roundtrips_preserve_rows(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        queries_round4c as q,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn in (q.s9_orc_roundtrip, q.s10_jsonl_roundtrip):
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.count() == src.count()
+        assert df.schema == src.select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).schema
