@@ -95,17 +95,30 @@ _RECHECK = frozenset(
 
 
 def driver_ordered(mapping: dict) -> dict:
-    """Driver-facing iteration order: not-yet-green and re-check names first
-    (inside the driver's ~50-entry CORRECTNESS window), recorded-green last.
-    Used ONLY by __spark_entry__.py — everything else gets registration
-    order from queries()/oracle_sql()."""
-    front = {
+    """Driver-facing iteration order, used ONLY by __spark_entry__.py —
+    everything else gets registration order from queries()/oracle_sql().
+
+    Three tiers: (1) names with NO recorded green — new work must land
+    inside the driver's ~50-entry CORRECTNESS window at least once;
+    (2) _RECHECK names — green on record but implementation touched this
+    round, so the external gate should re-verify rather than trust the
+    stale record; (3) recorded-green last. When the catalog outgrows the
+    window, the cut lands in tier 2/3 (names that DO have a recorded
+    green + a full tools/parity re-run each round), never in tier 1."""
+    never = {
+        k: v for k, v in mapping.items() if k not in _DRIVER_GREEN
+    }
+    recheck = {
         k: v
         for k, v in mapping.items()
-        if k not in _DRIVER_GREEN or k in _RECHECK
+        if k in _DRIVER_GREEN and k in _RECHECK
     }
-    back = {k: v for k, v in mapping.items() if k not in front}
-    return {**front, **back}
+    back = {
+        k: v
+        for k, v in mapping.items()
+        if k not in never and k not in recheck
+    }
+    return {**never, **recheck, **back}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
