@@ -146,6 +146,7 @@ def _load():
     from . import queries_round4  # noqa: F401
     from . import queries_round4b  # noqa: F401
     from . import queries_round4c  # noqa: F401
+    from . import queries_round4d  # noqa: F401
 
     _LOADED = True
 

@@ -1,0 +1,91 @@
+"""Unit tests for the round-4d batch (parity vs DuckDB is covered by
+tools/parity.py / the driver gate — these pin semantics on hand-built
+inputs and structural properties on the fixtures)."""
+
+from pyspark.sql import functions as F
+
+from ade_agente_documental_empresarial___miner_a_spark.plans import (
+    queries_round4d as q,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_weighted_median_reaches_half_weight(spark):
+    rows = {r["l_returnflag"]: r for r in q.rel_weighted_median(spark, SF).collect()}
+    assert set(rows) == {"A", "N", "R"}
+    for r in rows.values():
+        assert r["weighted_median_qty"] is not None
+        assert 1 <= r["weighted_median_qty"] <= 50
+        assert r["total_weight"] > 0
+
+
+def test_zorder_buckets_are_locality_boxes(spark):
+    rows = q.rel_zorder_keys(spark, SF).collect()
+    assert len(rows) > 1
+    for r in rows:
+        # each z-bucket must span a narrow box in BOTH dimensions —
+        # the defining property of the interleave (bucket of 2^6 zvals
+        # can cover at most 2^3 distinct values per dimension)
+        assert r["ux_max"] - r["ux_min"] < 8
+        assert r["dy_max"] - r["dy_min"] < 8
+
+
+def test_cms_estimate_is_one_sided(spark):
+    rows = q.rel_heavy_hitters_cms(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_cms"] >= r["n_exact"] > 0
+
+
+def test_curriculum_phases_are_ordered_by_quality(spark):
+    rows = sorted(
+        q.cur_curriculum_phases(spark, SF).collect(), key=lambda r: r["phase"]
+    )
+    assert [r["phase"] for r in rows] == [1, 2, 3, 4]
+    qualities = [r["avg_quality"] for r in rows]
+    assert qualities == sorted(qualities)
+
+
+def test_containment_is_directional(spark):
+    # b contains ALL of a's shingles (a is a verbatim quote inside b);
+    # c shares nothing. containment(a->b) = 1.0, containment(b->a) < 1.
+    quote = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, quote),
+        (1, "intro words here " + quote + " trailing commentary words"),
+        (2, "x1 x2 x3 x4 x5 x6 x7 x8"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import ade_agente_documental_empresarial___miner_a_spark.plans.queries_round4d as m
+
+    # drive the same plan body via a temp parquet dir
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ade_containment_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in m.dedup_containment(spark, d).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert out[(1, 0)] < 1.0
+    assert not any(2 in k for k in out)
+
+
+def test_asof_cogrouped_matches_dataframe_asof(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans.queries_ext import (
+        rel_asof_join,
+    )
+
+    cg = {
+        r["event_id"]: (r["matched_event_id"], r["lag_us"])
+        for r in q.rel_asof_cogrouped(spark, SF).collect()
+    }
+    df = {
+        r["event_id"]: (r["matched_event_id"], r["lag_us"])
+        for r in rel_asof_join(spark, SF).collect()
+    }
+    assert cg == df
