@@ -417,20 +417,19 @@ s AS (
          (pred_lang <> 'unk' AND quality >= 0.45
           AND n_tokens BETWEEN 5 AND 5000) AS passes
   FROM g JOIN documents d USING (doc_id)),
-surv AS (
-  SELECT doc_id,
-         row_number() OVER (PARTITION BY md5(trim(lower(text)))
-                            ORDER BY doc_id) = 1 AS is_first
-  FROM s WHERE passes)
+r AS (
+  SELECT doc_id, source, n_tokens, passes,
+         (passes AND row_number() OVER (
+              PARTITION BY md5(trim(lower(text)))
+              ORDER BY passes DESC, doc_id) = 1) AS is_first
+  FROM s)
 SELECT source,
        count(*) AS n_input,
        CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-       CAST(sum(CASE WHEN coalesce(is_first, false) THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_unique,
-       CAST(sum(CASE WHEN coalesce(is_first, false) THEN n_tokens ELSE 0 END)
-            AS BIGINT) AS tokens_out
-FROM s LEFT JOIN surv USING (doc_id)
-GROUP BY source"""
+       CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN is_first THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_out
+FROM r GROUP BY source"""
 
 
 @register("cur_corpus_funnel", _funnel_sql())
@@ -445,21 +444,20 @@ def cur_corpus_funnel(spark: SparkSession, sf: str) -> DataFrame:
     flags = docs.select(
         "doc_id", "source", F.md5(normalized_text(F.col("text"))).alias("h")
     ).join(gated, "doc_id")
-    w = Window.partitionBy("h").orderBy("doc_id")
-    surv = (
-        flags.where("passes")
-        .withColumn("is_first", F.row_number().over(w) == 1)
-        .select("doc_id", "is_first")
-    )
-    full = flags.join(surv, "doc_id", "left")
-    first = F.coalesce(F.col("is_first"), F.lit(False))
-    return full.groupBy("source").agg(
+    # ONE window, no survivors self-join (a flags⋈surv left join would
+    # re-scan and re-evaluate the quality expressions on a second
+    # branch): ordering passing docs first makes "rn == 1 among
+    # survivors" computable on the full frame.
+    w = Window.partitionBy("h").orderBy(F.col("passes").desc(), "doc_id")
+    first = F.col("passes") & (F.row_number().over(w) == 1)
+    r = flags.withColumn("is_first", first)
+    return r.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("passes").cast("long")).alias("n_quality"),
-        F.sum(first.cast("long")).alias("n_unique"),
-        F.sum(F.when(first, F.col("n_tokens")).otherwise(F.lit(0))).alias(
-            "tokens_out"
-        ),
+        F.sum(F.col("is_first").cast("long")).alias("n_unique"),
+        F.sum(
+            F.when(F.col("is_first"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("tokens_out"),
     )
 
 
