@@ -147,6 +147,7 @@ def _load():
     from . import queries_round4b  # noqa: F401
     from . import queries_round4c  # noqa: F401
     from . import queries_round4d  # noqa: F401
+    from . import queries_round4e  # noqa: F401
 
     _LOADED = True
 

@@ -1,0 +1,253 @@
+"""Round-4 catalog additions, fifth batch — distributed linear algebra
+(top principal component via matrix-free power iteration), pointwise
+mutual information over the corpus co-occurrence graph, and z-score
+anomaly detection over hourly event counts.
+
+Parity discipline: every fold-order-sensitive float sum is quantized
+round(·,12) then summed as DECIMAL (the PageRank recipe — proven to keep
+an ITERATIVE recurrence bit-identical across engines); ln() results are
+round(·,9); variance/mean expressions are written with one fixed
+operation order on both engines over exact integer inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import DUCK_EVENTS, events_table, register, table
+
+_DIM = 64
+_PCA_ITERS = 2
+
+
+# ---------------------------------------------------------------------------
+# Top principal component, matrix-free power iteration: v <- X'(Xv),
+# normalized — never materializes the 64x64 covariance (at 100 TB the
+# Gram matrix accumulation would be one giant shuffle of d² cells; the
+# matrix-free form is two co-partitioned joins per iteration, each
+# O(N·d) map work, with the d-vector riding a broadcast). Start vector
+# is the exact double 1/8 per position (uniform unit vector — 1/sqrt(64)
+# is exactly representable, so iteration 0 is bit-clean on both
+# engines). Two unrolled iterations; each dot/sum uses the quantize-
+# then-decimal-fold recipe, so the whole recurrence is engine-exact.
+# NOTE: mean-centering is deliberately omitted (the hashing embedder
+# output is near-centered); this is the dominant-direction extractor,
+# the building block under PCA/pq codebook drift monitoring.
+def _pca_sql() -> str:
+    parts = [
+        f"""e AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) - 1 AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS xij
+  FROM embeddings),
+v0 AS (SELECT unnest(generate_series(0, {_DIM - 1})) AS j,
+              CAST(0.125 AS DOUBLE) AS vj)"""
+    ]
+    for i in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT vec_id,
+         CAST(sum(CAST(round(xij * vj, 12) AS DECIMAL(26,12))) AS DOUBLE)
+           AS s
+  FROM e JOIN v{i - 1} USING (j) GROUP BY vec_id),
+w{i} AS (
+  SELECT j,
+         CAST(sum(CAST(round(xij * s, 12) AS DECIMAL(26,12))) AS DOUBLE)
+           AS w
+  FROM e JOIN s{i} USING (vec_id) GROUP BY j),
+n{i} AS (
+  SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(30,12)))
+              AS DOUBLE)) AS nrm
+  FROM w{i}),
+v{i} AS (SELECT j, round(w / nrm, 12) AS vj FROM w{i} CROSS JOIN n{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(j AS BIGINT) AS pos, vj AS loading FROM v{_PCA_ITERS}"""
+    )
+
+
+@register("emb_pca_power", _pca_sql())
+def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    e = emb.select("vec_id", F.posexplode("x").alias("j", "xij"))
+    v = spark.range(_DIM).select(
+        F.col("id").alias("j"), F.lit(0.125).alias("vj")
+    )
+    for _ in range(_PCA_ITERS):
+        s = (
+            e.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    F.round(F.col("xij") * F.col("vj"), 12).cast(
+                        "decimal(26,12)"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
+        )
+        w = (
+            e.join(s, "vec_id")
+            .groupBy("j")
+            .agg(
+                F.sum(
+                    F.round(F.col("xij") * F.col("s"), 12).cast(
+                        "decimal(26,12)"
+                    )
+                )
+                .cast("double")
+                .alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("w") * F.col("w"), 12).cast(
+                        "decimal(30,12)"
+                    )
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "j", F.round(F.col("w") / F.col("nrm"), 12).alias("vj")
+        )
+    return v.select(
+        F.col("j").cast("long").alias("pos"), F.col("vj").alias("loading")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence — the corpus association measure under word
+# embeddings and collocation mining: for word pairs sharing a document,
+# pmi = ln(df_xy · N / (df_x · df_y)) over PRESENCE counts. The pair
+# join is per-document (distinct words self-joined within doc_id) —
+# bounded by per-doc vocabulary, never the global vocab square; df
+# floors (pair df >= 5) keep noise pairs out. All ln() arguments are
+# exact small-integer ratios; the surfaced pmi is round(·,9).
+@register(
+    "text_pmi_pairs",
+    """WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+df AS (SELECT w, count(*) AS dfw FROM tok GROUP BY w),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS df_xy
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+  HAVING count(*) >= 5)
+SELECT w1, w2, CAST(df_xy AS BIGINT) AS df_xy,
+       round(ln(df_xy * n_docs / (d1.dfw * d2.dfw)), 9) AS pmi
+FROM pairs
+JOIN df d1 ON pairs.w1 = d1.w
+JOIN df d2 ON pairs.w2 = d2.w
+CROSS JOIN n""",
+)
+def text_pmi_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    n = docs.agg(
+        F.count_distinct("doc_id").cast("double").alias("n_docs")
+    )
+    df = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("df_xy"))
+        .where(F.col("df_xy") >= 5)
+    )
+    d1 = df.select(F.col("w").alias("w1"), F.col("dfw").alias("df1"))
+    d2 = df.select(F.col("w").alias("w2"), F.col("dfw").alias("df2"))
+    return (
+        pairs.join(d1, "w1")
+        .join(d2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("df_xy").cast("long").alias("df_xy"),
+            F.round(
+                F.log(
+                    F.col("df_xy")
+                    * F.col("n_docs")
+                    / (F.col("df1") * F.col("df2"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly anomaly z-scores — the monitoring query over the event stream's
+# materialized hourly counts: hours whose count deviates >= 2 sigma from
+# that event type's mean. Mean/variance come from EXACT integer sums
+# (count, sum, sum-of-squares are all BIGINT), so the only float work is
+# the final fixed-order expression — identical text on both engines —
+# and the z-score is round(·,9). At scale this runs over the streaming
+# aggregate's sink (750 rows per month per type), not the raw events.
+@register(
+    "stream_anomaly_hours",
+    f"""WITH {DUCK_EVENTS},
+c AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt
+  FROM ev GROUP BY event_type, hr),
+st AS (
+  SELECT event_type,
+         count(*) AS n_hours,
+         sum(cnt) AS s1,
+         sum(cnt * cnt) AS s2
+  FROM c GROUP BY event_type)
+SELECT c.event_type, c.hr, CAST(c.cnt AS BIGINT) AS cnt,
+       round((c.cnt - CAST(s1 AS DOUBLE) / n_hours)
+             / sqrt(CAST(s2 AS DOUBLE) / n_hours
+                    - (CAST(s1 AS DOUBLE) / n_hours)
+                      * (CAST(s1 AS DOUBLE) / n_hours)), 9) AS zscore
+FROM c JOIN st ON c.event_type = st.event_type
+WHERE s2 * n_hours > s1 * s1
+  AND abs((c.cnt - CAST(s1 AS DOUBLE) / n_hours)
+          / sqrt(CAST(s2 AS DOUBLE) / n_hours
+                 - (CAST(s1 AS DOUBLE) / n_hours)
+                   * (CAST(s1 AS DOUBLE) / n_hours))) >= 2.0""",
+)
+def stream_anomaly_hours(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf)
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    st = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = F.col("s2").cast("double") / F.col("n_hours") - mean * mean
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        c.join(st, "event_type")
+        .where(
+            (F.col("s2") * F.col("n_hours") > F.col("s1") * F.col("s1"))
+            & (F.abs(z) >= 2.0)
+        )
+        .select(
+            "event_type",
+            "hr",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(z, 9).alias("zscore"),
+        )
+    )

@@ -89,3 +89,44 @@ def test_asof_cogrouped_matches_dataframe_asof(spark):
         for r in rel_asof_join(spark, SF).collect()
     }
     assert cg == df
+
+
+def test_pca_loading_is_unit_norm(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        queries_round4e as q5,
+    )
+
+    rows = q5.emb_pca_power(spark, SF).collect()
+    assert len(rows) == 64
+    norm2 = sum(r["loading"] ** 2 for r in rows)
+    # quantized to 12 dp per component -> norm within 1e-9 of 1
+    assert abs(norm2 - 1.0) < 1e-9
+
+
+def test_pmi_pairs_are_canonical_and_bounded(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        queries_round4e as q5,
+    )
+
+    import math
+
+    rows = q5.text_pmi_pairs(spark, SF).collect()
+    assert len(rows) > 0
+    n_docs = (
+        spark.read.parquet(SF + "/documents.parquet").select("doc_id").count()
+    )
+    for r in rows:
+        assert r["w1"] < r["w2"]          # canonical orientation
+        assert r["df_xy"] >= 5            # df floor applied
+        # presence PMI is bounded by ln(N / df_xy) (df_x, df_y >= df_xy)
+        assert r["pmi"] <= math.log(n_docs / r["df_xy"]) + 1e-9
+
+
+def test_anomaly_hours_exceed_two_sigma(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        queries_round4e as q5,
+    )
+
+    rows = q5.stream_anomaly_hours(spark, SF).collect()
+    for r in rows:
+        assert abs(r["zscore"]) >= 2.0
