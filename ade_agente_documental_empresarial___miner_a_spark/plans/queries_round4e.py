@@ -251,3 +251,43 @@ def stream_anomaly_hours(spark: SparkSession, sf: str) -> DataFrame:
             F.round(z, 9).alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram — the two-pass binning pattern: pass 1 reduces to
+# a 1-row (min, max) frame (broadcast, never collected to the driver);
+# pass 2 assigns bins map-side and aggregates 20 keys. The bin
+# expression is written once, identically, for both engines: floor on a
+# deterministic double ratio, clamped so value == max lands in the top
+# bin. Value mass per bin rides DECIMAL(18,2).
+@register(
+    "rel_value_histogram",
+    """WITH st AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
+SELECT CAST(least(floor((value - vmin) / ((vmax - vmin) / 20.0)), 19.0)
+            AS BIGINT) AS bin,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_mass
+FROM events CROSS JOIN st
+GROUP BY bin""",
+)
+def rel_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_table(spark, sf).select("value")
+    st = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    binned = ev.crossJoin(F.broadcast(st)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / ((F.col("vmax") - F.col("vmin")) / 20.0)
+            ),
+            F.lit(19.0),
+        )
+        .cast("long")
+        .alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value_mass"),
+    )
