@@ -291,3 +291,77 @@ def rel_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("value_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill — the hypertable staple (TimescaleDB
+# time_bucket_gapfill / locf): materialize the COMPLETE hourly grid per
+# event type from a 1-row bounds frame, left-join the observed hourly
+# aggregate, and forward-fill value mass with the last observation
+# (hours before a type's first observation stay NULL — no fabricated
+# data). Grid generation is a broadcast explode (bounded by the time
+# span, independent of event volume); the fill is one per-type ordered
+# window — the same partitioning the hourly aggregate already has.
+@register(
+    "rel_gap_fill",
+    f"""WITH {DUCK_EVENTS},
+c AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS vm
+  FROM ev GROUP BY event_type, hr),
+b AS (SELECT min(hr) AS hmin, max(hr) AS hmax FROM c),
+grid AS (
+  SELECT t.event_type,
+         unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS hr
+  FROM (SELECT DISTINCT event_type FROM c) t CROSS JOIN b),
+j AS (
+  SELECT g.event_type, g.hr, c.n, c.vm
+  FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr)
+SELECT event_type, hr,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       CAST(last_value(vm IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY hr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS value_mass_ff,
+       (n IS NULL) AS filled
+FROM j""",
+)
+def rel_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = events_table(spark, sf)
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("vm"),
+    )
+    b = c.agg(F.min("hr").alias("hmin"), F.max("hr").alias("hmax"))
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("hmin"), F.col("hmax"), F.expr("interval 1 hour")
+                )
+            ).alias("hr"),
+        )
+    )
+    j = grid.join(c, ["event_type", "hr"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "hr",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("vm", ignorenulls=True).over(w).cast("double").alias(
+            "value_mass_ff"
+        ),
+        F.col("n").isNull().alias("filled"),
+    )
