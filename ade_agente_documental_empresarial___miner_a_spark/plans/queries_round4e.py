@@ -365,3 +365,104 @@ def rel_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.col("n").isNull().alias("filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA over the gap-filled hourly series — the truncated exponentially
+# weighted moving average (24-hour lookback, alpha = 0.3) on top of the
+# same complete grid rel_gap_fill materializes (gaps count as 0 events,
+# so lag offsets are true hours). Parity design: the weights
+# alpha·(1-alpha)^j are computed ONCE in Python and embedded as
+# identical literals in both plans — pow() never runs in either engine;
+# each term is round(·,9)-quantized and the 24 terms add as exact
+# decimals in a fixed chain. Rows with fewer than 24 hours of history
+# are excluded (no partial-window renormalization). One window
+# partition per event type carries all 24 lags — a single shuffle.
+# Precision budget: terms are DECIMAL(14,9) because a chained 24-term
+# decimal addition grows precision by +1 per add on BOTH engines —
+# 14+23 = 37 stays under the 38 cap, so the scale is never truncated
+# (DECIMAL(20,9) terms overflowed the cap and Spark silently reduced
+# the result scale to 6, shearing the last three digits).
+_EWMA_LAGS = 24
+_EWMA_ALPHA = 0.3
+_EWMA_WEIGHTS = [
+    repr(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j) for j in range(_EWMA_LAGS)
+]
+
+
+def _ewma_sql() -> str:
+    terms = " + ".join(
+        f"CAST(round(CAST({w} AS DOUBLE) * lag(x, {j}) OVER w, 9)"
+        f" AS DECIMAL(14,9))"
+        for j, w in enumerate(_EWMA_WEIGHTS)
+    )
+    return f"""WITH {DUCK_EVENTS},
+c AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM ev GROUP BY event_type, hr),
+b AS (SELECT min(hr) AS hmin, max(hr) AS hmax FROM c),
+grid AS (
+  SELECT t.event_type,
+         unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS hr
+  FROM (SELECT DISTINCT event_type FROM c) t CROSS JOIN b),
+x AS (
+  SELECT g.event_type, g.hr, coalesce(c.n, CAST(0 AS DOUBLE)) AS x
+  FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr),
+e AS (
+  SELECT event_type, hr, x,
+         CAST(({terms}) AS DOUBLE) AS ewma,
+         lag(x, {_EWMA_LAGS - 1}) OVER w AS oldest
+  FROM x WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+SELECT event_type, hr, CAST(x AS BIGINT) AS n_events, ewma
+FROM e WHERE oldest IS NOT NULL"""
+
+
+@register("rel_ewma_hourly", _ewma_sql())
+def rel_ewma_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = events_table(spark, sf)
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    b = c.agg(F.min("hr").alias("hmin"), F.max("hr").alias("hmax"))
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("hmin"), F.col("hmax"), F.expr("interval 1 hour")
+                )
+            ).alias("hr"),
+        )
+    )
+    x = grid.join(c, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce(F.col("n"), F.lit(0.0)).alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    terms = None
+    for j, wt in enumerate(_EWMA_WEIGHTS):
+        t = (
+            F.round(F.lit(float(wt)) * F.lag("x", j).over(w), 9)
+            .cast("decimal(14,9)")
+        )
+        terms = t if terms is None else terms + t
+    e = x.select(
+        "event_type",
+        "hr",
+        "x",
+        terms.cast("double").alias("ewma"),
+        F.lag("x", _EWMA_LAGS - 1).over(w).alias("oldest"),
+    )
+    return e.where(F.col("oldest").isNotNull()).select(
+        "event_type",
+        "hr",
+        F.col("x").cast("long").alias("n_events"),
+        "ewma",
+    )
