@@ -130,3 +130,56 @@ def test_anomaly_hours_exceed_two_sigma(spark):
     rows = q5.stream_anomaly_hours(spark, SF).collect()
     for r in rows:
         assert abs(r["zscore"]) >= 2.0
+
+
+def test_gap_fill_marks_gaps_and_carries_forward(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        queries_round4e as q5,
+    )
+
+    rows = q5.rel_gap_fill(spark, SF).collect()
+    by_key = {(r["event_type"], str(r["hr"])): r for r in rows}
+    assert len(rows) > 0
+    # grid is complete: every type covers the same number of hours
+    from collections import Counter
+
+    per_type = Counter(r["event_type"] for r in rows)
+    assert len(set(per_type.values())) == 1
+    for r in rows:
+        if r["filled"]:
+            assert r["n_events"] == 0
+
+
+def test_ewma_needs_full_lookback(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        queries_round4e as q5,
+    )
+
+    gap = q5.rel_gap_fill(spark, SF)
+    ew = q5.rel_ewma_hourly(spark, SF)
+    n_types = gap.select("event_type").distinct().count()
+    # exactly 23 leading rows are dropped per type (full 24-hour lookback)
+    assert ew.count() == gap.count() - 23 * n_types
+    assert ew.where("ewma < 0").count() == 0
+
+
+def test_substring_spans_empty_input(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.operators.dedup import (
+        substring_duplicate_spans,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert substring_duplicate_spans(empty).count() == 0
+
+
+def test_incremental_dedup_empty_history(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in incremental_dedup(batch, empty).collect()}
+    assert out == {1: "new", 2: "dup_in_batch"}
