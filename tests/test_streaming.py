@@ -19,11 +19,19 @@ from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream imp
 
 
 def write_events(dirpath, events):
+    import os
+
     dirpath.mkdir(parents=True, exist_ok=True)
-    p = dirpath / f"batch_{time.time_ns()}.json"
+    ns = time.time_ns()
+    p = dirpath / f"batch_{ns}.json"
     with open(p, "w") as f:
         for e in events:
             f.write(json.dumps(e) + "\n")
+    # Pin mtime to the name's timestamp: the file source orders batches
+    # by (mtime, path), and under heavy load two quick writes can land
+    # on identical mtimes — the cross-micro-batch tests depend on write
+    # order, so make it explicit instead of racing the filesystem clock.
+    os.utime(p, ns=(ns, ns))
 
 
 EVENTS = [
