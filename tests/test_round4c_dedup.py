@@ -145,3 +145,33 @@ def test_format_roundtrips_preserve_rows(spark):
         assert df.schema == src.select(
             "doc_id", "text", "lang", "source", "n_chars"
         ).schema
+
+
+def test_incremental_dedup_bloom_filter_injects_at_scale_shape(spark):
+    """The docstring's scale claim, pinned: when the membership probe is
+    a shuffle join (the only possibility at corpus scale — emulated by
+    disabling auto-broadcast), Spark's runtime bloom-filter injection
+    rewrites the probe side with bloom_filter_agg/might_contain."""
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        queries_round4c as q,
+    )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q.dedup_incremental(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
