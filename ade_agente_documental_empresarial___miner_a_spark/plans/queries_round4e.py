@@ -466,3 +466,134 @@ def rel_ewma_hourly(spark: SparkSession, sf: str) -> DataFrame:
         F.col("x").cast("long").alias("n_events"),
         "ewma",
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — the eval harness every ANN deployment runs
+# before turning down nprobe: recall@5 of the IVF path against exact
+# brute-force, over a deterministic probe set (vec_id % 64 == 3). Both
+# legs rank by the same bit-identical cosine with the same tie-break,
+# so the overlap count — and therefore the recall — is engine-exact.
+# Scale shape: the IVF leg touches only the probed cells per query; the
+# exact leg (the expensive one) is precisely the cost the IVF path
+# avoids — which is why evals run on a sampled probe set, as here.
+_EVAL_K = 5
+_EVAL_NPROBE = 4
+
+
+def _ivf_recall_sql() -> str:
+    from .queries_ext import _DUCK_IVF_CODEBOOK
+    from ..functions.vector import duck_cosine
+
+    return f"""WITH {_DUCK_IVF_CODEBOOK},
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {duck_cosine("e.embedding", "c.cvec")} DESC,
+                                     c.cid DESC) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+queries AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id % 64 = 3),
+qc AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {duck_cosine("c.cvec", "q.qvec")} DESC,
+                                       c.cid DESC) AS rn
+    FROM cent c CROSS JOIN queries q)
+  WHERE rn <= {_EVAL_NPROBE}),
+ivf5 AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, ce.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {duck_cosine("ce.embedding", "q.qvec")} DESC,
+                                       ce.vec_id) AS rn
+    FROM cells ce JOIN qc ON ce.cell = qc.cid
+    JOIN queries q ON q.qid = qc.qid)
+  WHERE rn <= {_EVAL_K}),
+exact5 AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {duck_cosine("e.embedding", "q.qvec")} DESC,
+                                       e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN queries q)
+  WHERE rn <= {_EVAL_K})
+SELECT exact5.qid,
+       CAST(count(ivf5.vec_id) AS BIGINT) AS n_overlap,
+       round(count(ivf5.vec_id) / {_EVAL_K}, 9) AS recall
+FROM exact5 LEFT JOIN ivf5
+  ON exact5.qid = ivf5.qid AND exact5.vec_id = ivf5.vec_id
+GROUP BY exact5.qid"""
+
+
+@register("sim_ivf_recall", _ivf_recall_sql())
+def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import cosine_similarity
+    from ..operators.ann import (
+        _cell_scores,
+        ivf_assign,
+        lloyd_refine_codebook,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    cents = lloyd_refine_codebook(emb, 16, iters=1)
+    assigned = ivf_assign(emb, 16, cents=cents)
+    probed = F.slice(
+        F.sort_array(_cell_scores(F.col("qvec"), cents), asc=False),
+        1,
+        _EVAL_NPROBE,
+    )
+    queries = (
+        emb.where(F.col("vec_id") % 64 == 3)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        .withColumn(
+            "_cells", F.transform(probed, lambda s: s["cid"].cast("long"))
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+    ivf5 = (
+        assigned.join(
+            F.broadcast(queries),
+            F.array_contains(F.col("_cells"), F.col("cell")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qvec")).alias(
+                "score"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _EVAL_K)
+        .select("qid", "vec_id")
+    )
+    exact5 = (
+        emb.crossJoin(F.broadcast(queries.select("qid", "qvec")))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qvec")).alias(
+                "score"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _EVAL_K)
+        .select("qid", "vec_id")
+    )
+    j = exact5.join(
+        ivf5.withColumnRenamed("vec_id", "ivf_vec"),
+        (exact5["qid"] == ivf5["qid"])
+        & (exact5["vec_id"] == F.col("ivf_vec")),
+        "left",
+    )
+    return j.groupBy(exact5["qid"].alias("qid")).agg(
+        F.count("ivf_vec").alias("n_overlap"),
+        F.round(F.count("ivf_vec") / _EVAL_K, 9).alias("recall"),
+    )

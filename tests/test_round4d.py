@@ -183,3 +183,17 @@ def test_incremental_dedup_empty_history(spark):
     )
     out = {r["doc_id"]: r["status"] for r in incremental_dedup(batch, empty).collect()}
     assert out == {1: "new", 2: "dup_in_batch"}
+
+
+def test_ivf_recall_eval_bounds(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        queries_round4e as q5,
+    )
+
+    rows = q5.sim_ivf_recall(spark, SF).collect()
+    assert len(rows) == 8  # vec_id % 64 == 3 probes over the 500-vec fixture
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_overlap"] == round(r["recall"] * 5)
+    # the self-vector always lands in its own probed cell -> recall > 0
+    assert all(r["recall"] > 0 for r in rows)
