@@ -148,6 +148,7 @@ def _load():
     from . import queries_round4c  # noqa: F401
     from . import queries_round4d  # noqa: F401
     from . import queries_round4e  # noqa: F401
+    from . import queries_round4f  # noqa: F401
 
     _LOADED = True
 

@@ -278,6 +278,87 @@ def funnel_state(events: DataFrame) -> DataFrame:
     )
 
 
+TWS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_types", LongType()),
+    ]
+)
+
+
+class TypeCountsProcessor:
+    """``transformWithStateInPandas`` processor — the successor API to
+    ``applyInPandasWithState`` (Spark 4: typed state primitives, timers,
+    TTL; requires the RocksDB state store provider). Per user: total
+    event count in a ValueState, per-event-type counts in a MapState —
+    the distinct-type cardinality falls out of the map's key set without
+    ever storing raw events, so state is bounded by the type vocabulary,
+    not the stream. Batch mirror: catalog ``stream_tws_type_counts``
+    (count + count_distinct per user), where the DuckDB oracle checks
+    the values; the live test drives this class across micro-batches.
+    """
+
+    def init(self, handle):
+        self._total = handle.getValueState("total", "n long")
+        self._per_type = handle.getMapState(
+            "per_type", "event_type string", "n long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        n = self._total.get()[0] if self._total.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+            for etype, cnt in pdf.groupby("event_type").size().items():
+                prev = (
+                    self._per_type.getValue((etype,))[0]
+                    if self._per_type.containsKey((etype,))
+                    else 0
+                )
+                self._per_type.updateValue((etype,), (prev + int(cnt),))
+        self._total.update((n,))
+        n_types = sum(1 for _ in self._per_type.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "n_types": [n_types],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues):
+        pass
+
+    def close(self):
+        pass
+
+
+def tws_type_counts(events: DataFrame) -> DataFrame:
+    """Per-user running (event count, distinct-type count) via
+    ``transformWithStateInPandas``. Caller must run with
+    ``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider`` (the TWS operator's requirement)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    # subclass dynamically so the module imports even if the
+    # StatefulProcessor ABC moves; the methods above are the contract
+    proc = type(
+        "TypeCountsStatefulProcessor",
+        (TypeCountsProcessor, StatefulProcessor),
+        {},
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_events_stream(
     stream: DataFrame,
     keys: tuple = ("user_id", "event_type"),

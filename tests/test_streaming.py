@@ -372,3 +372,150 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     assert live == batch
     assert live[("2024-01-01 10:00:00", "BUILDING")] == (3, 14.0)
     assert live[("2024-01-01 11:00:00", "MACHINERY")] == (1, 1.0)
+
+
+def test_tws_plan_construction(spark, tmp_path):
+    """transformWithStateInPandas plan building is protobuf-free: the
+    streaming DataFrame must analyze with the contract schema even in
+    this container (where the TWS *runtime* is env-gated, below)."""
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+        tws_type_counts,
+    )
+
+    src = tmp_path / "events_tws_plan"
+    write_events(src, EVENTS)
+    out = tws_type_counts(stream_events(spark, str(src)))
+    assert out.isStreaming
+    assert out.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,n_types:bigint>"
+    )
+
+
+def test_tws_type_counts_live(spark, tmp_path):
+    """transformWithStateInPandas (the Spark-4 successor stateful API)
+    across TWO micro-batches: MapState accumulates per-type counts, the
+    final update row per user must equal the batch mirror
+    (stream_tws_type_counts: count + count_distinct). Requires the
+    RocksDB state store provider — set for this query, restored after.
+
+    ENV-GATED: the TWS Python driver worker speaks protobuf to the
+    state server; this container has no ``google.protobuf`` and no
+    reachable pip index (same degrade class as PyMuPDF/openpyxl —
+    documented in docs/ROUND4.md). The processor logic itself is
+    covered protobuf-free by test_tws_processor_logic_batchwise."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+        tws_type_counts,
+    )
+
+    src = tmp_path / "events_tws"
+    write_events(src, EVENTS)  # batch 1: u1 click x3, u2 view x1
+    time.sleep(0.01)
+    write_events(src, [
+        {"event_id": 5, "ts": "2024-01-01T12:00:00.000Z", "user_id": 1,
+         "event_type": "view", "value": "3", "props": "{}"},
+        {"event_id": 6, "ts": "2024-01-01T12:05:00.000Z", "user_id": 2,
+         "event_type": "view", "value": "4", "props": "{}"},
+    ])
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events(spark, str(src))
+        out = tws_type_counts(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    # keep the LAST update per user (micro-batch order = file order)
+    final = {}
+    for r in spark.sql("select * from tws_out").collect():
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    assert final[1].n_events == 4 and final[1].n_types == 2
+    assert final[2].n_events == 2 and final[2].n_types == 1
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def getValue(self, k):
+        return self._m[k]
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def keys(self):
+        return iter(self._m.keys())
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeMapState())
+
+
+def test_tws_processor_logic_batchwise():
+    """Protobuf-free check of the TypeCountsProcessor contract: state
+    accumulates across two simulated micro-batches and the emitted row
+    matches the batch mirror (count + count_distinct)."""
+    import pandas as pd
+
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+        TypeCountsProcessor,
+    )
+
+    proc = TypeCountsProcessor()
+    proc.init(_FakeHandle())
+    b1 = pd.DataFrame({"event_type": ["click", "click", "view"]})
+    out1 = list(proc.handleInputRows((1,), iter([b1]), None))[0]
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 1, "n_events": 3, "n_types": 2,
+    }
+    b2 = pd.DataFrame({"event_type": ["scroll", "click"]})
+    out2 = list(proc.handleInputRows((1,), iter([b2]), None))[0]
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 1, "n_events": 5, "n_types": 3,
+    }
