@@ -243,13 +243,26 @@ def _verify_jaccard(
     sizes: DataFrame,
     id_col: str,
     threshold: float,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs only: O(candidates × shingles),
-    independent of any shingle's corpus frequency."""
+    independent of any shingle's corpus frequency.
+
+    ``broadcast_candidates`` pins the candidate-side broadcast for the
+    first join (pairs ⋈ doc_a shingles). Left to AQE, this join is
+    bimodal under concurrent memory pressure — the size estimate for
+    the post-LSH pair list sometimes tips AQE into sort-merge, which
+    re-shuffles the entire exploded shingle table (observed 10–26 s
+    swings on the 50k-doc bench leg; the broadcast mode is the plan
+    every audit recorded). The candidate list is output-sensitive
+    (near-dup pairs + band FPs), orders of magnitude below the shingle
+    table; set False only if candidates outgrow the broadcast budget —
+    the semantics are identical, it just re-enables the shuffle path."""
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    cand_side = F.broadcast(cands) if broadcast_candidates else cands
     common = (
-        cands.join(sa, "doc_a")
+        cand_side.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -277,6 +290,7 @@ def lsh_verified_pairs(
     bands: int = 4,
     shingle_n: int = 2,
     threshold: float = 0.3,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """The scale path for near-dup detection: MinHash-LSH candidate
     generation followed by exact Jaccard verification of ONLY the
@@ -293,7 +307,9 @@ def lsh_verified_pairs(
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    return _verify_jaccard(cands, sh, sizes, id_col, threshold)
+    return _verify_jaccard(
+        cands, sh, sizes, id_col, threshold, broadcast_candidates
+    )
 
 
 def connected_components(

@@ -90,6 +90,10 @@ _RECHECK = frozenset(
         "skew_salted_agg",         # round 4: salted_join/docs hardening
         "rel_sessionize",          # round 4: with_session_ids refactor
         "stream_sliding_2h1h",     # round 4: routed through sliding_metrics
+        # round 4 continuation: _verify_jaccard candidate-broadcast pin
+        "dedup_lsh_verified",
+        "dedup_clusters",
+        "dedup_ngram_jaccard",
     }
 )
 
