@@ -221,3 +221,43 @@ def rel_recursive_ancestors(spark: SparkSession, sf: str) -> DataFrame:
     # name other SQL entries might register
     table(spark, sf, "nation").createOrReplaceTempView("_rec_nation")
     return spark.sql(_REC_SQL.replace(" nation", " _rec_nation"))
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource — the connector-authoring API
+# (sources/pydatasource.py): a registered ``arith_grid`` format whose
+# partitions() contract drives task planning exactly like a real
+# connector's splits. The entry reads 10,000 generated rows across 8
+# Python-worker partitions and reduces them to per-residue counts +
+# exact sums; quadratic-residue structure makes the result
+# non-trivial (classes have 0 or ~2x density). Oracle mirrors with
+# generate_series — the source is hermetic and deterministic by
+# contract, so this is a true connector round-trip check.
+_GRID_ROWS = 10_000
+
+
+@register(
+    "s11_python_datasource",
+    f"""SELECT (i * i) % {97} AS residue,
+       count(*) AS n,
+       CAST(sum(i) AS BIGINT) AS i_sum
+FROM (SELECT unnest(generate_series(0, {_GRID_ROWS - 1})) AS i)
+GROUP BY residue""",
+)
+def s11_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.pydatasource import ArithGridDataSource
+
+    try:
+        spark.dataSource.register(ArithGridDataSource)
+    except Exception:
+        pass  # already registered in this session
+    grid = (
+        spark.read.format("arith_grid")
+        .option("n_rows", _GRID_ROWS)
+        .option("n_parts", 8)
+        .load()
+    )
+    return grid.groupBy("residue").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("i").cast("long").alias("i_sum"),
+    )

@@ -97,3 +97,42 @@ def test_recursive_ancestors_chain(spark):
     assert chain == [(0, 11), (1, 5), (2, 2), (3, 0)]
     # root has only itself
     assert [(r.depth, r.anc_nk) for r in rows if r.nk == 0] == [(0, 0)]
+
+
+def test_python_datasource_partitions_and_rows(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.sources.pydatasource import (
+        ArithGridDataSource,
+        ArithGridReader,
+    )
+
+    # partition planning: ceil-split covers [0, n) exactly, no overlap
+    r = ArithGridReader({"n_rows": "10", "n_parts": "4"})
+    spans = [(p.start, p.end) for p in r.partitions()]
+    assert spans == [(0, 3), (3, 6), (6, 9), (9, 10)]
+    covered = [i for s, e in spans for i in range(s, e)]
+    assert covered == list(range(10))
+
+    try:
+        spark.dataSource.register(ArithGridDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("arith_grid")
+        .option("n_rows", 100)
+        .option("n_parts", 4)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 100
+    assert df.rdd.getNumPartitions() == 4
+    got = {r.i: r.residue for r in rows}
+    assert got[10] == 100 % 97 == 3
+    assert sorted(got) == list(range(100))
+
+
+def test_python_datasource_catalog_entry(spark):
+    rows = q.s11_python_datasource(spark, SF).collect()
+    assert sum(r.n for r in rows) == 10_000
+    assert sum(r.i_sum for r in rows) == 10_000 * 9_999 // 2
+    # quadratic residues mod 97: exactly (97+1)/2 = 49 classes occur
+    assert len(rows) == 49

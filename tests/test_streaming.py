@@ -18,19 +18,25 @@ from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream imp
 )
 
 
+_last_write_ns = 0
+
+
 def write_events(dirpath, events):
     import os
 
+    global _last_write_ns
     dirpath.mkdir(parents=True, exist_ok=True)
-    ns = time.time_ns()
+    # Pin mtime to the name's timestamp: the file source orders batches
+    # by mtime, and the cross-micro-batch tests depend on write order.
+    # Hadoop's FileStatus truncates mtime to MILLISECONDS, so two quick
+    # writes inside the same ms still tie even with distinct ns — force
+    # each file at least 2 ms after the previous one.
+    ns = max(time.time_ns(), _last_write_ns + 2_000_000)
+    _last_write_ns = ns
     p = dirpath / f"batch_{ns}.json"
     with open(p, "w") as f:
         for e in events:
             f.write(json.dumps(e) + "\n")
-    # Pin mtime to the name's timestamp: the file source orders batches
-    # by (mtime, path), and under heavy load two quick writes can land
-    # on identical mtimes — the cross-micro-batch tests depend on write
-    # order, so make it explicit instead of racing the filesystem clock.
     os.utime(p, ns=(ns, ns))
 
 
