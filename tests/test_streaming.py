@@ -525,3 +525,41 @@ def test_tws_processor_logic_batchwise():
     assert out2.iloc[0].to_dict() == {
         "user_id": 1, "n_events": 5, "n_types": 3,
     }
+
+
+def test_trending_topk_live(spark, tmp_path):
+    """Live half of stream_topk_trending's split (aggregate in the
+    stream, rank in the serving view): drive tumbling counts through a
+    real stream, rank the materialized sink, compare with ranking the
+    same events at rest."""
+    from pyspark.sql.window import Window
+
+    events = [
+        {"event_id": i, "ts": "2024-01-01T10:%02d:00.000Z" % (i % 50),
+         "user_id": 1, "event_type": t, "value": "1", "props": "{}"}
+        for i, t in enumerate(
+            ["click"] * 5 + ["view"] * 3 + ["scroll"] * 2 + ["buy"] * 1
+        )
+    ]
+    src = tmp_path / "trend_in"
+    write_events(src, events)
+    agg = tumbling_metrics(stream_events(spark, str(src)), window="1 hour")
+    qr = (
+        agg.writeStream.format("memory")
+        .queryName("trend_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(qr)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    ranked = (
+        spark.sql("select * from trend_out")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .collect()
+    )
+    got = {(r.event_type): (r.n_events, r.rnk) for r in ranked}
+    assert got == {"click": (5, 1), "view": (3, 2), "scroll": (2, 3)}
