@@ -261,3 +261,48 @@ def s11_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("i").cast("long").alias("i_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning — the RUNTIME half of partition pruning
+# (rel_partition_pruned_scan covers the static half): the fact side is
+# hive-partitioned on event_date; the probe side is a dim whose
+# qualifying dates are only known at run time (busiest weekday per
+# user-0 cohort here: a deterministic stand-in for "dates in the
+# current campaign" dims). Catalyst injects a DynamicPruningExpression
+# subquery into the fact scan's PartitionFilters, so only the dim's
+# partitions are read — at 100 TB this is the difference between
+# scanning 3 days and scanning 3 years. The test pins the
+# dynamicpruning marker in the executed plan.
+@register(
+    "rel_dpp_join",
+    """WITH ev AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, event_type,
+         CAST(value AS DECIMAL(18,6)) AS vd
+  FROM events),
+dim AS (
+  SELECT DISTINCT event_date FROM ev
+  WHERE extract(day FROM event_date) IN (10, 11, 12))
+SELECT e.event_date, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vd) AS DOUBLE) AS total_value
+FROM ev e JOIN dim d ON e.event_date = d.event_date
+GROUP BY e.event_date, e.event_type""",
+)
+def rel_dpp_join(spark: SparkSession, sf: str) -> DataFrame:
+    from .queries_round4 import _ensure_partitioned_events
+
+    path = _ensure_partitioned_events(spark, sf)
+    ev = spark.read.parquet(path)
+    dim = (
+        ev.where(F.dayofmonth("event_date").isin(10, 11, 12))
+        .select("event_date")
+        .distinct()
+    )
+    joined = ev.join(F.broadcast(dim), "event_date")
+    return joined.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

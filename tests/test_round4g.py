@@ -136,3 +136,16 @@ def test_python_datasource_catalog_entry(spark):
     assert sum(r.i_sum for r in rows) == 10_000 * 9_999 // 2
     # quadratic residues mod 97: exactly (97+1)/2 = 49 classes occur
     assert len(rows) == 49
+
+
+def test_dpp_join_prunes_partitions_dynamically(spark):
+    df = q.rel_dpp_join(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fact scan must carry a runtime pruning subquery, not a static
+    # literal filter — the defining marker of dynamic partition pruning
+    assert "dynamicpruning" in plan.lower()
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.event_date.day in (10, 11, 12)
