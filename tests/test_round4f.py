@@ -142,3 +142,39 @@ def test_semdedup_lower_id_kept(spark):
     for r in rows:
         if r.vec_id == min_per_cell[r.cell]:
             assert not r.is_dup
+
+
+def test_gini_udaf_equals_mean_absolute_difference(spark):
+    """Property: the sorted index-weighted formula the UDAF computes is
+    algebraically the half relative mean absolute difference
+    G = Σᵢⱼ|xᵢ-xⱼ| / (2n·Σx). Cross-check on random integer data."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    gini = q._make_gini_udaf()
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=2,
+            max_size=40,
+        ).filter(lambda xs: sum(xs) > 0)
+    )
+    def check(xs):
+        df = spark.createDataFrame(
+            [("g", int(v), i) for i, v in enumerate(xs)],
+            "grp string, cents long, key long",
+        )
+        got = (
+            df.groupBy("grp")
+            .agg(gini(df.cents, df.key).alias("g"))
+            .collect()[0]
+            .g
+        )
+        n, sx = len(xs), sum(xs)
+        mad = sum(abs(a - b) for a in xs for b in xs)
+        expect = mad / (2.0 * n * sx)
+        assert abs(got - expect) < 1e-9
+
+    check()
