@@ -143,3 +143,92 @@ def rel_approx_percentile_contract(
         "exact_p50",
         ok.alias("approx_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function family, part 2 — the rank-distribution trio the
+# original battery (rel_window_family) leaves out: percent_rank (rank
+# position scaled to [0,1]), cume_dist (inclusive CDF), nth_value
+# (frame-positional pick). Distribution functions are the feature-
+# engineering staple for score normalization. Exactness: both engines
+# define percent_rank = (rank-1)/(n-1) and cume_dist = peers≤x / n on
+# exact integers; the division is one IEEE op — bit-identical. Same
+# single per-supplier window partitioning as part 1 (one shuffle).
+@register(
+    "rel_window_family2",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(percent_rank() OVER wq, 9) AS qty_pctrank,
+       round(cume_dist() OVER wq, 9) AS qty_cumedist,
+       nth_value(l_quantity, 3) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_qty
+FROM lineitem
+WINDOW wq AS (PARTITION BY l_suppkey
+              ORDER BY l_quantity, l_orderkey, l_linenumber)""",
+)
+def rel_window_family2(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf, "lineitem")
+    wq = Window.partitionBy("l_suppkey").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wt = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.percent_rank().over(wq), 9).alias("qty_pctrank"),
+        F.round(F.cume_dist().over(wq), 9).alias("qty_cumedist"),
+        F.nth_value("l_quantity", 3).over(wt).alias("third_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured XML extraction (from_xml, Spark 4 native) — the reference
+# ACCEPTS xml uploads (app.py:191) but only strips markup (S2); this is
+# the schema-full path: typed extraction from an XML attribute bag.
+# The XML is constructed deterministically from order columns, so the
+# DuckDB oracle (no XML support) computes the same result from the
+# source columns directly — from_xml is thereby checked against ground
+# truth, not against another parser. Map-only until the 3-key rollup.
+@register(
+    "s12_xml_extract",
+    """SELECT o_orderstatus AS status,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderkey % 10 < 3
+GROUP BY o_orderstatus""",
+)
+def s12_xml_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ords = table(spark, sf, "orders").where(
+        F.col("o_orderkey") % 10 < 3
+    )
+    xml = ords.select(
+        F.concat(
+            F.lit("<order status=\""),
+            F.col("o_orderstatus"),
+            F.lit("\"><price>"),
+            F.col("o_totalprice").cast("string"),
+            F.lit("</price></order>"),
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc", "`_status` STRING, price DOUBLE"
+        ).alias("x")
+    )
+    return parsed.groupBy(
+        F.col("x._status").alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x.price").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -53,3 +53,43 @@ def test_approx_percentile_contract_holds(spark):
     for r in rows:
         assert r.approx_ok
         assert r.exact_p50 > 0
+
+
+def test_window_family2_distribution_bounds(spark):
+    rows = q.rel_window_family2(spark, SF).collect()
+    assert rows
+    by_supp = {}
+    for r in rows:
+        by_supp.setdefault(r.l_suppkey, []).append(r)
+    for supp, grp in list(by_supp.items())[:5]:
+        prs = sorted(r.qty_pctrank for r in grp)
+        cds = sorted(r.qty_cumedist for r in grp)
+        assert prs[0] == 0.0 and prs[-1] == 1.0
+        assert cds[-1] == 1.0 and all(0 < c <= 1 for c in cds)
+        # third_qty is NULL for the first two rows of the time order
+        timed = sorted(
+            grp, key=lambda r: (r.l_orderkey, r.l_linenumber)
+        )
+        nulls = [r for r in grp if r.third_qty is None]
+        assert len(nulls) == min(2, len(grp))
+
+
+def test_xml_extract_matches_direct_columns(spark):
+    from pyspark.sql import functions as F
+
+    from ade_agente_documental_empresarial___miner_a_spark.plans.catalog import (
+        table,
+    )
+
+    out = {r.status: r for r in q.s12_xml_extract(spark, SF).collect()}
+    ref = {
+        r.o_orderstatus: r
+        for r in table(spark, SF, "orders")
+        .where(F.col("o_orderkey") % 10 < 3)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(out) == set(ref)
+    for s in out:
+        assert out[s].n == ref[s].n  # from_xml lost no rows
