@@ -187,9 +187,19 @@ DUCK_EVENTS = (
 
 def _events_ts_unit(path: str) -> str:
     """'ns' | 'us' | ... from the parquet footer; 'ns' when the field is
-    raw INT64 (the nanos layout Spark can't type as a timestamp)."""
+    raw INT64 (the nanos layout Spark can't type as a timestamp).
+    Accepts either a single parquet file (the driver fixtures) or a
+    Spark-written directory (derived corpora, e.g. the bench's 10x
+    events) — in the directory case any one part file's footer decides
+    (one writer, one schema)."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if parts:
+            path = parts[0]
     t = pq.read_schema(path).field("ts").type
     return getattr(t, "unit", "ns")
 

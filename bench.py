@@ -61,7 +61,11 @@ def ensure_scale_corpus(spark, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/ade_bench_scale{SCALE_FACTOR}_{tag}"
-    if os.path.exists(os.path.join(out, "documents.parquet", "_SUCCESS")):
+    # both tables must exist (events.parquet joined the corpus later —
+    # a docs-only cache from an earlier run must be topped up)
+    if os.path.exists(
+        os.path.join(out, "documents.parquet", "_SUCCESS")
+    ) and os.path.exists(os.path.join(out, "events.parquet", "_SUCCESS")):
         return out
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     replicas = spark.range(SCALE_FACTOR).select(F.col("id").alias("r"))
@@ -83,6 +87,36 @@ def ensure_scale_corpus(spark, sf_dir: str) -> str:
     )
     scaled.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
+    )
+    # 10x events too (6M rows at sf0.1): replica r offsets event_id into
+    # a disjoint id space and shifts ts by r seconds — same users, same
+    # hours, 10x density, fully deterministic. Gives the window/range
+    # scale legs a real fact table to chew on.
+    from ade_agente_documental_empresarial___miner_a_spark.plans.catalog import (
+        events_table,
+    )
+
+    ev = events_table(spark, sf_dir)
+    scaled_ev = (
+        ev.crossJoin(replicas)
+        .select(
+            (F.col("event_id") * SCALE_FACTOR + F.col("r")).alias(
+                "event_id"
+            ),
+            (
+                F.col("ts")
+                + F.make_dt_interval(
+                    F.lit(0), F.lit(0), F.lit(0), F.col("r").cast("double")
+                )
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    scaled_ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
     )
     return out
 
@@ -126,6 +160,9 @@ def scale10x_queries(qs):
         "dedup_lsh_verified_sharp": lsh_verified_sharp,
         "dedup_clusters_sharp": clusters_sharp,
         "dedup_substring": substring_scale,
+        # value-RANGE window at 10x events (6M rows at sf0.1): the
+        # window scale leg — one user_id shuffle, two-pointer frames
+        "rel_range_frame": qs["rel_range_frame"],
     }
 
 

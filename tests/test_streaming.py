@@ -563,3 +563,46 @@ def test_trending_topk_live(spark, tmp_path):
     )
     got = {(r.event_type): (r.n_events, r.rnk) for r in ranked}
     assert got == {"click": (5, 1), "view": (3, 2), "scroll": (2, 3)}
+
+
+def test_observe_metrics_batch_and_stream(spark, tmp_path):
+    """df.observe() — metrics piggyback on the job (no second pass):
+    batch via Observation, streaming via lastProgress.observedMetrics.
+    The ops surface a 100 TB pipeline uses to count rows/nulls/bounds
+    without paying an extra scan."""
+    from pyspark.sql import Observation
+
+    from ade_agente_documental_empresarial___miner_a_spark.plans.catalog import (
+        table,
+    )
+
+    obs = Observation("corpus_stats")
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.length("text")).alias("chars"),
+    ).collect()
+    assert obs.get["rows"] == 500
+    assert obs.get["chars"] > 0
+
+    src = tmp_path / "events_obs"
+    write_events(src, EVENTS)
+    stream = stream_events(spark, str(src)).observe(
+        "batch_stats", F.count(F.lit(1)).alias("rows")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("obs_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = [p for p in q.recentProgress if p.get("observedMetrics")]
+    q.stop()
+    assert progresses
+    total = sum(
+        p["observedMetrics"]["batch_stats"]["rows"] for p in progresses
+    )
+    assert total == len(EVENTS)
