@@ -113,6 +113,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # write timestamps as TIMESTAMP_MICROS, not the legacy INT96
+        # default: INT96 footers read back as timestamp[ns] in pyarrow,
+        # which is indistinguishable from the driver fixtures' raw-nanos
+        # layout and breaks catalog._events_ts_unit's footer dispatch on
+        # engine-written corpora (and INT96 is deprecated everywhere)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("ADE_DRIVER_MEMORY", "16g"))
