@@ -29,13 +29,10 @@ from .catalog import DUCK_EVENTS, events_table, register, table
 # closed forms written ONCE, identically, for both engines:
 #   corr  = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²ᵗ)·sqrt(n·Σy² − Σy²ᵗ))
 #   slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²ᵗ),  intercept = ȳ − slope·x̄
-_MOM = """n, sx, sy, sxx, syy, sxy"""
-
-
-def _corr_exprs(engine: str) -> str:
-    # identical arithmetic text for both engines (engine param only
-    # documents intent); all operands arrive as exact-int-derived
-    # doubles, so evaluation is bit-identical
+def _corr_exprs() -> str:
+    # arithmetic text shared by the oracle; the DataFrame side mirrors
+    # it expression-for-expression — all operands arrive as
+    # exact-int-derived doubles, so evaluation is bit-identical
     cn = "(n * sxy - sx * sy)"
     dx = "(n * sxx - sx * sx)"
     dy = "(n * syy - sy * sy)"
@@ -63,7 +60,7 @@ m AS (
          CAST(sum(c * k) AS DOUBLE) AS sxy
   FROM x GROUP BY event_type)
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       {_corr_exprs('duck')}
+       {_corr_exprs()}
 FROM m
 WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""",
 )

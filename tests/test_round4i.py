@@ -67,9 +67,6 @@ def test_window_family2_distribution_bounds(spark):
         assert prs[0] == 0.0 and prs[-1] == 1.0
         assert cds[-1] == 1.0 and all(0 < c <= 1 for c in cds)
         # third_qty is NULL for the first two rows of the time order
-        timed = sorted(
-            grp, key=lambda r: (r.l_orderkey, r.l_linenumber)
-        )
         nulls = [r for r in grp if r.third_qty is None]
         assert len(nulls) == min(2, len(grp))
 
