@@ -1,0 +1,54 @@
+"""Unit tests for the round-4j batch (lakehouse semantics)."""
+
+from pyspark.sql import functions as F
+
+from ade_agente_documental_empresarial___miner_a_spark.plans import (
+    queries_round4j as q,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_schema_evolution_backfills_nulls(spark):
+    rows = q.s13_schema_evolution(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n == r.n_with_priority + r.n_legacy
+        assert r.n_legacy > 0  # v1 generation rows survive the merge
+        assert r.n_with_priority > 0
+
+
+def test_union_by_name_allow_missing(spark):
+    # in-flight twin of mergeSchema: narrow ∪ wide with back-fill
+    a = spark.createDataFrame([(1, "x")], "id long, s string")
+    b = spark.createDataFrame([(2, "y", 9.5)], "id long, s string, v double")
+    u = a.unionByName(b, allowMissingColumns=True)
+    got = {r.id: (r.s, r.v) for r in u.collect()}
+    assert got == {1: ("x", None), 2: ("y", 9.5)}
+
+
+def test_full_outer_fixture_structure(spark):
+    rows = q.rel_full_outer_family(spark, SF).collect()
+    assert len(rows) == len({r.nationkey for r in rows})  # key coalesced
+    unmatched = [
+        r for r in rows if (r.n_cust == 0) != (r.n_supp == 0)
+    ]
+    # some unmatched rows exist at every SF (at sf0.001 the tiny
+    # supplier table clears the threshold nowhere, so only one
+    # direction shows; both directions are pinned on literal frames
+    # in test_full_outer_small_literal)
+    assert unmatched
+    for r in rows:
+        assert r.in_both == (r.n_cust > 0 and r.n_supp > 0)
+
+
+def test_full_outer_small_literal(spark):
+    a = spark.createDataFrame([(1, 10), (2, 20)], "k int, va int")
+    b = spark.createDataFrame([(2, 200), (3, 300)], "k int, vb int")
+    j = (
+        a.join(b, "k", "full_outer")
+        .select("k", "va", "vb")
+        .collect()
+    )
+    got = {r.k: (r.va, r.vb) for r in j}
+    assert got == {1: (10, None), 2: (20, 200), 3: (None, 300)}
