@@ -320,3 +320,42 @@ def length_bucket_batches(
             ((F.row_number().over(w) - 1) / F.lit(batch_size)).cast("long"),
         )
     )
+
+
+def expectations(
+    docs: DataFrame,
+    rules: dict[str, "Column"] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-quality expectations (the DLT/Great-Expectations stage):
+    evaluate a named rule set per row, emit per-row pass/fail flags
+    plus the failed-rule list. One map-only projection — rules are
+    pure column predicates, so the whole check rides the scan with
+    zero extra passes regardless of rule count; the caller splits
+    pass/quarantine or aggregates violation counts downstream.
+
+    Default rules for the documents schema: key present, text
+    non-empty, recorded n_chars consistent with the text, lang in the
+    supported set.
+    """
+    t = F.col(text_col)
+    if rules is None:
+        rules = {
+            "doc_id_present": F.col("doc_id").isNotNull(),
+            "text_nonempty": t.isNotNull() & (F.length(t) > 0),
+            "n_chars_consistent": F.col("n_chars") == F.length(t),
+            # supported-language gate: the fixture's zh slice is the
+            # deliberate quarantine population for a Latin-script-only
+            # downstream stage
+            "lang_supported": F.col("lang").isin(
+                "en", "es", "fr", "de"
+            ),
+        }
+    checks = [
+        F.when(expr, F.lit(None)).otherwise(F.lit(name))
+        for name, expr in rules.items()
+    ]
+    failed = F.array_compact(F.array(*checks))
+    return docs.withColumn("failed_rules", failed).withColumn(
+        "passed", F.size(F.col("failed_rules")) == 0
+    )

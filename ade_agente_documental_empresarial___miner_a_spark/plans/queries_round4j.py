@@ -127,3 +127,64 @@ def rel_full_outer_family(spark: SparkSession, sf: str) -> DataFrame:
             "in_both"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Expectations summary — the data-quality report over
+# operators/curation.expectations: per-rule violation counts plus the
+# corpus pass count, long-form. The rule evaluation is one map-only
+# projection (rules ride the scan); this rollup explodes the per-row
+# failed-rule lists and adds the passed row — the DLT-style quality
+# dashboard a 100 TB ingest runs per batch.
+@register(
+    "cur_expectations",
+    """WITH checks AS (
+  SELECT CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END AS v_doc_id,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END
+           AS v_text,
+         CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END AS v_chars,
+         CASE WHEN lang NOT IN ('en','es','fr','de') THEN 1 ELSE 0 END
+           AS v_lang
+  FROM documents)
+SELECT 'doc_id_present' AS rule, CAST(sum(v_doc_id) AS BIGINT) AS n
+FROM checks
+UNION ALL
+SELECT 'text_nonempty', CAST(sum(v_text) AS BIGINT) FROM checks
+UNION ALL
+SELECT 'n_chars_consistent', CAST(sum(v_chars) AS BIGINT) FROM checks
+UNION ALL
+SELECT 'lang_supported', CAST(sum(v_lang) AS BIGINT) FROM checks
+UNION ALL
+SELECT 'passed_all',
+       CAST(sum(CASE WHEN v_doc_id + v_text + v_chars + v_lang = 0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM checks""",
+)
+def cur_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.curation import expectations
+
+    checked = expectations(table(spark, sf, "documents"))
+    viols = (
+        checked.select(
+            F.explode("failed_rules").alias("rule")
+        )
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # rules with zero violations still get a row (the report contract)
+    all_rules = spark.createDataFrame(
+        [
+            ("doc_id_present",),
+            ("text_nonempty",),
+            ("n_chars_consistent",),
+            ("lang_supported",),
+        ],
+        "rule string",
+    )
+    full = all_rules.join(viols, "rule", "left").select(
+        "rule", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    passed = checked.agg(
+        F.sum(F.col("passed").cast("long")).cast("long").alias("n")
+    ).select(F.lit("passed_all").alias("rule"), "n")
+    return full.unionByName(passed)

@@ -52,3 +52,34 @@ def test_full_outer_small_literal(spark):
     )
     got = {r.k: (r.va, r.vb) for r in j}
     assert got == {1: (10, None), 2: (20, 200), 3: (None, 300)}
+
+
+def test_expectations_flags_and_quarantine(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.operators.curation import (
+        expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "good text", 9, "en"),
+            (None, "no key", 6, "en"),
+            (3, "", 0, "en"),
+            (4, "bad count", 99, "en"),
+            (5, "chinese doc", 11, "zh"),
+        ],
+        "doc_id long, text string, n_chars long, lang string",
+    )
+    rows = {r.doc_id: r for r in expectations(df).collect()}
+    assert rows[1].passed and rows[1].failed_rules == []
+    assert rows[None].failed_rules == ["doc_id_present"]
+    assert rows[3].failed_rules == ["text_nonempty"]
+    assert rows[4].failed_rules == ["n_chars_consistent"]
+    assert rows[5].failed_rules == ["lang_supported"]
+
+
+def test_expectations_summary_fixture(spark):
+    rows = {r.rule: r.n for r in q.cur_expectations(spark, SF).collect()}
+    assert rows["doc_id_present"] == 0
+    assert rows["n_chars_consistent"] == 0
+    assert rows["lang_supported"] > 0  # the zh quarantine slice
+    assert rows["passed_all"] + rows["lang_supported"] == 500
