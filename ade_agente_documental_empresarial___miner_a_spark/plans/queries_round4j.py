@@ -188,3 +188,90 @@ def cur_expectations(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("passed").cast("long")).cast("long").alias("n")
     ).select(F.lit("passed_all").alias("rule"), "n")
     return full.unionByName(passed)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval — overlap@5 of retrieval with the leading
+# 16 of 64 embedding dims vs the full vector (the MRL serving
+# question: how much recall does a 4x-cheaper prefix buy?). Same
+# engine-exact eval design as sim_ivf_recall: both legs rank by
+# bit-identical cosine with the same tie-break over a deterministic
+# probe set, so the overlap is exact. At serving scale the truncated
+# leg is the candidate generator (4x less bandwidth/compute per
+# vector) and the full-dim leg re-ranks its shortlist; this eval is
+# the measurement that justifies the split.
+_MRL_K = 5
+_MRL_DIMS = 16
+
+
+def _mrl_sql() -> str:
+    from ..functions.vector import duck_cosine
+
+    trunc = "list_slice({0}, 1, %d)" % _MRL_DIMS
+    return f"""WITH queries AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id % 64 = 7),
+full5 AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {duck_cosine("e.embedding", "q.qvec")} DESC,
+                                       e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN queries q)
+  WHERE rn <= {_MRL_K}),
+trunc5 AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {duck_cosine(trunc.format("e.embedding"), trunc.format("q.qvec"))} DESC,
+                                       e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN queries q)
+  WHERE rn <= {_MRL_K})
+SELECT full5.qid,
+       CAST(count(trunc5.vec_id) AS BIGINT) AS n_overlap,
+       round(count(trunc5.vec_id) / {_MRL_K}, 9) AS overlap_at_5
+FROM full5 LEFT JOIN trunc5
+  ON full5.qid = trunc5.qid AND full5.vec_id = trunc5.vec_id
+GROUP BY full5.qid"""
+
+
+@register("emb_matryoshka_eval", _mrl_sql())
+def emb_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import cosine_similarity
+
+    emb = table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 64 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+
+    def top5(score_col):
+        return (
+            emb.crossJoin(F.broadcast(queries))
+            .select("qid", "vec_id", score_col.alias("score"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _MRL_K)
+            .select("qid", "vec_id")
+        )
+
+    full5 = top5(
+        cosine_similarity(F.col("embedding"), F.col("qvec"))
+    )
+    trunc5 = top5(
+        cosine_similarity(
+            F.slice(F.col("embedding"), 1, _MRL_DIMS),
+            F.slice(F.col("qvec"), 1, _MRL_DIMS),
+        )
+    )
+    j = full5.join(
+        trunc5.withColumnRenamed("vec_id", "t_vec"),
+        (full5["qid"] == trunc5["qid"])
+        & (full5["vec_id"] == F.col("t_vec")),
+        "left",
+    )
+    return j.groupBy(full5["qid"].alias("qid")).agg(
+        F.count("t_vec").alias("n_overlap"),
+        F.round(F.count("t_vec") / _MRL_K, 9).alias("overlap_at_5"),
+    )

@@ -83,3 +83,16 @@ def test_expectations_summary_fixture(spark):
     assert rows["n_chars_consistent"] == 0
     assert rows["lang_supported"] > 0  # the zh quarantine slice
     assert rows["passed_all"] + rows["lang_supported"] == 500
+
+
+def test_matryoshka_overlap_range_and_selfhit(spark):
+    rows = q.emb_matryoshka_eval(spark, SF).collect()
+    assert len(rows) == 8  # vec_id % 64 == 7 probe set at 500 vectors
+    for r in rows:
+        assert 0 <= r.n_overlap <= 5
+        # the query vector itself ranks first under BOTH metrics
+        # (cosine(self,self)=1 in full and truncated space), so the
+        # overlap can never be empty
+        assert r.n_overlap >= 1
+    mean = sum(r.overlap_at_5 for r in rows) / len(rows)
+    assert mean > 0.2  # truncation keeps some neighborhood structure
