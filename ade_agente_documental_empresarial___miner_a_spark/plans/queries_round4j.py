@@ -275,3 +275,62 @@ def emb_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
         F.count("t_vec").alias("n_overlap"),
         F.round(F.count("t_vec") / _MRL_K, 9).alias("overlap_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge statistics — the tokenizer-training primitive (Sennrich et
+# al. 2016): adjacent symbol-pair frequencies across the corpus's
+# words; the argmax pair IS merge #1 of a BPE vocabulary build. Top-20
+# by (count desc, pair) with a dense rank — rank 1 is the merge a
+# trainer would apply next. Shape: explode words map-side (spread
+# partitioning, no skew on the doc key), char pairs per word are a
+# pure projection, ONE count shuffle on the pair key, top-20 via
+# TakeOrderedAndProject. The full BPE loop re-runs this after each
+# merge on re-tokenized words — per-iteration cost is this same
+# aggregate, which is why distributed BPE trainers batch merges.
+@register(
+    "cur_bpe_pair_stats",
+    """WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT regexp_extract_all(word, '.') AS chars
+      FROM w WHERE length(word) >= 2),
+p AS (SELECT unnest(list_zip(list_slice(chars, 1, len(chars) - 1),
+                             list_slice(chars, 2, len(chars)))) AS pr
+      FROM c),
+cnt AS (SELECT pr[1] || pr[2] AS pair, count(*) AS n
+        FROM p GROUP BY pair)
+SELECT pair, n,
+       CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
+         AS merge_rank
+FROM cnt ORDER BY n DESC, pair LIMIT 20""",
+)
+def cur_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import spread
+
+    docs = spread(table(spark, sf, "documents"), "doc_id")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).where(F.length("word") >= 2)
+    chars = words.select(
+        F.regexp_extract_all("word", F.lit("."), 0).alias("chars")
+    )
+    pairs = chars.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("chars"), 1, F.size("chars") - 1),
+                F.slice(F.col("chars"), 2, F.size("chars") - 1),
+                lambda a, b: F.concat(a, b),
+            )
+        ).alias("pair")
+    )
+    cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), "pair")
+    return (
+        cnt.withColumn(
+            "merge_rank", F.row_number().over(w).cast("long")
+        )
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

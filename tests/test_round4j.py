@@ -96,3 +96,13 @@ def test_matryoshka_overlap_range_and_selfhit(spark):
         assert r.n_overlap >= 1
     mean = sum(r.overlap_at_5 for r in rows) / len(rows)
     assert mean > 0.2  # truncation keeps some neighborhood structure
+
+
+def test_bpe_pair_stats_rank_and_counts(spark):
+    rows = q.cur_bpe_pair_stats(spark, SF).collect()
+    assert len(rows) == 20
+    assert [r.merge_rank for r in rows] == list(range(1, 21))
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert len(r.pair) == 2  # single-char symbols at iteration 0
