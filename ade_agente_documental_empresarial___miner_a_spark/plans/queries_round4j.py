@@ -334,3 +334,92 @@ def cur_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware grouping (Spark 4 collations): case-insensitive
+# aggregation via a real UTF8_LCASE collated key — not a lower()
+# projection; the collation travels with the type, so joins/sorts/
+# distinct downstream inherit the comparison semantics (ICU-backed at
+# the engine level, exactly what a multi-source entity table needs).
+# Mixed case is derived deterministically (even partkeys upper). The
+# surfaced key is lower()ed for cross-engine comparison — the oracle
+# mirrors the SEMANTICS with lower() grouping (DuckDB's collation
+# dialect differs; results, not internals, are the contract).
+@register(
+    "rel_collation_ci",
+    """SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                         ELSE lower(p_type) END) AS ptype,
+       count(*) AS n,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+FROM part
+GROUP BY ptype""",
+)
+def rel_collation_ci(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part").select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper("p_type")
+        )
+        .otherwise(F.lower("p_type"))
+        .alias("mixed"),
+        "p_brand",
+    )
+    ci = p.groupBy(
+        F.collate(F.col("mixed"), "UTF8_LCASE").alias("k")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("p_brand").cast("long").alias("n_brands"),
+    )
+    return ci.select(
+        F.lower(F.col("k").cast("string")).alias("ptype"), "n", "n_brands"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe arithmetic — the try_* family: division that yields NULL
+# instead of failing the job on a zero denominator, and casts that
+# yield NULL on malformed input. Under ANSI mode (the Spark 4 default)
+# the un-prefixed forms THROW — at 100 TB one malformed row must not
+# kill a 10-hour job, and try_* is the row-level quarantine that keeps
+# the pipeline total. Denominator: count of >100-qty lines (always 0 —
+# a real all-NULL division per group); valid ratio alongside.
+@register(
+    "rel_try_arithmetic",
+    """SELECT l_returnflag,
+       count(*) AS n,
+       CASE WHEN sum(CASE WHEN l_quantity > 100 THEN 1 ELSE 0 END) = 0
+            THEN NULL
+            ELSE CAST(count(*) AS DOUBLE)
+                 / sum(CASE WHEN l_quantity > 100 THEN 1 ELSE 0 END)
+       END AS per_jumbo,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(CASE WHEN l_quantity <= 50 THEN 1 ELSE 0 END), 9)
+         AS per_normal,
+       TRY_CAST('not-a-number' AS BIGINT) AS bad_parse,
+       TRY_CAST('42' AS BIGINT) AS good_parse
+FROM lineitem
+GROUP BY l_returnflag""",
+)
+def rel_try_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_quantity") > 100, 1).otherwise(0)
+        ).alias("jumbo"),
+        F.sum(
+            F.when(F.col("l_quantity") <= 50, 1).otherwise(0)
+        ).alias("normal"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.try_divide(F.col("n").cast("double"), F.col("jumbo")).alias(
+            "per_jumbo"
+        ),
+        F.round(
+            F.try_divide(F.col("n").cast("double"), F.col("normal")), 9
+        ).alias("per_normal"),
+        F.lit("not-a-number").try_cast("bigint").alias("bad_parse"),
+        F.lit("42").try_cast("bigint").alias("good_parse"),
+    )

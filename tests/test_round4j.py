@@ -128,3 +128,22 @@ def test_join_strategy_hints_control_physical_plan(spark):
     assert "BroadcastHashJoin" in plan_of(nat.hint("broadcast"))
     assert "SortMergeJoin" in plan_of(nat.hint("merge"))
     assert "ShuffledHashJoin" in plan_of(nat.hint("shuffle_hash"))
+
+
+def test_collation_ci_merges_cases(spark):
+    rows = q.rel_collation_ci(spark, SF).collect()
+    keys = [r.ptype for r in rows]
+    assert keys == [k.lower() for k in keys]  # normalized keys
+    assert len(keys) == len(set(keys))
+    # the collated grouping merged the case-split populations: every
+    # group that has both parities of partkey counts both casings
+    assert sum(r.n for r in rows) == 200  # sf0.001 part rows
+
+
+def test_try_arithmetic_null_vs_value(spark):
+    rows = q.rel_try_arithmetic(spark, SF).collect()
+    for r in rows:
+        assert r.per_jumbo is None      # /0 -> NULL, never an error
+        assert r.per_normal is not None
+        assert r.bad_parse is None
+        assert r.good_parse == 42
