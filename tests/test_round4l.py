@@ -1,0 +1,111 @@
+"""Unit tests for the round-4l batch (triangles, interval merge,
+MERGE classification)."""
+
+from pyspark.sql import functions as F
+
+from ade_agente_documental_empresarial___miner_a_spark.plans import (
+    queries_round4l as q,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_triangles_known_graph(spark):
+    # K4 minus one edge: nodes {1,2,3,4}, edges 12 13 14 23 24 (no 34)
+    # → triangles {1,2,3} and {1,2,4}; node 1,2 in two, 3,4 in one
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (2, 1)],  # dup reversed
+        "src long, dst long",
+    )
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+        .collect()
+    )
+    tris = {tuple(sorted((r.x, r.y, r.z))) for r in tri}
+    assert tris == {(1, 2, 3), (1, 2, 4)}
+    assert len(tri) == 2  # each triangle enumerated exactly once
+
+
+def test_triangles_fixture_nonneg(spark):
+    rows = q.graph_triangles(spark, SF).collect()
+    assert len(rows) == 25  # every nation reported, zero or not
+    assert all(r.n_triangles >= 0 for r in rows)
+    assert any(r.n_triangles > 0 for r in rows)
+
+
+def test_merge_intervals_overlap_rule(spark):
+    # events at 0m, 5m (overlap), 30m (gap>10m) → two islands
+    rows = (
+        spark.createDataFrame(
+            [
+                (1, 10, "2024-01-01 00:00:00"),
+                (2, 10, "2024-01-01 00:05:00"),
+                (3, 10, "2024-01-01 00:30:00"),
+            ],
+            "event_id long, user_id long, s string",
+        )
+        .select("event_id", "user_id", F.col("s").cast("timestamp").alias("ts"))
+        .createOrReplaceTempView("_iv_ev")
+    )
+    import ade_agente_documental_empresarial___miner_a_spark.plans.queries_round4l as m
+    from pyspark.sql import Window
+
+    ev = spark.table("_iv_ev")
+    iv = ev.select(
+        "user_id", "event_id", "ts",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("iv_end"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frontier = F.max("iv_end").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(frontier >= F.col("ts"), F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).collect()
+    ids = {r.event_id: r.island_id for r in islands}
+    assert ids[1] == ids[2] != ids[3]
+
+
+def test_merge_intervals_fixture_structure(spark):
+    rows = q.rel_merge_intervals(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.island_end > r.island_start
+        assert r.n_events >= 1
+
+
+def test_upsert_merge_actions_complete(spark):
+    rows = {r.action: r for r in q.rel_upsert_merge(spark, SF).collect()}
+    assert set(rows) == {"insert", "update", "unchanged", "noop"}
+    # inserts came from the disjoint key space: one per %100==7 order
+    assert rows["insert"].n_rows >= 1
+    # resent-unchanged rows classify as unchanged, not update
+    assert rows["unchanged"].n_rows >= 1
+    assert rows["update"].n_rows >= 1
+    assert rows["noop"].n_rows >= 1
