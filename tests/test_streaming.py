@@ -606,3 +606,48 @@ def test_observe_metrics_batch_and_stream(spark, tmp_path):
         p["observedMetrics"]["batch_stats"]["rows"] for p in progresses
     )
     assert total == len(EVENTS)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restart-from-checkpoint semantics: the file source's offset log
+    plus the file sink's commit log give exactly-once output across
+    query restarts — rows from already-committed micro-batches are
+    neither lost nor re-emitted, and an idle restart emits nothing."""
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+        stream_events,
+    )
+
+    src = tmp_path / "ckpt_events_in"
+    ckpt = str(tmp_path / "ckpt_state")
+    out = str(tmp_path / "ckpt_out")
+
+    def run_once():
+        stream = stream_events(spark, str(src)).select(
+            "event_id", "event_type"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+
+    write_events(src, EVENTS[:2])
+    run_once()  # lifecycle 1: commits events 1-2
+
+    write_events(src, EVENTS[2:])
+    run_once()  # lifecycle 2: resumes from checkpoint, adds 3-4 only
+
+    got = sorted(
+        r.event_id for r in spark.read.parquet(out).collect()
+    )
+    assert got == [1, 2, 3, 4]  # no loss, no duplicates
+
+    run_once()  # lifecycle 3: nothing new — output must not grow
+    again = sorted(
+        r.event_id for r in spark.read.parquet(out).collect()
+    )
+    assert again == [1, 2, 3, 4]
