@@ -159,6 +159,7 @@ def _load():
     from . import queries_round4j  # noqa: F401
     from . import queries_round4k  # noqa: F401
     from . import queries_round4l  # noqa: F401
+    from . import queries_round4m  # noqa: F401
 
     _LOADED = True
 

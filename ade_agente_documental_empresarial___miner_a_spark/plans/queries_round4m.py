@@ -1,0 +1,269 @@
+"""Round-4 catalog additions, thirteenth batch — lakehouse maintenance
+and corpus-statistics shapes:
+
+* dynamic partition overwrite (the backfill/repair primitive: rewrite
+  ONE hive partition in place, siblings untouched);
+* deterministic rare-class oversampling (the training-mix upsampling
+  stage: integer repeat factors from group counts, explode-replicated);
+* median absolute deviation (robust spread — the outlier-resistant
+  sibling of stddev, two grouped exact-median passes);
+* distribution-drift terms (per-term KL contributions between the
+  English and German unigram distributions — the corpus-drift audit
+  that tells you WHICH terms moved, not just that a divergence number
+  grew; same round(ln·,9)-quantization discipline as the trigram LM).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register, table
+
+
+# ---------------------------------------------------------------------------
+# S15 — dynamic partition overwrite: with
+# spark.sql.sources.partitionOverwriteMode=dynamic, an INSERT OVERWRITE
+# touches ONLY the partitions present in the incoming frame (static
+# mode would drop every partition first). Here: a base table hive-
+# partitioned by o_orderstatus, then the 'F' partition re-priced ×2 and
+# dynamically overwritten — 'O'/'P' files are never rewritten (unit
+# test pins their survival). This is the backfill/repair primitive at
+# 100 TB: fixing one bad day/status means rewriting that partition's
+# files only, and the scan after repair prunes to the same partition.
+def _dpo_dir(spark: SparkSession, sf: str) -> str:
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ade_dpo_{tag}")
+    marker = os.path.join(out, "_ADE_REPAIRED")
+    if os.path.exists(marker):
+        return out
+    orders = table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+        out
+    )
+    repaired = (
+        spark.read.parquet(out)
+        .where(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+    )
+    with _dynamic_overwrite(spark):
+        repaired.write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(out)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+@register(
+    "s15_dynamic_partition_overwrite",
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+       CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
+                     THEN o_totalprice * 2.0 ELSE o_totalprice END
+                AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_orderstatus""",
+)
+def s15_dynamic_partition_overwrite(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    out = _dpo_dir(spark, sf)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rare-class oversampling — the deterministic upsampling stage of a
+# training mix: each language's repeat factor is floor(max_n / n_lang)
+# (the majority class stays at 1×), and every doc is replicated exactly
+# factor times via explode(sequence(1, factor)). No randomness — the
+# factor comes from exact group counts, so the output composition is
+# reproducible run-over-run (the property a data-mix card depends on).
+# Shape: one tiny lang-count aggregate broadcast back onto the scan,
+# then a map-side explode — no second shuffle for the replication.
+@register(
+    "cur_oversample_rare",
+    """WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mx AS (SELECT max(n) AS max_n FROM counts),
+factors AS (
+  -- explicit floor: DuckDB CAST(double AS BIGINT) ROUNDS while Spark
+  -- truncates — floor() first makes both engines agree
+  SELECT lang, n, CAST(floor(max_n / n) AS BIGINT) AS factor
+  FROM counts, mx),
+replicated AS (
+  SELECT d.lang, unnest(generate_series(1, f.factor)) AS replica
+  FROM documents d JOIN factors f ON d.lang = f.lang)
+SELECT f.lang, f.n AS n_before, f.factor,
+       (SELECT count(*) FROM replicated r WHERE r.lang = f.lang)
+         AS n_after
+FROM factors f""",
+)
+def cur_oversample_rare(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("max_n"))
+    factors = counts.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n",
+        F.floor(F.col("max_n") / F.col("n")).cast("long").alias("factor"),
+    )
+    replicated = (
+        docs.join(F.broadcast(factors), "lang")
+        .select(
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.col("factor").cast("int"))
+            ).alias("replica"),
+        )
+    )
+    after = replicated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    return factors.join(after, "lang").select(
+        "lang",
+        F.col("n").alias("n_before"),
+        "factor",
+        "n_after",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation — robust spread per group: MAD = median of
+# |x − median(x)|. Two grouped exact-median passes (the first median
+# joins back onto the rows); the interpolation arithmetic ((a+b)/2 on
+# doubles) is identical on both engines, and |x − med| is one exact
+# IEEE subtract. The right measure when l_extendedprice outliers would
+# swamp a stddev; at 100 TB each pass is one grouped percentile
+# (sort-based within group), and the approx_percentile contract entry
+# is the sketch-based fallback when exactness can be traded.
+@register(
+    "rel_mad_robust",
+    """WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med_price
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag, count(*) AS n, med_price,
+       quantile_cont(abs(l.l_extendedprice - med_price), 0.5) AS mad_price
+FROM lineitem l JOIN med ON med.l_returnflag = l.l_returnflag
+GROUP BY l.l_returnflag, med_price""",
+)
+def rel_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med_price")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.median(
+                F.abs(F.col("l_extendedprice") - F.col("med_price"))
+            ).alias("mad_price"),
+        )
+        .select("l_returnflag", "n", "med_price", "mad_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift terms — per-term KL contributions between the
+# English and German unigram distributions (add-one smoothing over the
+# union vocabulary): contrib(t) = p_en(t) · ln(p_en(t)/p_de(t)),
+# surfaced as the top-20 largest contributors. This is the drift audit
+# that answers WHICH terms moved. Determinism: counts and vocab size
+# are exact integers; the single ln() is round(·,9)-quantized (the
+# trigram-LM discipline — ln carries a 1-ulp JVM/glibc license) and the
+# product round(·,12)-quantized, so ordering and values agree across
+# engines. Top-20 is TakeOrderedAndProject with a term tiebreak.
+@register(
+    "text_drift_terms",
+    """WITH words AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE lang IN ('en', 'de')),
+freq AS (
+  SELECT term,
+         count(CASE WHEN lang = 'en' THEN 1 END) AS c_en,
+         count(CASE WHEN lang = 'de' THEN 1 END) AS c_de
+  FROM words WHERE term <> '' GROUP BY term),
+tot AS (
+  SELECT sum(c_en) AS t_en, sum(c_de) AS t_de, count(*) AS v FROM freq),
+probs AS (
+  SELECT term,
+         CAST(c_en + 1 AS DOUBLE) / CAST(t_en + v AS DOUBLE) AS p_en,
+         CAST(c_de + 1 AS DOUBLE) / CAST(t_de + v AS DOUBLE) AS p_de
+  FROM freq, tot)
+SELECT term, p_en, p_de,
+       round(p_en * round(ln(p_en / p_de), 9), 12) AS kl_contrib
+FROM probs
+ORDER BY kl_contrib DESC, term ASC LIMIT 20""",
+)
+def text_drift_terms(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").where(
+        F.col("lang").isin("en", "de")
+    )
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    freq = words.groupBy("term").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_en"),
+        F.count(F.when(F.col("lang") == "de", 1)).alias("c_de"),
+    )
+    tot = freq.agg(
+        F.sum("c_en").alias("t_en"),
+        F.sum("c_de").alias("t_de"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    probs = freq.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (
+            (F.col("c_en") + 1).cast("double")
+            / (F.col("t_en") + F.col("v")).cast("double")
+        ).alias("p_en"),
+        (
+            (F.col("c_de") + 1).cast("double")
+            / (F.col("t_de") + F.col("v")).cast("double")
+        ).alias("p_de"),
+    )
+    return (
+        probs.select(
+            "term",
+            "p_en",
+            "p_de",
+            F.round(
+                F.col("p_en")
+                * F.round(F.log(F.col("p_en") / F.col("p_de")), 9),
+                12,
+            ).alias("kl_contrib"),
+        )
+        .orderBy(F.desc("kl_contrib"), F.asc("term"))
+        .limit(20)
+    )
