@@ -267,3 +267,81 @@ def text_drift_terms(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("kl_contrib"), F.asc("term"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH dedup recall — the eval harness for the dedup scale path (the
+# sibling of sim_ivf_recall on the ANN side): how many of the EXACT
+# Jaccard-≥0.3 pairs does the MinHash-LSH candidates→verify pipeline
+# find at the catalog's 8-perm/4-band config? Verified pairs are a
+# subset of the exact set by construction (candidates are exact-
+# verified), so recall = |verified| ∩ |exact| / |exact| measures pure
+# candidate-generation loss. Engine-exact: both legs are integer pair
+# counts, one division at the end. This is the number that justifies
+# (or indicts) a band/permutation config before a 100 TB run — sharper
+# configs (32/8, the bench's scale leg) trade signature cost for
+# recall, and this entry is how the trade is measured.
+def _lsh_recall_oracle() -> str:
+    from .queries_ext import _BAND_SELECTS, _SIG_COLS, _duck_shingles
+
+    return f"""WITH {_duck_shingles(2)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+excommon AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+exact AS (
+  SELECT doc_a, doc_b FROM excommon
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id),
+vcommon AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b),
+lshp AS (
+  SELECT doc_a, doc_b FROM vcommon
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM exact e
+        JOIN lshp l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+         AS n_found,
+       CAST((SELECT count(*) FROM exact e
+             JOIN lshp l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+            AS DOUBLE)
+       / CAST((SELECT count(*) FROM exact) AS DOUBLE) AS recall"""
+
+
+@register("dedup_lsh_recall", _lsh_recall_oracle())
+def dedup_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs, lsh_verified_pairs
+
+    docs = table(spark, sf, "documents")
+    exact = jaccard_pairs(docs, threshold=0.3).select("doc_a", "doc_b")
+    lshp = lsh_verified_pairs(docs, threshold=0.3).select(
+        "doc_a", "doc_b"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_found = exact.join(lshp, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return n_exact.crossJoin(n_found).select(
+        "n_exact",
+        "n_found",
+        (
+            F.col("n_found").cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )

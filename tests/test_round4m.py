@@ -81,3 +81,12 @@ def test_drift_terms_ranked_and_bounded(spark):
     # (the top-20 tail may dip negative on a tiny sf0.001 vocabulary)
     assert rows[0].kl_contrib > 0.0
     assert rows[0].p_en > rows[0].p_de
+
+
+def test_lsh_recall_bounds(spark):
+    r = q.dedup_lsh_recall(spark, SF).collect()[0]
+    assert r.n_exact > 0
+    assert 0 <= r.n_found <= r.n_exact  # verified ⊆ exact by construction
+    assert 0.0 <= r.recall <= 1.0
+    # the 8/4 config should find a usable fraction on the fixture corpus
+    assert r.recall >= 0.5
