@@ -345,3 +345,52 @@ def dedup_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
             / F.col("n_exact").cast("double")
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set ops — intersectAll/exceptAll keep DUPLICATE
+# multiplicities (per value: min(m_a, m_b) copies, resp. max(0,
+# m_a − m_b)), where rel_set_ops covers the distinct forms. The oracle
+# states the multiplicity arithmetic directly (engine-independent
+# ground truth for what ALL-variants must produce); the Spark side runs
+# the actual intersectAll/exceptAll operators and re-aggregates. Both
+# compile to one count-aggregate per side plus a join — bag set ops at
+# 100 TB are exactly as expensive as the grouped counts they reduce to.
+@register(
+    "rel_set_ops_all",
+    """WITH a AS (
+  SELECT o_orderpriority AS pri, count(*) AS m
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority),
+b AS (
+  SELECT o_orderpriority AS pri, count(*) AS m
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority)
+SELECT 'intersect_all' AS tag, a.pri, least(a.m, b.m) AS n
+FROM a JOIN b ON a.pri = b.pri
+WHERE least(a.m, b.m) > 0
+UNION ALL
+SELECT 'except_all' AS tag, a.pri,
+       a.m - coalesce(b.m, 0) AS n
+FROM a LEFT JOIN b ON a.pri = b.pri
+WHERE a.m - coalesce(b.m, 0) > 0""",
+)
+def rel_set_ops_all(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    a = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    b = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("tag"), "pri", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("tag"), "pri", "n")
+    )
+    return inter.unionByName(exc)

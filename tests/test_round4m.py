@@ -90,3 +90,27 @@ def test_lsh_recall_bounds(spark):
     assert 0.0 <= r.recall <= 1.0
     # the 8/4 config should find a usable fraction on the fixture corpus
     assert r.recall >= 0.5
+
+
+def test_set_ops_all_multiplicities(spark):
+    # literal multisets: a = [x,x,x,y], b = [x,y,y]
+    a = spark.createDataFrame(
+        [("x",), ("x",), ("x",), ("y",)], "pri string"
+    )
+    b = spark.createDataFrame([("x",), ("y",), ("y",)], "pri string")
+    inter = {
+        (r.pri, r.n)
+        for r in a.intersectAll(b)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    exc = {
+        (r.pri, r.n)
+        for r in a.exceptAll(b)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert inter == {("x", 1), ("y", 1)}  # min multiplicities
+    assert exc == {("x", 2)}  # 3-1 copies of x, 1-2 -> 0 of y
