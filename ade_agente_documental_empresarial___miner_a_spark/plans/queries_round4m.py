@@ -394,3 +394,85 @@ def rel_set_ops_all(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lit("except_all").alias("tag"), "pri", "n")
     )
     return inter.unionByName(exc)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered ANN — the filtered-vector-search serving shape: the
+# IVF index is built on the FULL corpus (codebook + cell assignment
+# unchanged), and the metadata predicate (label = 3) applies to the
+# probed candidates at query time — pre-filtering the corpus before
+# indexing would be a different (and wrong) contract, since the index
+# is shared across every filter. Because filtering thins each probed
+# cell, production filtered search widens nprobe — this entry runs
+# nprobe=6 vs sim_ivf_topk's 4, making the recall/selectivity trade
+# explicit. Same determinism discipline as the other IVF entries
+# (Lloyd-refined codebook, score DESC + vec_id tiebreaks).
+def _ivf_filtered_oracle() -> str:
+    from ..functions.vector import duck_cosine
+    from .queries_ext import _DUCK_IVF_CODEBOOK
+
+    qid, nprobe, k, target = 7, 6, 5, 3
+    return f"""WITH {_DUCK_IVF_CODEBOOK},
+assign AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {duck_cosine("e.embedding", "c.cvec")} DESC,
+                                     c.cid DESC) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+cells AS (SELECT vec_id, label, embedding, cid AS cell FROM assign WHERE rn = 1),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {qid}),
+qc AS (SELECT c.cid FROM cent c, q
+       ORDER BY {duck_cosine("c.cvec", "q.qvec")} DESC, c.cid DESC LIMIT {nprobe}),
+scored AS (
+  SELECT ce.vec_id, ce.label, {duck_cosine("ce.embedding", "q.qvec")} AS score
+  FROM cells ce, q
+  WHERE ce.cell IN (SELECT cid FROM qc) AND ce.label = {target}),
+ranked AS (
+  SELECT vec_id, label, score,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS rnk
+  FROM scored)
+SELECT vec_id, label, score, rnk FROM ranked WHERE rnk <= {k}"""
+
+
+@register("sim_ivf_filtered", _ivf_filtered_oracle())
+def sim_ivf_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+    from ..operators.ann import (
+        _cell_scores,
+        ivf_assign,
+        lloyd_refine_codebook,
+    )
+
+    qid, nprobe, k, target, n_cent = 7, 6, 5, 3, 16
+    emb = table(spark, sf, "embeddings")
+    cents = lloyd_refine_codebook(emb, n_cent, iters=1)
+    assigned = ivf_assign(emb, n_cent, cents=cents)
+    probed = F.slice(
+        F.sort_array(_cell_scores(F.col("_qvec"), cents), asc=False),
+        1,
+        nprobe,
+    )
+    q = (
+        emb.where(F.col("vec_id") == qid)
+        .select(F.col("embedding").alias("_qvec"))
+        .withColumn(
+            "_cells",
+            F.transform(probed, lambda s: s["cid"].cast("long")),
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        F.array_contains(F.col("_cells"), F.col("cell")),
+    ).where(F.col("label") == target)
+    scored = cand.select(
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("embedding"), F.col("_qvec")).alias(
+            "score"
+        ),
+    )
+    top = scored.orderBy(F.desc("score"), "vec_id").limit(k)
+    w = Window.orderBy(F.desc("score"), "vec_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -114,3 +114,13 @@ def test_set_ops_all_multiplicities(spark):
     }
     assert inter == {("x", 1), ("y", 1)}  # min multiplicities
     assert exc == {("x", 2)}  # 3-1 copies of x, 1-2 -> 0 of y
+
+
+def test_ivf_filtered_only_target_label(spark):
+    rows = q.sim_ivf_filtered(spark, SF).collect()
+    assert 0 < len(rows) <= 5
+    assert all(r.label == 3 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # ranks are dense 1..n
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
