@@ -336,9 +336,9 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 # Plan: explode is map-side on the spread(doc_id) partitioning; the
 # gram->model join is co-partitioned on the gram key; corpus total rides
 # a 1-row broadcast.
-@register(
-    "text_trigram_lm",
-    """WITH grams AS (
+# Shared with cur_perplexity_filter (queries_round4n), which wraps these
+# per-doc scores in a decile cutoff — one SQL definition, two consumers.
+TRIGRAM_SCORES_SQL = """WITH grams AS (
   SELECT doc_id, substr(text, i, 3) AS g
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, length(text) - 2)) AS i
@@ -349,8 +349,10 @@ SELECT doc_id, count(*) AS n_trigrams,
        round(CAST(sum(logp) AS DOUBLE) / count(*), 9) AS avg_logp
 FROM (SELECT doc_id, CAST(round(ln(cnt / total), 9) AS DECIMAL(20,9)) AS logp
       FROM grams JOIN model USING (g) CROSS JOIN tot)
-GROUP BY doc_id""",
-)
+GROUP BY doc_id"""
+
+
+@register("text_trigram_lm", TRIGRAM_SCORES_SQL)
 def text_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import spread
 
