@@ -161,6 +161,7 @@ def _load():
     from . import queries_round4l  # noqa: F401
     from . import queries_round4m  # noqa: F401
     from . import queries_round4n  # noqa: F401
+    from . import queries_round4o  # noqa: F401
 
     _LOADED = True
 
