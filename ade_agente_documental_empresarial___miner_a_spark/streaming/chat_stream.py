@@ -160,6 +160,43 @@ def interval_join(
     )
 
 
+def interval_join_outer(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "2 hours",
+    max_lag: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    matched rows as soon as both sides arrive, UNMATCHED purchases
+    null-extended only once the watermark passes ``p.ts`` (before that
+    a matching view could still arrive, so the engine must hold the row
+    back). That deferred null-extension is the semantic difference from
+    the inner form (``interval_join``) and the reason outer stream-stream
+    joins REQUIRE a watermark: without one, "no match ever" is
+    undecidable and state is unbounded. Batch-mirrored by
+    ``stream_interval_join_outer`` (withWatermark is a no-op in batch;
+    the join semantics are identical once all data is in).
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return p.join(v, cond, "leftOuter").select(
+        F.col("p_user").alias("user_id"), "purchase_id", "view_id", "v_ts", "p_ts"
+    )
+
+
 STATE_SCHEMA = StructType(
     [
         StructField("n_turns", LongType()),

@@ -651,3 +651,47 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         r.event_id for r in spark.read.parquet(out).collect()
     )
     assert again == [1, 2, 3, 4]
+
+
+def test_stream_stream_outer_interval_join(spark, tmp_path):
+    """Live LEFT OUTER stream-stream interval join: matched purchases
+    emit with their view; an unmatched purchase null-extends ONLY once
+    the global watermark passes its event time; a purchase still inside
+    the watermark horizon is held back entirely."""
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+        interval_join_outer,
+    )
+
+    views_dir = tmp_path / "ov_views_in"
+    buys_dir = tmp_path / "ov_buys_in"
+    write_events(views_dir, [
+        {"event_id": 10, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1, "event_type": "view", "value": "1", "props": "{}"},
+        # watermark pusher: max view ts 14:00 - 2h delay => 12:00
+        {"event_id": 98, "ts": "2024-01-01T14:00:00.000Z", "user_id": 97, "event_type": "view", "value": "1", "props": "{}"},
+    ])
+    write_events(buys_dir, [
+        {"event_id": 20, "ts": "2024-01-01T10:30:00.000Z", "user_id": 1, "event_type": "purchase", "value": "9", "props": "{}"},
+        # no views for user 3 -> must null-extend (10:00 < watermark)
+        {"event_id": 21, "ts": "2024-01-01T10:00:00.000Z", "user_id": 3, "event_type": "purchase", "value": "9", "props": "{}"},
+        # watermark pusher on the buys side; 14:00 >= watermark so its
+        # own null-extension is NOT yet decidable -> held back
+        {"event_id": 22, "ts": "2024-01-01T14:00:00.000Z", "user_id": 96, "event_type": "purchase", "value": "9", "props": "{}"},
+    ])
+    joined = interval_join_outer(
+        stream_events(spark, str(views_dir)),
+        stream_events(spark, str(buys_dir)),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("oij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    rows = spark.sql("select * from oij_out").collect()
+    got = sorted(
+        ((r.purchase_id, r.view_id) for r in rows),
+        key=lambda t: (t[0], t[1] if t[1] is not None else -1),
+    )
+    assert got == [(20, 10), (21, None)], got
