@@ -163,6 +163,7 @@ def _load():
     from . import queries_round4n  # noqa: F401
     from . import queries_round4o  # noqa: F401
     from . import queries_round4p  # noqa: F401
+    from . import queries_round4q  # noqa: F401
 
     _LOADED = True
 
