@@ -153,6 +153,13 @@ SHOW = [
     "rel_window_distinct_running",
     "s16_compaction",
     "cur_winsorize",
+    # round 4, sixteenth/seventeenth batches
+    "rel_bucketed_join",
+    "stream_interval_join_outer",
+    "func_regexp_battery",
+    "rel_string_agg",
+    "rel_higher_moments",
+    "graph_sssp_bellman",
 ]
 
 MARKS = [
