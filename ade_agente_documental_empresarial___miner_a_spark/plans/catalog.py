@@ -164,6 +164,7 @@ def _load():
     from . import queries_round4o  # noqa: F401
     from . import queries_round4p  # noqa: F401
     from . import queries_round4q  # noqa: F401
+    from . import queries_round4r  # noqa: F401
 
     _LOADED = True
 
