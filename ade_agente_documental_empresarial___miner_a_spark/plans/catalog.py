@@ -165,6 +165,7 @@ def _load():
     from . import queries_round4p  # noqa: F401
     from . import queries_round4q  # noqa: F401
     from . import queries_round4r  # noqa: F401
+    from . import queries_round4s  # noqa: F401
 
     _LOADED = True
 
