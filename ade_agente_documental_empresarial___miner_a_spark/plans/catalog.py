@@ -168,6 +168,7 @@ def _load():
     from . import queries_round4s  # noqa: F401
     from . import queries_round4t  # noqa: F401
     from . import queries_round4u  # noqa: F401
+    from . import queries_round4v  # noqa: F401
 
     _LOADED = True
 
