@@ -160,6 +160,25 @@ SHOW = [
     "rel_string_agg",
     "rel_higher_moments",
     "graph_sssp_bellman",
+    # round 4, eighteenth..twenty-third batches
+    "rel_incremental_mv",
+    "s17_corrupt_records",
+    "cur_gdpr_delete",
+    "rel_scd2_pit_join",
+    "cur_epoch_shuffle",
+    "cur_mixture_weights",
+    "rel_longest_streak",
+    "rel_basket_pairs",
+    "rel_equidepth_hist",
+    "rel_multitouch_attribution",
+    "emb_dim_stats",
+    "rel_local_time_rollup",
+    "rel_rolling_corr",
+    "rel_time_to_convert",
+    "s18_csv_interop",
+    "cur_k_anonymity",
+    "cur_release_manifest",
+    "func_unicode_battery",
 ]
 
 MARKS = [
