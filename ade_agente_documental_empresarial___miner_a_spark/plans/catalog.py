@@ -172,6 +172,7 @@ def _load():
     from . import queries_round4w  # noqa: F401
     from . import queries_round4x  # noqa: F401
     from . import queries_round4y  # noqa: F401
+    from . import queries_round4z  # noqa: F401
 
     _LOADED = True
 

@@ -695,3 +695,48 @@ def test_stream_stream_outer_interval_join(spark, tmp_path):
         key=lambda t: (t[0], t[1] if t[1] is not None else -1),
     )
     assert got == [(20, 10), (21, None)], got
+
+
+def test_foreachbatch_idempotent_sink(spark, tmp_path):
+    """The production sink pattern: foreachBatch writes each micro-batch
+    to a batch-id-keyed path with overwrite — a REPLAYED batch id (the
+    failure-recovery case) overwrites its own output instead of
+    appending a duplicate, so the sink is exactly-once end to end."""
+    import glob
+    import os
+
+    out = str(tmp_path / "fb_sink")
+
+    def write_batch(df, batch_id):
+        df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}")
+        )
+
+    src = tmp_path / "fb_in"
+    write_events(src, EVENTS)
+    stream = stream_events(spark, str(src))
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "fb_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    first = spark.read.parquet(out)
+    assert first.count() == len(EVENTS)
+
+    # simulate the recovery replay: rerun the SAME batch id over the
+    # same data — the overwrite keeps the sink exactly-once
+    batch_dirs = glob.glob(os.path.join(out, "batch_id=*"))
+    assert batch_dirs
+    replay_id = int(batch_dirs[0].rsplit("=", 1)[1])
+    replay_df = spark.read.parquet(
+        os.path.join(out, f"batch_id={replay_id}")
+    )
+    # materialize BEFORE overwriting the same path (lazy read would
+    # otherwise observe its own deletion)
+    replay_rows = replay_df.collect()
+    write_batch(
+        spark.createDataFrame(replay_rows, replay_df.schema), replay_id
+    )
+    assert spark.read.parquet(out).count() == len(EVENTS)
