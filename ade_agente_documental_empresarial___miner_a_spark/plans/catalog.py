@@ -175,6 +175,7 @@ def _load():
     from . import queries_round4z  # noqa: F401
     from . import queries_round4aa  # noqa: F401
     from . import queries_round4ab  # noqa: F401
+    from . import queries_round4ac  # noqa: F401
 
     _LOADED = True
 
