@@ -179,6 +179,19 @@ SHOW = [
     "cur_k_anonymity",
     "cur_release_manifest",
     "func_unicode_battery",
+    # round 4, twenty-fourth..twenty-ninth batches
+    "text_zipf_slope",
+    "cur_group_kfold",
+    "emb_hard_negatives",
+    "rel_quantile_normalize",
+    "emb_mips_vs_cosine",
+    "rel_event_transitions",
+    "cur_dataset_diff",
+    "rel_nearest_event_join",
+    "text_ngram_novelty",
+    "text_compression_ratio",
+    "rel_abtest_ztest",
+    "text_sentence_stats",
 ]
 
 MARKS = [
