@@ -176,6 +176,7 @@ def _load():
     from . import queries_round4aa  # noqa: F401
     from . import queries_round4ab  # noqa: F401
     from . import queries_round4ac  # noqa: F401
+    from . import queries_round4ad  # noqa: F401
 
     _LOADED = True
 
