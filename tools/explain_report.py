@@ -192,6 +192,8 @@ SHOW = [
     "text_compression_ratio",
     "rel_abtest_ztest",
     "text_sentence_stats",
+    "text_set_similarity_battery",
+    "cur_labeler_agreement",
 ]
 
 MARKS = [
