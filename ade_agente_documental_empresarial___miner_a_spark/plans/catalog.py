@@ -179,6 +179,7 @@ def _load():
     from . import queries_round4ad  # noqa: F401
     from . import queries_round4ae  # noqa: F401
     from . import queries_round4af  # noqa: F401
+    from . import queries_round4ag  # noqa: F401
 
     _LOADED = True
 
