@@ -184,6 +184,7 @@ def _load():
     from . import queries_round4ai  # noqa: F401
     from . import queries_round4aj  # noqa: F401
     from . import queries_round4ak  # noqa: F401
+    from . import queries_round4al  # noqa: F401
 
     _LOADED = True
 
