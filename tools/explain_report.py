@@ -194,6 +194,24 @@ SHOW = [
     "text_sentence_stats",
     "text_set_similarity_battery",
     "cur_labeler_agreement",
+    # round 4, thirty-first..thirty-ninth batches
+    "rel_capped_running_sum",
+    "rel_peak_concurrency",
+    "rel_referential_audit",
+    "text_script_mix",
+    "text_lang_margin",
+    "cur_bresenham_sample",
+    "graph_reciprocity",
+    "rel_multiband_counts",
+    "s19_layout_migration",
+    "cur_blocklist_filter",
+    "text_readability_fk",
+    "emb_training_triplets",
+    "rel_order_lead_time",
+    "rel_benford_audit",
+    "text_template_families",
+    "rel_price_volume_bridge",
+    "dedup_continuation",
 ]
 
 MARKS = [
