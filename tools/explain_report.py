@@ -212,6 +212,10 @@ SHOW = [
     "text_template_families",
     "rel_price_volume_bridge",
     "dedup_continuation",
+    "rel_max_drawdown",
+    "cur_psi_sources",
+    "rel_duplicate_payments",
+    "rel_missing_sequence",
 ]
 
 MARKS = [
