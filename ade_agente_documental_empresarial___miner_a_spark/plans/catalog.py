@@ -188,6 +188,7 @@ def _load():
     from . import queries_round4am  # noqa: F401
     from . import queries_round4an  # noqa: F401
     from . import queries_round4ao  # noqa: F401
+    from . import queries_round4ap  # noqa: F401
 
     _LOADED = True
 

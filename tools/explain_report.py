@@ -216,6 +216,7 @@ SHOW = [
     "cur_psi_sources",
     "rel_duplicate_payments",
     "rel_missing_sequence",
+    "rel_growth_accounting",
 ]
 
 MARKS = [
