@@ -189,6 +189,7 @@ def _load():
     from . import queries_round4an  # noqa: F401
     from . import queries_round4ao  # noqa: F401
     from . import queries_round4ap  # noqa: F401
+    from . import queries_round4aq  # noqa: F401
 
     _LOADED = True
 
