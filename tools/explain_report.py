@@ -217,6 +217,9 @@ SHOW = [
     "rel_duplicate_payments",
     "rel_missing_sequence",
     "rel_growth_accounting",
+    "s20_jsonl_gzip_roundtrip",
+    "func_bitwise_battery",
+    "rel_survival_km",
 ]
 
 MARKS = [
