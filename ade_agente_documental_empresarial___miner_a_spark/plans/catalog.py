@@ -192,6 +192,7 @@ def _load():
     from . import queries_round4aq  # noqa: F401
     from . import queries_round4ar  # noqa: F401
     from . import queries_round4as  # noqa: F401
+    from . import queries_round4at  # noqa: F401
 
     _LOADED = True
 

@@ -220,6 +220,9 @@ SHOW = [
     "s20_jsonl_gzip_roundtrip",
     "func_bitwise_battery",
     "rel_survival_km",
+    "rel_cohort_ltv",
+    "rel_abc_classification",
+    "sim_ivf_ndcg",
 ]
 
 MARKS = [
