@@ -193,6 +193,7 @@ def _load():
     from . import queries_round4ar  # noqa: F401
     from . import queries_round4as  # noqa: F401
     from . import queries_round4at  # noqa: F401
+    from . import queries_round4au  # noqa: F401
 
     _LOADED = True
 
