@@ -223,6 +223,10 @@ SHOW = [
     "rel_cohort_ltv",
     "rel_abc_classification",
     "sim_ivf_ndcg",
+    "rel_tiered_pricing",
+    "cur_bitext_ratio_filter",
+    "sim_mmr_rerank",
+    "rel_purchase_dispersion",
 ]
 
 MARKS = [
