@@ -195,6 +195,7 @@ def _load():
     from . import queries_round4at  # noqa: F401
     from . import queries_round4au  # noqa: F401
     from . import queries_round4av  # noqa: F401
+    from . import queries_round4aw  # noqa: F401
 
     _LOADED = True
 
