@@ -227,6 +227,12 @@ SHOW = [
     "cur_bitext_ratio_filter",
     "sim_mmr_rerank",
     "rel_purchase_dispersion",
+    "rel_hhi_concentration",
+    "cur_mix_entropy",
+    "rel_cusum_changepoint",
+    "text_term_burstiness",
+    "emb_isotropy",
+    "rel_seasonality_index",
 ]
 
 MARKS = [
