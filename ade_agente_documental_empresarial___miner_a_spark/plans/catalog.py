@@ -198,6 +198,7 @@ def _load():
     from . import queries_round4aw  # noqa: F401
     from . import queries_round4ax  # noqa: F401
     from . import queries_round4ay  # noqa: F401
+    from . import queries_round4az  # noqa: F401
 
     _LOADED = True
 
