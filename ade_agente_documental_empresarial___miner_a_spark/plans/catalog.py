@@ -74,6 +74,26 @@ _DRIVER_GREEN = frozenset(
         "rel_approx_distinct", "dedup_paragraph", "text_term_stats",
         "cur_quality_gate", "mm_audio_chunks", "stream_dedup",
         "rel_q6_revenue_delta", "stream_sliding_2h1h",
+        # green in CORRECTNESS_r04 (48/50 pass; the 2 reds were
+        # emb_label_centroids / rel_grouping_sets, reshaped in round 5 and
+        # re-queued at the front of the window via _PRIORITY)
+        "rel_q13_custdist", "rel_q21_waiting", "rel_q2_min_price",
+        "rel_q7_volume", "rel_q8_market_share", "rel_q9_profit",
+        "sim_ivf_persisted", "chat_session_costs", "rel_q15_top_supplier",
+        "rel_q17_small_qty", "rel_q20_excess_shippers",
+        "rel_q11_important_parts", "rel_q16_supplier_cnt",
+        "cur_source_quota", "cur_stratified_sample", "cur_length_batches",
+        "rel_partition_pruned_scan", "text_bm25_topk",
+        "emb_centroid_classify", "rel_pivot_events", "rel_unpivot_events",
+        "sim_pq_adc_topk", "sim_rrf_fusion", "stream_cdc_latest",
+        "stream_topk_trending", "cur_domain_mix", "text_tfidf_terms",
+        "skew_salted_join_rev", "mm_phash_band_pairs", "rel_scd2_history",
+        "emb_outlier_scores", "dedup_substring", "dedup_incremental",
+        "text_normalize", "rel_cohort_retention", "rel_json_props",
+        "stream_static_enrich", "graph_pagerank", "text_trigram_lm",
+        "cur_corpus_funnel", "s9_orc_roundtrip", "s10_jsonl_roundtrip",
+        "rel_weighted_median", "rel_zorder_keys", "cur_curriculum_phases",
+        "rel_heavy_hitters_cms", "rel_asof_cogrouped", "dedup_containment",
     }
 )
 
@@ -82,19 +102,27 @@ _DRIVER_GREEN = frozenset(
 # trusting a stale record (VERDICT r3 / ADVICE: a refactor behind a
 # green-listed name must not escape independent verification). Reset each
 # round after the CORRECTNESS file lands.
-_RECHECK = frozenset(
+_RECHECK: frozenset[str] = frozenset(
     {
-        "s2_html_extract",         # round 4: stdlib html.parser extractor
-        "s5_xlsx_degrade",         # round 4: oracle derived from import probe
-        "s6_transcript_reconstruct",  # round 4: sinks error-path narrowing
-        "skew_salted_agg",         # round 4: salted_join/docs hardening
-        "rel_sessionize",          # round 4: with_session_ids refactor
-        "stream_sliding_2h1h",     # round 4: routed through sliding_metrics
-        # round 4 continuation: _verify_jaccard candidate-broadcast pin
-        "dedup_lsh_verified",
-        "dedup_clusters",
-        "dedup_ngram_jaccard",
+        # (r04 rechecks all re-greened; add names here as round-5 edits
+        # touch green-listed implementations)
     }
+)
+
+# Names pulled to the VERY FRONT of the driver window this round,
+# regardless of tier — the r04 driver-red pair (reshaped outputs that must
+# re-green at the hard gate) followed by the ANN-quality evals the judge
+# asked to certify early (VERDICT r4 next-steps #1 and #5). All are
+# tier-1 (never driver-green) anyway; this pins their position so the
+# ~50-entry window cannot miss them behind other unchecked names.
+_PRIORITY = (
+    "emb_label_centroids",   # r04 RED: raw array output → exploded rows
+    "rel_grouping_sets",     # r04 RED: decimal hash → exact string surface
+    "sim_ivf_recall",
+    "sim_ivf_ndcg",
+    "sim_mmr_rerank",
+    "sim_ivf_filtered",
+    "stream_tws_type_counts",
 )
 
 
@@ -108,21 +136,25 @@ def driver_ordered(mapping: dict) -> dict:
     round, so the external gate should re-verify rather than trust the
     stale record; (3) recorded-green last. When the catalog outgrows the
     window, the cut lands in tier 2/3 (names that DO have a recorded
-    green + a full tools/parity re-run each round), never in tier 1."""
+    green + a full tools/parity re-run each round), never in tier 1.
+    _PRIORITY names (if present in the mapping) lead tier 1."""
+    prio = {k: mapping[k] for k in _PRIORITY if k in mapping}
     never = {
-        k: v for k, v in mapping.items() if k not in _DRIVER_GREEN
+        k: v
+        for k, v in mapping.items()
+        if k not in _DRIVER_GREEN and k not in prio
     }
     recheck = {
         k: v
         for k, v in mapping.items()
-        if k in _DRIVER_GREEN and k in _RECHECK
+        if k in _DRIVER_GREEN and k in _RECHECK and k not in prio
     }
     back = {
         k: v
         for k, v in mapping.items()
-        if k not in never and k not in recheck
+        if k not in prio and k not in never and k not in recheck
     }
-    return {**never, **recheck, **back}
+    return {**prio, **never, **recheck, **back}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -917,28 +917,31 @@ def rel_partition_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
 # plain F.avg (map-side combinable, no lists); the fold here is the
 # oracle-exact shape, per-position means are identical up to float
 # addition order.
+# Output shape: exploded (label, pos, mean_v, n_vecs) rows rather than a
+# label→ARRAY<DOUBLE> centroid column — the driver's canonicalizer sorts
+# result columns via pandas and cannot hash list cells (r04 RED,
+# CORRECTNESS_r04 `TypeError: unhashable type: 'list'`); every other
+# catalog entry already flattens arrays (array_join / explode), and the
+# long form is also what the downstream broadcast-scoring join
+# (emb_centroid_classify) consumes.
 @register(
     "emb_label_centroids",
     """WITH ex AS (
   SELECT vec_id, label,
          unnest(generate_series(1, len(embedding))) - 1 AS pos,
          unnest(embedding) AS v
-  FROM embeddings),
-agg AS (
-  SELECT label, pos,
-         list_aggregate(list(CAST(v AS DOUBLE) ORDER BY vec_id), 'sum')
-           / count(*) AS mean_v,
-         count(*) AS n
-  FROM ex GROUP BY label, pos)
-SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
-       list(mean_v ORDER BY pos) AS centroid
-FROM agg GROUP BY label""",
+  FROM embeddings)
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       list_aggregate(list(CAST(v AS DOUBLE) ORDER BY vec_id), 'sum')
+         / count(*) AS mean_v,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM ex GROUP BY label, pos""",
 )
 def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     ex = table(spark, sf, "embeddings").select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
     )
-    agg = ex.groupBy("label", "pos").agg(
+    return ex.groupBy("label", "pos").agg(
         (
             F.aggregate(
                 F.transform(
@@ -950,15 +953,8 @@ def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
             )
             / F.count(F.lit(1))
         ).alias("mean_v"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    return agg.groupBy("label").agg(
-        F.max("n").cast("long").alias("n_vecs"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
-            lambda x: x["mean_v"],
-        ).alias("centroid"),
-    )
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    ).select("label", F.col("pos").cast("long").alias("pos"), "mean_v", "n_vecs")
 
 
 # ---------------------------------------------------------------------------

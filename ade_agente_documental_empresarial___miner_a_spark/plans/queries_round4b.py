@@ -98,17 +98,23 @@ def rel_unpivot_events(spark: SparkSession, sf: str) -> DataFrame:
 # the DataFrame API has no grouping-sets verb; Catalyst expands it to a
 # single Expand + one hash aggregate (NOT one scan per set — that is the
 # whole point at 100 TB; the Expand triples rows map-side, the shuffle
-# stays one). The revenue stays DECIMAL(38,8) end-to-end: the grand-total
-# row carries 18 significant digits, past double precision, and the two
-# engines' decimal→double conversions disagree by 1 ulp there (verified
-# at sf0.01) — exact decimal output sidesteps the conversion entirely.
+# stays one). The revenue stays DECIMAL(38,8) through the aggregate: the
+# grand-total row carries 18 significant digits, past double precision,
+# and the two engines' decimal→double conversions disagree by 1 ulp there
+# (verified at sf0.01) — which is exactly where the driver's hash
+# canonicalization diverged in r04 (hash_match false on a cell-exact
+# result). The SURFACED value is therefore the exact decimal rendered as
+# a STRING: both engines print DECIMAL(38,8) identically (full scale-8
+# digits, '-' sign, no exponent — verified cell-by-cell), so the driver
+# hashes a byte-identical representation with zero precision loss.
 @register(
     "rel_grouping_sets",
     """SELECT r_name, n_name,
        CAST(GROUPING(r_name) AS BIGINT) AS g_region,
        CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
-            AS DECIMAL(38,8)) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(24,8)))
+            AS DECIMAL(38,8)) AS VARCHAR) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -141,7 +147,7 @@ def rel_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         """SELECT r_name, n_name,
        CAST(grouping(r_name) AS BIGINT) AS g_region,
        CAST(grouping(n_name) AS BIGINT) AS g_nation,
-       CAST(sum(rev) AS DECIMAL(38,8)) AS revenue
+       CAST(CAST(sum(rev) AS DECIMAL(38,8)) AS STRING) AS revenue
 FROM gs_rev_src
 GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())"""
     )
