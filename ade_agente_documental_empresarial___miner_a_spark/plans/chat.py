@@ -29,6 +29,15 @@ SYSTEM_PROMPT = (
 PROMPT_TOKEN_USD = 0.00001
 COMPLETION_TOKEN_USD = 0.00003
 
+# Default replay cap. The reference replays the ENTIRE per-user history
+# every turn (ConversationBufferMemory, app.py:228-242) — at 100× chat
+# volume that is an unbounded driver-side collect and an OOM. The engine
+# default is therefore a bounded window (cap applied BEFORE collect, so
+# driver materialization is O(cap) regardless of stored depth); full
+# replay stays available as the explicit parity mode via
+# ``last_n_turns=None``.
+DEFAULT_LAST_N_TURNS = 50
+
 
 def extractive_stub_llm(messages: list[dict]) -> str:
     """Deterministic 'LLM': answer = first two sentences of the context
@@ -63,17 +72,18 @@ def answer_question(
     k: int = 4,
     dim: int = 64,
     llm: Callable[[list[dict]], str] = extractive_stub_llm,
-    last_n_turns: int | None = None,
+    last_n_turns: int | None = DEFAULT_LAST_N_TURNS,
 ) -> ChatTurn:
     """One full E2 turn against a built chunks index.
 
-    ``last_n_turns=None`` replays the ENTIRE per-user history each turn —
-    the reference's ConversationBufferMemory behavior (app.py:228-242),
-    preserved as the parity default even though it grows without bound.
-    Setting ``last_n_turns=n`` keeps only the n most recent turns, and the
-    cap is applied BEFORE collect (orderBy desc + limit → per-partition
-    top-n heaps), so the driver-side materialization is O(n) no matter how
-    long the stored history gets.
+    ``last_n_turns`` defaults to ``DEFAULT_LAST_N_TURNS`` (50): only the
+    n most recent turns are replayed, and the cap is applied BEFORE
+    collect (orderBy desc + limit → per-partition top-n heaps), so the
+    driver-side materialization is O(n) no matter how long the stored
+    history gets. ``last_n_turns=None`` is the explicit PARITY mode: it
+    replays the ENTIRE per-user history each turn — the reference's
+    ConversationBufferMemory behavior (app.py:228-242) — and grows
+    without bound, so it is opt-in rather than the default.
     """
     qvec = embed_one(question, dim=dim)
     hits = topk_similar(chunks, qvec, k=k).collect()  # K1

@@ -63,7 +63,8 @@ def test_determinism(spark):
 
 def test_last_n_turns_bounds_replay(spark, tmp_path):
     """With last_n_turns=2 only the 2 most recent turns are replayed
-    (chronological order preserved); default stays full-replay parity."""
+    (chronological order preserved); last_n_turns=None is the explicit
+    full-replay parity mode (the bounded window is the default)."""
     from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
         append_chat_history,
     )
@@ -87,6 +88,7 @@ def test_last_n_turns_bounds_replay(spark, tmp_path):
 
     full = answer_question(
         spark, chunks, "ana", "another question", history_path=path,
+        last_n_turns=None,
     )
     full_user = [m["content"] for m in full.messages if m["role"] == "user"]
     # full replay now includes the 5 seeded + the bounded turn just persisted
@@ -134,10 +136,54 @@ def test_bounded_replay_is_o_n_over_long_history(spark, tmp_path):
     replayed = [m["content"] for m in b_long.messages if m["role"] == "user"]
     assert replayed[:3] == ["q047", "q048", "q049"]
 
-    f_short = answer_question(spark, chunks, "ana", "Q", history_path=short)
-    f_long = answer_question(spark, chunks, "ana", "Q", history_path=long)
-    # full replay: grows with stored history (parity mode, unbounded)
-    assert len(f_long.messages) - len(f_short.messages) == 2 * (50 - 10)
+    f_short = answer_question(
+        spark, chunks, "ana", "Q", history_path=short, last_n_turns=None
+    )
+    f_long = answer_question(
+        spark, chunks, "ana", "Q", history_path=long, last_n_turns=None
+    )
+    # full replay (explicit parity mode): grows with stored history.
+    # Each history now also carries the bounded turn appended above, so
+    # depths are 11 vs 51 — the delta is still the seeded 40-turn gap.
+    assert len(f_long.messages) - len(f_short.messages) == 2 * (51 - 11)
+
+
+def test_default_is_bounded_window(spark, tmp_path):
+    """The DEFAULT replay mode is the bounded 50-turn window (100 TB
+    posture: driver materialization O(cap), not O(stored history));
+    full replay requires explicit last_n_turns=None."""
+    import datetime as dt
+
+    from ade_agente_documental_empresarial___miner_a_spark.plans.chat import (
+        DEFAULT_LAST_N_TURNS,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
+        append_chat_history,
+    )
+
+    assert DEFAULT_LAST_N_TURNS == 50
+    path = str(tmp_path / "chat")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    append_chat_history(
+        spark,
+        [
+            ("ana", f"q{i:03d}", f"a{i:03d}", base + dt.timedelta(minutes=i), 1, 1)
+            for i in range(55)
+        ],
+        path,
+    )
+    chunks = make_index(spark)
+    turn = answer_question(spark, chunks, "ana", "Q", history_path=path)
+    replayed = [m["content"] for m in turn.messages if m["role"] == "user"]
+    # 50 replayed + the live question; oldest 5 turns dropped
+    assert len(replayed) == DEFAULT_LAST_N_TURNS + 1
+    assert replayed[0] == "q005" and replayed[49] == "q054"
+
+    full = answer_question(
+        spark, chunks, "ana", "Q", history_path=path, last_n_turns=None
+    )
+    full_replayed = [m["content"] for m in full.messages if m["role"] == "user"]
+    assert len(full_replayed) == 56 + 1  # 55 seeded + bounded turn above + live
 
 
 def test_same_ts_ties_break_on_turn_id(spark, tmp_path):
