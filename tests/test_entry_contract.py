@@ -44,3 +44,63 @@ def test_queries_run_at_sf0001(spark):
         df = fn(spark, sf)
         assert df.columns, name
         df.limit(1).collect()
+
+
+def test_no_driver_hostile_output_types(spark):
+    """The driver's correctness canonicalizer sorts result columns via
+    pandas and hashes cell values; ARRAY/MAP/STRUCT cells crash the sort
+    (r04: emb_label_centroids) and DECIMAL cells hash through a lossy
+    decimal->double conversion that diverges between engines at >15
+    significant digits (r04: rel_grouping_sets). Pin the invariant for
+    the ENTIRE oracle-paired catalog — not just the current 50-entry
+    window — so future window rotations can never resurface the hazard."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    mod = load_entry()
+    oracles = set(mod.oracle_sql())
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, fn in mod.queries().items():
+        if name not in oracles:
+            continue  # rows-only entries never reach the value hasher
+        for f in fn(spark, sf).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, bad
+
+
+def test_driver_window_ordering():
+    """The driver certifies only the first ~50 queries() entries per
+    round; pin the rotation invariants so a catalog edit cannot silently
+    push unchecked work out of the window: (1) _PRIORITY names lead,
+    (2) every never-driver-green name precedes every green name that is
+    not in _RECHECK, (3) the order is deterministic across loads."""
+    from ade_agente_documental_empresarial___miner_a_spark.plans.catalog import (
+        _DRIVER_GREEN,
+        _PRIORITY,
+        _RECHECK,
+    )
+
+    mod = load_entry()
+    order = list(mod.queries())
+    assert order[: len(_PRIORITY)] == [
+        n for n in _PRIORITY if n in set(order)
+    ]
+    pos = {n: i for i, n in enumerate(order)}
+    never = [
+        n for n in order
+        if n not in _DRIVER_GREEN and n not in _PRIORITY
+    ]
+    settled_green = [
+        n for n in order
+        if n in _DRIVER_GREEN and n not in _RECHECK and n not in _PRIORITY
+    ]
+    if never and settled_green:
+        assert max(pos[n] for n in never) < min(
+            pos[n] for n in settled_green
+        )
+    # deterministic across module loads
+    assert list(load_entry().queries()) == order
+    # oracle_sql iterates in the same driver-facing order on shared keys
+    osql_order = [n for n in mod.oracle_sql() if n in pos]
+    assert osql_order == [n for n in order if n in set(osql_order)]

@@ -142,17 +142,26 @@ def test_q16_anti_join_excludes_complaint_suppliers(spark):
 def test_emb_label_centroids_match_numpy_mean(spark):
     import numpy as np
 
+    # r05 reshape: exploded (label, pos, mean_v, n_vecs) rows — the r04
+    # ARRAY<DOUBLE> centroid column crashed the driver's canonicalizer
     rows = _q("emb_label_centroids")(spark, SF001_DIR).collect()
     emb = spark.read.parquet(f"{SF001_DIR}/embeddings.parquet").collect()
     by_label = {}
     for r in emb:
         by_label.setdefault(r.label, []).append(r.embedding)
     assert {r.label for r in rows} == set(by_label)
+    dim = len(emb[0].embedding)
+    centroids = {}
     for r in rows:
-        vecs = np.array(by_label[r.label], dtype=np.float64)
+        vecs = by_label[r.label]
         assert r.n_vecs == len(vecs)
-        assert len(r.centroid) == vecs.shape[1]
-        assert np.allclose(r.centroid, vecs.mean(axis=0), atol=1e-12)
+        assert 0 <= r.pos < dim
+        centroids.setdefault(r.label, {})[r.pos] = r.mean_v
+    for label, by_pos in centroids.items():
+        assert len(by_pos) == dim  # every position surfaced exactly once
+        vecs = np.array(by_label[label], dtype=np.float64)
+        got = np.array([by_pos[p] for p in range(dim)])
+        assert np.allclose(got, vecs.mean(axis=0), atol=1e-12)
 
 
 def test_partition_pruned_scan_reads_only_three_days(spark):
