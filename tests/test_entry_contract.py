@@ -104,3 +104,50 @@ def test_driver_window_ordering():
     # oracle_sql iterates in the same driver-facing order on shared keys
     osql_order = [n for n in mod.oracle_sql() if n in pos]
     assert osql_order == [n for n in order if n in set(osql_order)]
+
+
+def test_recorded_verdicts_derivation(tmp_path):
+    """The driver-green set is derived from the CORRECTNESS_r{N}.json
+    files the driver writes; latest round wins so regressions re-enter
+    the window automatically and re-greens settle without manual edits."""
+    import json
+
+    from ade_agente_documental_empresarial___miner_a_spark.plans.catalog import (
+        _DRIVER_GREEN,
+        _STATIC_GREEN,
+        _VERDICTS,
+        _recorded_verdicts,
+    )
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 5, "oracle_rows": 5, "err": None}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "spark_rows": 5, "oracle_rows": 5, "err": None}
+    crash = {"rows_match": None, "schema_match": None, "hash_match": None,
+             "spark_rows": None, "oracle_rows": None, "err": "boom"}
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 9, "oracle_rows": None,
+                 "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps(
+        {"a": ok, "b": ok, "c": red, "d": rows_only}
+    ))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps(
+        {"b": crash, "c": ok}
+    ))
+    (tmp_path / "CORRECTNESS_r06.json").write_text("not json")  # skipped
+    v = _recorded_verdicts(str(tmp_path))
+    assert v == {"a": True, "b": False, "c": True, "d": True}
+
+    # the module-level wiring: greens union the static baseline, latest
+    # reds are excluded even if an older round (or the baseline) had them
+    live = _recorded_verdicts()
+    expect = frozenset(
+        (_STATIC_GREEN | {n for n, g in live.items() if g})
+        - {n for n, g in live.items() if not g}
+    )
+    assert _DRIVER_GREEN == expect
+    assert _VERDICTS == live
+    # the r04 reds must be rotation-eligible (front of the window)
+    for name in ("emb_label_centroids", "rel_grouping_sets"):
+        if name in live:
+            assert live[name] is False or name in _DRIVER_GREEN
