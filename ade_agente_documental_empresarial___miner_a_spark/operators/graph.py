@@ -6,10 +6,12 @@ graphs, matching the ``dedup.connected_components`` evidence pattern).
 
 Scale design (the part the tiny catalog graph cannot demonstrate):
 
-- **One shuffle per iteration.** ``edges`` is hash-partitioned on
-  ``src`` ONCE up front and cached; each iteration joins the node-sized
-  ``ranks`` frame to it on ``src`` (ranks, being |V|-sized vs |E|-sized,
-  is the cheap side to move), then aggregates contributions by ``dst``.
+- **Only node-sized data moves per iteration.** ``edges`` is
+  hash-partitioned on ``src`` ONCE up front and cached; each iteration
+  shuffles the |V|-sized ``ranks`` frame to it (never the |E|-sized
+  edges), and the by-``dst`` contribution aggregation shuffles
+  partially-combined sums — map-side combine collapses the |E| products
+  to at most |V| rows per partition before they move.
 - **Bounded lineage.** Iterative loops grow the plan linearly; past
   ~10 joins Catalyst analysis time dominates and executors re-derive
   ever-deeper lineage on any retry. ``checkpoint_every`` truncates via

@@ -98,6 +98,11 @@ SHOW = [
     "rel_gap_fill",
     "rel_ewma_hourly",
     "sim_ivf_recall",
+    # round 5: reshaped driver-red pair + certified-early ANN evals
+    "emb_label_centroids",
+    "sim_ivf_ndcg",
+    "sim_mmr_rerank",
+    "sim_ivf_filtered",
     # round 4, sixth batch
     "func_udtf_termvec",
     "rel_lateral_topk",
