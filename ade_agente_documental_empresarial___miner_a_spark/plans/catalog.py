@@ -160,8 +160,15 @@ _DRIVER_GREEN = frozenset(
 # round after the CORRECTNESS file lands.
 _RECHECK: frozenset[str] = frozenset(
     {
-        # (r04 rechecks all re-greened; add names here as round-5 edits
-        # touch green-listed implementations)
+        # r05: IVF codebook scoring re-grouped for scale (_cell_scores —
+        # shared per-row |v| + constant |c|; bit-exact re-grouping,
+        # verified vs the DuckDB oracles AND measured 1.6-2x at 100k
+        # vectors) — every green entry routed through ivf_assign /
+        # ivf_topk / ivf_quantized_topk / the persisted i8 index must
+        # re-green at the hard gate rather than trust the stale record.
+        "sim_ivf_topk",
+        "sim_ivf_quantized",
+        "sim_ivf_persisted",
     }
 )
 
@@ -192,31 +199,34 @@ def driver_ordered(mapping: dict) -> dict:
     """Driver-facing iteration order, used ONLY by __spark_entry__.py —
     everything else gets registration order from queries()/oracle_sql().
 
-    Three tiers: (1) names with NO recorded green — new work must land
-    inside the driver's ~50-entry CORRECTNESS window at least once;
-    (2) _RECHECK names — green on record but implementation touched this
-    round, so the external gate should re-verify rather than trust the
-    stale record; (3) recorded-green last. When the catalog outgrows the
-    window, the cut lands in tier 2/3 (names that DO have a recorded
-    green + a full tools/parity re-run each round), never in tier 1.
-    _PRIORITY names (if present in the mapping) lead tier 1."""
+    Three tiers: (1) _RECHECK names — green on record but implementation
+    touched this round; a stale green claim over changed code is the
+    worst silent-failure mode, so the external gate re-verifies these
+    FIRST (they must not queue behind a multi-round backlog of
+    never-checked names); (2) names with NO recorded green — new work
+    must land inside the driver's ~50-entry CORRECTNESS window at least
+    once (each is parity-green locally in the meantime); (3)
+    recorded-green last. When the catalog outgrows the window, the cut
+    lands in tier 2/3, and tier-2 names cut off this round lead the next
+    round's window. _PRIORITY names (if present in the mapping) lead
+    everything."""
     prio = {k: mapping[k] for k in _PRIORITY if k in mapping}
-    never = {
-        k: v
-        for k, v in mapping.items()
-        if k not in _DRIVER_GREEN and k not in prio
-    }
     recheck = {
         k: v
         for k, v in mapping.items()
         if k in _DRIVER_GREEN and k in _RECHECK and k not in prio
+    }
+    never = {
+        k: v
+        for k, v in mapping.items()
+        if k not in _DRIVER_GREEN and k not in prio
     }
     back = {
         k: v
         for k, v in mapping.items()
         if k not in prio and k not in never and k not in recheck
     }
-    return {**prio, **never, **recheck, **back}
+    return {**prio, **recheck, **never, **back}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -50,6 +50,7 @@ HEADLINE = [
 
 
 SCALE_FACTOR = 10  # replicas per doc in the synthetic scale corpus
+EMB_SCALE_FACTOR = 50  # replicas per vector (100k vectors at sf0.1)
 
 
 def ensure_scale_corpus(spark, sf_dir: str) -> str:
@@ -61,11 +62,12 @@ def ensure_scale_corpus(spark, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/ade_bench_scale{SCALE_FACTOR}_{tag}"
-    # both tables must exist (events.parquet joined the corpus later —
+    # all tables must exist (events/embeddings joined the corpus later —
     # a docs-only cache from an earlier run must be topped up)
-    if os.path.exists(
-        os.path.join(out, "documents.parquet", "_SUCCESS")
-    ) and os.path.exists(os.path.join(out, "events.parquet", "_SUCCESS")):
+    if all(
+        os.path.exists(os.path.join(out, t, "_SUCCESS"))
+        for t in ("documents.parquet", "events.parquet", "embeddings.parquet")
+    ):
         return out
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     replicas = spark.range(SCALE_FACTOR).select(F.col("id").alias("r"))
@@ -118,6 +120,39 @@ def ensure_scale_corpus(spark, sf_dir: str) -> str:
     scaled_ev.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "events.parquet")
     )
+    # 50x embeddings (100k vectors at sf0.1) for the ANN scale leg:
+    # replica r reflects vec_id into a disjoint id space and adds a
+    # deterministic per-component perturbation (murmur3 of (vec_id, r,
+    # pos), scaled to ±0.1) so replicas are near- but not exact
+    # duplicates — cells stay populated, scoring isn't degenerate.
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb_replicas = spark.range(EMB_SCALE_FACTOR).select(
+        F.col("id").alias("r")
+    )
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + (
+            F.pmod(F.hash(F.col("vec_id"), F.col("r"), i), F.lit(1000))
+            - F.lit(500)
+        ).cast("float")
+        / F.lit(5000.0),
+    )
+    (
+        emb.crossJoin(emb_replicas)
+        .select(
+            (F.col("vec_id") * EMB_SCALE_FACTOR + F.col("r")).alias(
+                "vec_id"
+            ),
+            # cast back to the fixture's array<float> so the scale corpus
+            # exercises the same schema (and parquet size) as production
+            perturbed.cast("array<float>").alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    )
     return out
 
 
@@ -161,7 +196,9 @@ def scale10x_queries(qs):
         # (operators/graph.py) on a deterministic 1M-edge / 100k-node
         # graph — 5 iterations, localCheckpoint every 2 (the same
         # lineage-truncation pattern dedup_clusters evidences at 50k
-        # docs). One shuffle per iteration, no driver materialization.
+        # docs). Only node-bounded data moves per iteration (ranks to
+        # the src-partitioned cached edges; map-side-combined
+        # contribution sums by dst); no driver materialization.
         from ade_agente_documental_empresarial___miner_a_spark.operators.graph import (
             pagerank,
             synthetic_edge_graph,
@@ -171,6 +208,22 @@ def scale10x_queries(qs):
             spark, n_edges=1_000_000, n_nodes=100_000
         )
         return pagerank(edges, iters=5, checkpoint_every=2)
+
+    def ivf_100k(spark, sf_dir):
+        # ANN at 50x vectors (100k at sf0.1): the full IVF path each
+        # run — Lloyd-refined 64-cell codebook, map-only literal-
+        # codebook assignment, nprobe=8 probe, exact cosine rerank
+        # inside the probed cells, TakeOrderedAndProject top-k. The
+        # codebook build dominates (the once-per-ingest S8 job);
+        # sim_ivf_persisted is the serving-only variant.
+        from ade_agente_documental_empresarial___miner_a_spark.operators.ann import (
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        return ivf_topk(emb, query_id=7, k=10, nprobe=8, n_centroids=64)
 
     return {
         "t2_section_assign": qs["t2_section_assign"],
@@ -182,6 +235,7 @@ def scale10x_queries(qs):
         # window scale leg — one user_id shuffle, two-pointer frames
         "rel_range_frame": qs["rel_range_frame"],
         "graph_pagerank_1m": pagerank_1m,
+        "sim_ivf_100k": ivf_100k,
     }
 
 

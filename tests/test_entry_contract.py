@@ -87,6 +87,10 @@ def test_driver_window_ordering():
         n for n in _PRIORITY if n in set(order)
     ]
     pos = {n: i for i, n in enumerate(order)}
+    recheck = [
+        n for n in order
+        if n in _DRIVER_GREEN and n in _RECHECK and n not in _PRIORITY
+    ]
     never = [
         n for n in order
         if n not in _DRIVER_GREEN and n not in _PRIORITY
@@ -95,6 +99,10 @@ def test_driver_window_ordering():
         n for n in order
         if n in _DRIVER_GREEN and n not in _RECHECK and n not in _PRIORITY
     ]
+    # touched-green names re-verify FIRST (a stale green claim over
+    # changed code must not queue behind the never-checked backlog)
+    if recheck and never:
+        assert max(pos[n] for n in recheck) < min(pos[n] for n in never)
     if never and settled_green:
         assert max(pos[n] for n in never) < min(
             pos[n] for n in settled_green
