@@ -10,6 +10,8 @@ exact; the left-fold order of ``aggregate`` is the array order).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -27,6 +29,31 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def const_l2_norm(vec: list[float]) -> float:
+    """Driver-side |v| for a LITERAL vector, with the EXACT fold
+    l2_norm() uses (s=0; s+=xᵢ² left-to-right; sqrt) — Python doubles
+    are the same IEEE-754 ops, so the constant is bit-identical to
+    evaluating l2_norm on the engine. Lets literal-query/codebook
+    scoring drop one 64-element HOF fold per row without perturbing
+    oracle parity."""
+    s = 0.0
+    for x in vec:
+        xd = float(x)
+        s += xd * xd
+    return math.sqrt(s)
+
+
+def cosine_to_literal(vec_col: Column, query_vec: list[float]) -> Column:
+    """cosine(v, q) for a literal q — bit-exact re-grouping of
+    cosine_similarity(v, lit(q)): same dot fold, same |v| fold, |q| as
+    a driver-computed constant (const_l2_norm) in the same position of
+    the same expression tree."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return dot(vec_col, qcol) / (
+        l2_norm(vec_col) * F.lit(const_l2_norm(query_vec))
+    )
 
 
 def cosine_distance(a: Column, b: Column) -> Column:

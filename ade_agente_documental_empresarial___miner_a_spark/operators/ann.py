@@ -23,7 +23,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, l2_norm
+from ..functions.vector import const_l2_norm, cosine_similarity, l2_norm
 
 DEFAULT_PLANES = 6
 DEFAULT_DIM = 64
@@ -226,15 +226,7 @@ def lloyd_refine_codebook(
     return cents
 
 
-def _const_l2_norm(cvec: list[float]) -> float:
-    """Driver-side |c| with the EXACT fold l2_norm() uses (s=0; s+=xᵢ²
-    left-to-right; sqrt) — Python doubles are the same IEEE-754 ops, so
-    the constant is bit-identical to evaluating l2_norm on the engine."""
-    s = 0.0
-    for x in cvec:
-        xd = float(x)
-        s += xd * xd
-    return math.sqrt(s)
+_const_l2_norm = const_l2_norm  # |c| with l2_norm's exact fold (vector.py)
 
 
 def _cell_scores(

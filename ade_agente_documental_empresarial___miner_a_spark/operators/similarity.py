@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, cosine_to_literal
 
 
 def score_against(
@@ -33,10 +33,13 @@ def score_against(
     vec_col: str = "embedding",
     score_col: str = "score",
 ) -> DataFrame:
-    """Add cosine-similarity score vs one literal query vector (1×N)."""
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    """Add cosine-similarity score vs one literal query vector (1×N).
+
+    The query norm is a driver-side constant (cosine_to_literal) — one
+    fewer 64-element fold per scored row in the serving hot path, with
+    values bit-identical to cosine_similarity(v, lit(q))."""
     return index.withColumn(
-        score_col, cosine_similarity(F.col(vec_col), qcol)
+        score_col, cosine_to_literal(F.col(vec_col), query_vec)
     )
 
 
