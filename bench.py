@@ -209,6 +209,31 @@ def scale10x_queries(qs):
         )
         return pagerank(edges, iters=5, checkpoint_every=2)
 
+    def ivf_100k_serving(spark, sf_dir):
+        # the serving-only half of the story: the IVF/int8 index is
+        # built ONCE (first call; best-of-2 then measures the warm
+        # path, same convention as the chat index) and queries scan
+        # only the nprobe probed cell partitions of the codes table.
+        from pyspark.sql import functions as F
+
+        from ade_agente_documental_empresarial___miner_a_spark.operators.ann import (
+            ivf_i8_search,
+            load_ivf_i8_index,
+            save_ivf_i8_index,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        path = os.path.join(sf_dir, "ivf_i8_index")
+        if not os.path.exists(
+            os.path.join(path, "codes", "_SUCCESS")
+        ):
+            save_ivf_i8_index(emb, path, n_centroids=64, refine_iters=1)
+        codes, cents = load_ivf_i8_index(spark, path)
+        queries = emb.where(F.col("vec_id") == 7)
+        return ivf_i8_search(codes, cents, queries, k=10, nprobe=8)
+
     def ivf_100k(spark, sf_dir):
         # ANN at 50x vectors (100k at sf0.1): the full IVF path each
         # run — Lloyd-refined 64-cell codebook, map-only literal-
@@ -236,6 +261,7 @@ def scale10x_queries(qs):
         "rel_range_frame": qs["rel_range_frame"],
         "graph_pagerank_1m": pagerank_1m,
         "sim_ivf_100k": ivf_100k,
+        "sim_ivf_100k_serving": ivf_100k_serving,
     }
 
 
