@@ -238,26 +238,39 @@ def _cell_scores(
     literals, so this is a pure projection (no join, no shuffle);
     float32 literals are exact in double.
 
-    Score shape: ``dot(v,c) / (|v| * |c|)`` with the dot a single HOF
-    fold (_dot_literal) and |c| a driver-computed constant — both
-    bit-exact re-groupings of cosine_similarity(), so oracle parity is
-    unaffected.
-    |v| is the one per-row subexpression shared across all n_centroids
-    scores; pass ``vnorm`` (see ivf_assign) to materialize it once per
-    row instead of n_centroids times."""
+    Score shape: ``dot(v,c) / (|v| * |c|)`` with |c| a driver-computed
+    constant — a bit-exact re-grouping of cosine_similarity() (same
+    IEEE fold orders), so oracle parity is unaffected. |v| is the one
+    per-row subexpression shared across all n_centroids scores; pass
+    ``vnorm`` (see ivf_assign) to materialize it once per row instead
+    of n_centroids times.
+
+    The codebook is packed into THREE array literals (vectors, cids,
+    norms) and scored via ``transform`` with index — ONE py4j Literal
+    each, ~10 expression nodes total. The naive per-centroid
+    ``F.array(64 structs of 64 F.lit()s)`` form costs ~10k py4j calls
+    to BUILD and a ~10k-node tree for Catalyst to analyze — measured
+    2-4 s of DRIVER time per query plan at 64×64, which dominated
+    serving latency. Values are identical: the inner zip/fold is the
+    same, and element_at on a literal array yields the same double the
+    scalar literal did."""
     if vnorm is None:
         vnorm = l2_norm(vec_col)
-    structs = [
-        F.struct(
-            (
-                _dot_literal(vec_col, cvec)
-                / (vnorm * F.lit(_const_l2_norm(cvec)))
-            ).alias("score"),
-            F.lit(cid).alias("cid"),
+    cb = F.lit([[float(x) for x in cvec] for _, cvec in cents])
+    cids = F.lit([int(cid) for cid, _ in cents])
+    cnorms = F.lit([_const_l2_norm(cvec) for _, cvec in cents])
+
+    def _score(cv, i):
+        prods = F.zip_with(vec_col, cv, lambda x, y: x.cast("double") * y)
+        d = F.aggregate(prods, F.lit(0.0), lambda s, x: s + x)
+        return F.struct(
+            (d / (vnorm * F.element_at(cnorms, i + F.lit(1)))).alias(
+                "score"
+            ),
+            F.element_at(cids, i + F.lit(1)).alias("cid"),
         )
-        for cid, cvec in cents
-    ]
-    return F.array(*structs)
+
+    return F.transform(cb, _score)
 
 
 def ivf_assign(
