@@ -48,12 +48,16 @@ def append_chat_history(
     spark: SparkSession,
     rows: list[tuple],
     path: str,
+    base_turn_id: int | None = None,
 ) -> None:
     """Append chat turns (S6). ``rows`` are (user, message, response,
     ts, prompt_tokens, completion_tokens) tuples; ts=None → now().
     Each row gets a persisted ``turn_id`` continuing from the stored
-    history (single-writer append, as in the reference's chat loop)."""
-    base = _next_turn_id(spark, path)
+    history (single-writer append, as in the reference's chat loop).
+    ``base_turn_id`` lets a caller that already knows the counter (a
+    live ChatSession holding it in RAM) skip the read-before-write;
+    when omitted the stored max is re-derived."""
+    base = _next_turn_id(spark, path) if base_turn_id is None else base_turn_id
     df = spark.createDataFrame(
         [r + (base + i,) for i, r in enumerate(rows)], CHAT_SCHEMA
     ).withColumn("ts", F.coalesce(F.col("ts"), F.current_timestamp()))
