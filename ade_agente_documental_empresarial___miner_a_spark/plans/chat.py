@@ -85,42 +85,80 @@ def answer_question(
     ConversationBufferMemory behavior (app.py:228-242) — and grows
     without bound, so it is opt-in rather than the default.
     """
+    past = (
+        _load_past(spark, history_path, user, last_n_turns)
+        if history_path
+        else []
+    )
+    return _run_turn(
+        spark, chunks, user, question, past, history_path, k, dim, llm
+    )
+
+
+def _load_past(
+    spark: SparkSession,
+    history_path: str,
+    user: str,
+    last_n_turns: int | None,
+) -> list[tuple[str, str]]:
+    """Replay tail from the store as (message, response) pairs in turn
+    order (T7 history replay, app.py:228-242)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        hist = read_chat_history(spark, history_path).where(
+            F.col("user") == user
+        )
+        if last_n_turns is not None:
+            # turn_id breaks same-timestamp ties deterministically
+            # (matching the stable full-replay order below)
+            tail = hist.orderBy(
+                F.desc("ts"), F.desc_nulls_last("turn_id")
+            ).limit(last_n_turns)
+            past = sorted(
+                tail.collect(),
+                key=lambda r: (r.ts, r.turn_id if r.turn_id is not None else -1),
+            )
+        else:
+            past = hist.orderBy(
+                "ts", F.asc_nulls_first("turn_id")
+            ).collect()
+    except AnalysisException as e:
+        # only the first-turn missing-history path may be empty; a
+        # transient read failure must surface (same contract as
+        # sinks._next_turn_id)
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        past = []
+    return [(t.message, t.response) for t in past]
+
+
+def _run_turn(
+    spark: SparkSession,
+    chunks: DataFrame,
+    user: str,
+    question: str,
+    past: list[tuple[str, str]],
+    history_path: str | None,
+    k: int,
+    dim: int,
+    llm: Callable[[list[dict]], str],
+    base_turn_id: int | None = None,
+) -> ChatTurn:
+    """The turn core shared by the stateless path and ``ChatSession``:
+    retrieve (K1) → context fold (T6) → prompt assembly over ``past``
+    (T7) → LLM → persist (S6). ``past`` is the replay buffer however it
+    was sourced — from the store (``answer_question``) or from RAM
+    (``ChatSession``) — so the two modes assemble byte-identical
+    prompts for the same history."""
     qvec = embed_one(question, dim=dim)
     hits = topk_similar(chunks, qvec, k=k).collect()  # K1
     context = "\n".join(r.text for r in hits)  # T6 app.py:224
 
-    from pyspark.errors import AnalysisException
-
     messages = [{"role": "system", "content": SYSTEM_PROMPT}]
-    if history_path:  # T7 history replay (app.py:228-242)
-        try:
-            hist = read_chat_history(spark, history_path).where(
-                F.col("user") == user
-            )
-            if last_n_turns is not None:
-                # turn_id breaks same-timestamp ties deterministically
-                # (matching the stable full-replay order below)
-                tail = hist.orderBy(
-                    F.desc("ts"), F.desc_nulls_last("turn_id")
-                ).limit(last_n_turns)
-                past = sorted(
-                    tail.collect(),
-                    key=lambda r: (r.ts, r.turn_id if r.turn_id is not None else -1),
-                )
-            else:
-                past = hist.orderBy(
-                    "ts", F.asc_nulls_first("turn_id")
-                ).collect()
-        except AnalysisException as e:
-            # only the first-turn missing-history path may be empty; a
-            # transient read failure must surface (same contract as
-            # sinks._next_turn_id)
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            past = []
-        for turn in past:
-            messages.append({"role": "user", "content": turn.message})
-            messages.append({"role": "assistant", "content": turn.response})
+    for msg, resp in past:
+        messages.append({"role": "user", "content": msg})
+        messages.append({"role": "assistant", "content": resp})
     messages.append({"role": "user", "content": question})
     if context:
         messages.append({"role": "system", "content": context})
@@ -140,6 +178,7 @@ def answer_question(
             spark,
             [(user, question, answer, None, prompt_tokens, completion_tokens)],
             history_path,
+            base_turn_id=base_turn_id,
         )
     return ChatTurn(
         answer=answer,
@@ -149,3 +188,79 @@ def answer_question(
         completion_tokens=completion_tokens,
         cost_usd=cost,
     )
+
+
+class ChatSession:
+    """Stateful serving session — the reference's actual runtime shape.
+
+    In the reference the conversation memory is RAM-resident
+    (``st.session_state.memory``, a ConversationBufferMemory,
+    app.py:43-44 / 228-242) and Mongo is WRITE-only per turn
+    (``guardar_chat_en_mongo``, app.py:258): the store is an audit log,
+    not the serving path. ``answer_question`` models the stateless tier
+    — reconstruct the prompt from the store every turn — which a
+    multi-process deployment needs, but it pays two extra Spark jobs
+    per turn (history-tail read + turn-counter read-before-write). A
+    live session holds both in RAM: the replay buffer is appended
+    in-process and the persisted ``turn_id`` counter is read once at
+    construction and advanced locally (single-writer append, the same
+    assumption ``sinks.append_chat_history`` documents). A turn then
+    costs exactly one retrieval job plus one append write, and yields
+    byte-identical prompts, answers, and persisted rows to the
+    stateless loop (pinned by tests/test_chat_session.py).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        chunks: DataFrame,
+        user: str,
+        history_path: str | None = None,
+        k: int = 4,
+        dim: int = 64,
+        llm: Callable[[list[dict]], str] = extractive_stub_llm,
+        last_n_turns: int | None = DEFAULT_LAST_N_TURNS,
+    ) -> None:
+        from ..sources.sinks import _next_turn_id
+
+        self._spark = spark
+        self._chunks = chunks
+        self._user = user
+        self._history_path = history_path
+        self._k = k
+        self._dim = dim
+        self._llm = llm
+        self._last_n_turns = last_n_turns
+        # one store read each at construction (zero when no store):
+        # resume the replay buffer and the persisted turn counter from
+        # whatever a previous session left behind
+        self._buffer: list[tuple[str, str]] = (
+            _load_past(spark, history_path, user, last_n_turns)
+            if history_path
+            else []
+        )
+        self._next_id = (
+            _next_turn_id(spark, history_path) if history_path else 0
+        )
+
+    def ask(self, question: str) -> ChatTurn:
+        turn = _run_turn(
+            self._spark,
+            self._chunks,
+            self._user,
+            question,
+            self._buffer,
+            self._history_path,
+            self._k,
+            self._dim,
+            self._llm,
+            base_turn_id=self._next_id,
+        )
+        self._next_id += 1
+        self._buffer.append((question, turn.answer))
+        if self._last_n_turns is not None:
+            # keep the RAM buffer at the same bounded window the
+            # stateless tier replays, so a turn sees identical history
+            # whichever mode served the preceding turns
+            self._buffer = self._buffer[-self._last_n_turns :]
+        return turn

@@ -338,6 +338,96 @@ def bench_chat_turns(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def bench_chat_session(spark, sf_dir: str) -> float:
+    """Same CHAT_TURNS-turn conversation through the ChatSession
+    serving mode: the replay buffer and turn counter live in RAM (the
+    reference's actual runtime shape — st.session_state.memory is
+    RAM-resident and Mongo is write-only per turn, app.py:43-44/258),
+    so a turn costs one retrieval job + one append write instead of the
+    stateless loop's four jobs. Same questions, same persisted rows —
+    the delta vs `chat_turn` is pure serving-tier overhead."""
+    import shutil
+    import tempfile
+
+    from ade_agente_documental_empresarial___miner_a_spark.plans.chat import (
+        ChatSession,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
+        build_chunks,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/ade_bench_chat_idx_{tag}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_chunks(docs).write.mode("overwrite").parquet(idx)
+    chunks = spark.read.parquet(idx).persist()
+    chunks.count()
+
+    best = float("inf")
+    for _ in range(2):
+        hist_dir = tempfile.mkdtemp(prefix="ade_chat_sess_")
+        hist = os.path.join(hist_dir, "hist")
+        t0 = time.time()
+        sess = ChatSession(spark, chunks, "bench-user", history_path=hist)
+        for i in range(CHAT_TURNS):
+            sess.ask(f"spark vector join query number {i}")
+        best = min(best, time.time() - t0)
+        shutil.rmtree(hist_dir, ignore_errors=True)
+    chunks.unpersist()
+    return round(best, 3)
+
+
+def bench_chat_deep_history(spark, sf_dir: str) -> float:
+    """Serving latency with a DEEP stored history: 500 turns are
+    pre-seeded into the store (one append batch, not timed), then 4
+    bounded-window session turns run against it. The bounded default
+    (DEFAULT_LAST_N_TURNS=50, cap applied before collect) makes this
+    number ≈ chat_session's per-turn cost regardless of stored depth —
+    the evidence that turn latency is O(window), not O(history), which
+    is what keeps the loop alive at 100× chat volume. Full replay
+    (last_n_turns=None) would grow without bound here by design."""
+    import shutil
+    import tempfile
+
+    from ade_agente_documental_empresarial___miner_a_spark.plans.chat import (
+        ChatSession,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
+        build_chunks,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
+        append_chat_history,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/ade_bench_chat_idx_{tag}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_chunks(docs).write.mode("overwrite").parquet(idx)
+    chunks = spark.read.parquet(idx).persist()
+    chunks.count()
+
+    best = float("inf")
+    for _ in range(2):
+        hist_dir = tempfile.mkdtemp(prefix="ade_chat_deep_")
+        hist = os.path.join(hist_dir, "hist")
+        append_chat_history(
+            spark,
+            [("bench-user", f"seed question {i}", f"seed answer {i}",
+              None, 5, 3) for i in range(500)],
+            hist,
+        )
+        sess = ChatSession(spark, chunks, "bench-user", history_path=hist)
+        t0 = time.time()
+        for i in range(4):
+            sess.ask(f"spark vector join query number {i}")
+        best = min(best, time.time() - t0)
+        shutil.rmtree(hist_dir, ignore_errors=True)
+    chunks.unpersist()
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -384,6 +474,11 @@ def main() -> None:
         f"# chat_turn: {results['chat_turn']:.3f}s ({CHAT_TURNS} turns)",
         file=sys.stderr,
     )
+    results["chat_session"] = bench_chat_session(spark, sf_dir)
+    print(
+        f"# chat_session: {results['chat_session']:.3f}s ({CHAT_TURNS} turns)",
+        file=sys.stderr,
+    )
 
     total = round(sum(results.values()), 3)
 
@@ -403,6 +498,13 @@ def main() -> None:
             best = min(best, time.time() - t0)
         scale[name] = round(best, 3)
         print(f"# scale10x {name}: {scale[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    scale["chat_deep_history"] = bench_chat_deep_history(spark, sf_dir)
+    print(
+        f"# scale10x chat_deep_history: {scale['chat_deep_history']:.3f}s"
+        " (4 turns over 500 stored)",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(

@@ -1,0 +1,143 @@
+"""ChatSession serving mode — RAM-resident replay buffer + turn
+counter, equivalent to the stateless `answer_question` loop.
+
+The reference's conversation memory is RAM-resident
+(st.session_state.memory, micro-infobot/app.py:43-44, 228-242) and the
+store is write-only per turn (app.py:258); ChatSession is that runtime
+shape. These tests pin the equivalence contract: same questions ⇒ same
+prompts, answers, and persisted rows as the stateless loop, plus
+counter/buffer resume across sessions.
+"""
+
+import datetime as dt
+
+from ade_agente_documental_empresarial___miner_a_spark.plans.chat import (
+    ChatSession,
+    answer_question,
+)
+from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
+    build_chunks,
+)
+from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
+    append_chat_history,
+    read_chat_history,
+)
+
+
+def make_index(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "SPARK TUNING\n\nbroadcast small tables. avoid shuffles"),
+            (2, "COST MODEL\n\nprompt tokens cost less than completion tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    return build_chunks(docs)
+
+
+QUESTIONS = [
+    "how do I tune spark joins",
+    "what do completion tokens cost",
+    "summarize the tuning advice",
+]
+
+
+def test_session_matches_stateless_loop(spark, tmp_path):
+    """Turn-by-turn, a live session and the stateless loop produce
+    byte-identical prompts/answers and identical persisted histories."""
+    chunks = make_index(spark)
+    p_loop = str(tmp_path / "loop")
+    p_sess = str(tmp_path / "sess")
+
+    sess = ChatSession(spark, chunks, "ana", history_path=p_sess)
+    for q in QUESTIONS:
+        t_loop = answer_question(spark, chunks, "ana", q, history_path=p_loop)
+        t_sess = sess.ask(q)
+        assert t_sess.messages == t_loop.messages
+        assert t_sess.answer == t_loop.answer
+        assert t_sess.prompt_tokens == t_loop.prompt_tokens
+        assert t_sess.cost_usd == t_loop.cost_usd
+
+    cols = ["user", "message", "response", "prompt_tokens",
+            "completion_tokens", "turn_id"]
+    rows_loop = sorted(
+        read_chat_history(spark, p_loop).select(*cols).collect(),
+        key=lambda r: r.turn_id,
+    )
+    rows_sess = sorted(
+        read_chat_history(spark, p_sess).select(*cols).collect(),
+        key=lambda r: r.turn_id,
+    )
+    assert rows_sess == rows_loop
+    assert [r.turn_id for r in rows_sess] == [0, 1, 2]
+
+
+def test_session_resumes_counter_and_buffer(spark, tmp_path):
+    """Constructed over an existing store, the session replays the tail
+    and continues the persisted turn_id counter (single store read at
+    construction, not per turn)."""
+    chunks = make_index(spark)
+    path = str(tmp_path / "chat")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    append_chat_history(
+        spark,
+        [("ana", f"q{i}", f"a{i}", base + dt.timedelta(minutes=i), 3, 2)
+         for i in range(3)],
+        path,
+    )
+
+    sess = ChatSession(spark, chunks, "ana", history_path=path)
+    turn = sess.ask("next question")
+    # replayed all 3 stored turns in order, as user/assistant pairs
+    assert [m["content"] for m in turn.messages[1:7:2]] == ["q0", "q1", "q2"]
+    assert [m["content"] for m in turn.messages[2:7:2]] == ["a0", "a1", "a2"]
+    stored = read_chat_history(spark, path).orderBy("turn_id").collect()
+    assert [r.turn_id for r in stored] == [0, 1, 2, 3]
+    assert stored[-1].message == "next question"
+
+
+def test_session_bounded_buffer(spark, tmp_path):
+    """With last_n_turns=2 the RAM buffer trims to the same window the
+    stateless tier would replay from the store."""
+    chunks = make_index(spark)
+    sess = ChatSession(
+        spark, chunks, "ana", history_path=str(tmp_path / "c"), last_n_turns=2
+    )
+    for q in ["one", "two", "three"]:
+        sess.ask(q)
+    turn = sess.ask("four")
+    replayed = [m["content"] for m in turn.messages[1:5:2]]
+    assert replayed == ["two", "three"]
+
+
+def test_session_without_store(spark):
+    """history_path=None: pure in-RAM session, no persistence jobs."""
+    chunks = make_index(spark)
+    sess = ChatSession(spark, chunks, "ana")
+    sess.ask("first")
+    turn = sess.ask("second")
+    assert turn.messages[1]["content"] == "first"
+
+
+def test_session_job_budget(spark, tmp_path):
+    """The serving contract: after construction, a turn launches
+    exactly two Spark jobs — one retrieval collect, one append write
+    (the stateless loop additionally pays a history read and a
+    counter read every turn)."""
+    chunks = make_index(spark)
+    # materialize the index first so retrieval doesn't re-run the
+    # chunk build lineage inside the counted window
+    chunks = chunks.persist()
+    chunks.count()
+    sess = ChatSession(spark, chunks, "ana", history_path=str(tmp_path / "c"))
+    sess.ask("warm")  # first append also creates the directory
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    sess.ask("counted question")
+    after = tracker.getJobIdsForGroup(None)
+    new_jobs = set(after) - set(before)
+    assert len(new_jobs) <= 2, (
+        f"session turn launched {len(new_jobs)} jobs, expected <=2"
+    )
+    chunks.unpersist()
