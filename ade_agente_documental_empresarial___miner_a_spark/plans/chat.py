@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 from ..operators.embedding import embed_one
 from ..operators.similarity import topk_similar
-from ..sources.sinks import append_chat_history, read_chat_history
+from ..sources.sinks import (
+    append_chat_history,
+    chat_store_exists,
+    read_chat_history,
+)
 
 SYSTEM_PROMPT = (
     "Eres InfoBot, asistente documental de la empresa. Responde usando "
@@ -103,33 +107,28 @@ def _load_past(
 ) -> list[tuple[str, str]]:
     """Replay tail from the store as (message, response) pairs in turn
     order (T7 history replay, app.py:228-242)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        hist = read_chat_history(spark, history_path).where(
-            F.col("user") == user
+    # only the first-turn missing-history path may be empty; a transient
+    # read failure must surface (same contract as sinks._next_turn_id,
+    # and same silent fs.exists probe — see chat_store_exists).
+    if not chat_store_exists(spark, history_path):
+        return []
+    hist = read_chat_history(spark, history_path).where(
+        F.col("user") == user
+    )
+    if last_n_turns is not None:
+        # turn_id breaks same-timestamp ties deterministically
+        # (matching the stable full-replay order below)
+        tail = hist.orderBy(
+            F.desc("ts"), F.desc_nulls_last("turn_id")
+        ).limit(last_n_turns)
+        past = sorted(
+            tail.collect(),
+            key=lambda r: (r.ts, r.turn_id if r.turn_id is not None else -1),
         )
-        if last_n_turns is not None:
-            # turn_id breaks same-timestamp ties deterministically
-            # (matching the stable full-replay order below)
-            tail = hist.orderBy(
-                F.desc("ts"), F.desc_nulls_last("turn_id")
-            ).limit(last_n_turns)
-            past = sorted(
-                tail.collect(),
-                key=lambda r: (r.ts, r.turn_id if r.turn_id is not None else -1),
-            )
-        else:
-            past = hist.orderBy(
-                "ts", F.asc_nulls_first("turn_id")
-            ).collect()
-    except AnalysisException as e:
-        # only the first-turn missing-history path may be empty; a
-        # transient read failure must surface (same contract as
-        # sinks._next_turn_id)
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        past = []
+    else:
+        past = hist.orderBy(
+            "ts", F.asc_nulls_first("turn_id")
+        ).collect()
     return [(t.message, t.response) for t in past]
 
 

@@ -27,21 +27,29 @@ _CHAT_ROW_SCHEMA = (
 CHAT_SCHEMA = _CHAT_ROW_SCHEMA + ", turn_id long"
 
 
-def _next_turn_id(spark: SparkSession, path: str) -> int:
-    from pyspark.errors import AnalysisException
+def chat_store_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe for the chat store. Probing by catching
+    the reader's AnalysisException works, but Spark 4's analyzer logs the
+    full stack at ERROR before the Python side can swallow it — every
+    first turn of a fresh conversation would splash a stack trace into
+    the driver log. An fs.exists() call is silent and works for any
+    Hadoop-compatible store path (local, HDFS, object store)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
-    try:
-        prev = spark.read.schema(CHAT_SCHEMA).parquet(path)
-        row = prev.agg(F.max("turn_id").alias("m")).collect()[0]
-        return (row.m if row.m is not None else -1) + 1
-    except AnalysisException as e:
-        # ONLY the missing-history case may restart numbering at 0. A
-        # transient read failure must propagate — swallowing it would
-        # assign duplicate turn_ids and corrupt the same-timestamp
-        # tiebreaker chat.py's bounded replay depends on.
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return 0
-        raise
+
+def _next_turn_id(spark: SparkSession, path: str) -> int:
+    # ONLY the missing-history case may restart numbering at 0. A
+    # transient read failure must propagate — swallowing it would
+    # assign duplicate turn_ids and corrupt the same-timestamp
+    # tiebreaker chat.py's bounded replay depends on. With the explicit
+    # existence probe there is no except-clause left to mis-swallow it.
+    if not chat_store_exists(spark, path):
+        return 0
+    prev = spark.read.schema(CHAT_SCHEMA).parquet(path)
+    row = prev.agg(F.max("turn_id").alias("m")).collect()[0]
+    return (row.m if row.m is not None else -1) + 1
 
 
 def append_chat_history(
