@@ -185,6 +185,7 @@ def lloyd_refine_codebook(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iters: int = 1,
+    impl: str = "hof",
 ) -> list[tuple[int, list[float]]]:
     """Seeded Lloyd's refinement of the coarse codebook, engine-portable.
 
@@ -205,7 +206,13 @@ def lloyd_refine_codebook(
 
     cents = _centroid_rows(emb, n_centroids, vec_col, id_col)
     for _ in range(iters):
-        assigned = ivf_assign(emb, n_centroids, vec_col, id_col, cents=cents)
+        # impl="arrow" swaps ONLY the assignment kernel; the centroid
+        # update below stays exact-integer Spark aggs, so the refined
+        # codebook is bit-identical whenever the assignments agree
+        # (pinned by tests on the fixtures).
+        assigned = _assigner(impl)(
+            emb, n_centroids, vec_col, id_col, cents=cents
+        )
         codes = assigned.select(
             "cell",
             F.posexplode(
@@ -295,6 +302,81 @@ def ivf_assign(
     return staged.withColumn("cell", best["cid"].cast("long")).drop("_vnorm")
 
 
+def ivf_assign_arrow(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Arrow-vectorized twin of ``ivf_assign`` — the production-scale
+    assignment kernel.
+
+    Catalyst higher-order functions evaluate their lambdas per element
+    (they sit outside whole-stage codegen), so the HOF path pays an
+    interpreted inner loop over n_rows × n_centroids × dim multiply-adds.
+    This kernel moves each Arrow batch to numpy once and scores the whole
+    batch with ONE matmul (``V @ C.T``) — the same O(n·m·d) work at
+    SIMD/BLAS throughput. Same plan shape: map-only, zero shuffle, the
+    codebook a task-local constant.
+
+    Semantics vs the HOF path: per-row |v| scales all of that row's
+    scores identically, so it cannot affect the argmax and is shared;
+    per-centroid |c| uses ``const_l2_norm`` — the exact fold the HOF path
+    uses. The ONLY divergence is the matmul's blocked summation order vs
+    the HOF's sequential fold (last-ulp on the dot). An argmax flip
+    therefore needs two centroid scores within ~1 ulp of each other —
+    tests pin exact agreement with ``ivf_assign`` on the fixtures. Ties
+    resolve to the larger cid (centroids scanned cid-descending +
+    argmax-first-max), matching the HOF struct-max order. The
+    oracle-paired catalog entries stay on the bit-exact HOF path; this
+    kernel is the ``impl="arrow"`` opt-in for bulk builds (at 100 TB the
+    assignment scan is the dominant S8 cost and this is ~10× less CPU).
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cents = cents or _centroid_rows(emb, n_centroids, vec_col, id_col)
+    by_cid_desc = sorted(cents, key=lambda t: -t[0])
+    C = np.asarray([cvec for _, cvec in by_cid_desc], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in by_cid_desc], dtype=np.int64)
+    cnorms = np.asarray(
+        [const_l2_norm(cvec) for _, cvec in by_cid_desc], dtype=np.float64
+    )
+    # fresh StructType — StructType.add mutates in place, and df.schema
+    # is cached on the DataFrame, so extending it directly would corrupt
+    # the input's column list
+    out_schema = StructType(
+        list(emb.schema.fields) + [StructField("cell", LongType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.assign(cell=np.empty(0, dtype=np.int64))
+                yield pdf[cols]
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # |v| > 0 for all fixture/production vectors (same domain
+            # assumption as the HOF path's vnorm division)
+            scores = (v @ C.T) / (
+                np.sqrt((v * v).sum(axis=1, keepdims=True)) * cnorms
+            )
+            pdf = pdf.assign(cell=cids[np.argmax(scores, axis=1)])
+            yield pdf[cols]
+
+    return emb.mapInPandas(assign_batches, schema=out_schema)
+
+
+def _assigner(impl: str):
+    if impl == "arrow":
+        return ivf_assign_arrow
+    if impl == "hof":
+        return ivf_assign
+    raise ValueError(f"unknown IVF assignment impl: {impl!r}")
+
+
 def ivf_topk(
     emb: DataFrame,
     query_id: int,
@@ -304,6 +386,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     refine_iters: int = 1,
+    impl: str = "hof",
 ) -> DataFrame:
     """IVF-flat ANN search: probe the nprobe nearest cells, exact cosine
     rerank inside them, global top-k via orderBy().limit(k)
@@ -311,17 +394,20 @@ def ivf_topk(
     Returns (vec_id, label, score, rnk). Recall is nprobe/n_centroids-
     tunable; nprobe = n_centroids degenerates to exact search.
     ``refine_iters`` Lloyd's passes sharpen the seed codebook (default 1);
-    0 reproduces the raw smallest-id seeds."""
+    0 reproduces the raw smallest-id seeds. ``impl="arrow"`` routes the
+    bulk assignment scans through the vectorized kernel
+    (``ivf_assign_arrow``); the query-side probe and the exact rerank
+    stay on the bit-exact HOF fold either way."""
     from pyspark.sql import Window
 
     cents = (
         lloyd_refine_codebook(
-            emb, n_centroids, vec_col, id_col, iters=refine_iters
+            emb, n_centroids, vec_col, id_col, iters=refine_iters, impl=impl
         )
         if refine_iters > 0
         else _centroid_rows(emb, n_centroids, vec_col, id_col)
     )
-    assigned = ivf_assign(emb, n_centroids, vec_col, id_col, cents=cents)
+    assigned = _assigner(impl)(emb, n_centroids, vec_col, id_col, cents=cents)
 
     probed = F.slice(
         F.sort_array(_cell_scores(F.col("_qvec"), cents), asc=False),
@@ -360,6 +446,7 @@ def ivf_quantized_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     refine_iters: int = 1,
+    impl: str = "hof",
 ) -> DataFrame:
     """IVF-pruned int8 retrieval — how a billion-vector index actually
     combines the two: the coarse codebook prunes the scan to nprobe cells,
@@ -381,12 +468,12 @@ def ivf_quantized_topk(
 
     cents = (
         lloyd_refine_codebook(
-            emb, n_centroids, vec_col, id_col, iters=refine_iters
+            emb, n_centroids, vec_col, id_col, iters=refine_iters, impl=impl
         )
         if refine_iters > 0
         else _centroid_rows(emb, n_centroids, vec_col, id_col)
     )
-    assigned = ivf_assign(emb, n_centroids, vec_col, id_col, cents=cents)
+    assigned = _assigner(impl)(emb, n_centroids, vec_col, id_col, cents=cents)
     e8 = assigned.select(
         id_col,
         "cell",
@@ -439,6 +526,7 @@ def save_ivf_i8_index(
     refine_iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "hof",
 ) -> str:
     """Build + persist the IVF/int8 index: ``<path>/codebook`` (n_centroids
     rows) and ``<path>/codes`` (vec_id, m, q) PARTITIONED BY cell. The
@@ -450,11 +538,13 @@ def save_ivf_i8_index(
     from ..functions.vector import abs_max, quantize_i8
 
     cents = (
-        lloyd_refine_codebook(emb, n_centroids, vec_col, id_col, iters=refine_iters)
+        lloyd_refine_codebook(
+            emb, n_centroids, vec_col, id_col, iters=refine_iters, impl=impl
+        )
         if refine_iters > 0
         else _centroid_rows(emb, n_centroids, vec_col, id_col)
     )
-    assigned = ivf_assign(emb, n_centroids, vec_col, id_col, cents=cents)
+    assigned = _assigner(impl)(emb, n_centroids, vec_col, id_col, cents=cents)
     codes = assigned.select(
         id_col,
         "cell",
