@@ -72,3 +72,24 @@ def test_arrow_assign_rejects_unknown_impl(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     with pytest.raises(ValueError, match="unknown IVF assignment impl"):
         ivf_topk(emb, query_id=7, impl="simd")
+
+
+def test_exact_score_ties_resolve_to_larger_cid_on_both_kernels(spark):
+    # two centroids with IDENTICAL vectors force bit-exact equal scores:
+    # the HOF struct-max order (score, then cid) picks the larger cid,
+    # and the arrow kernel's cid-descending scan + argmax-first-max must
+    # match it exactly
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 1.0])]
+    emb = spark.createDataFrame(
+        [(10, [0.0, 1.0]), (11, [1.0, 0.0]), (12, [0.6, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    hof = {
+        r.vec_id: r.cell
+        for r in ivf_assign(emb, cents=cents).collect()
+    }
+    arrow = {
+        r.vec_id: r.cell
+        for r in ivf_assign_arrow(emb, cents=cents).collect()
+    }
+    assert hof == arrow == {10: 2, 11: 0, 12: 2}
