@@ -740,3 +740,45 @@ def test_foreachbatch_idempotent_sink(spark, tmp_path):
         spark.createDataFrame(replay_rows, replay_df.schema), replay_id
     )
     assert spark.read.parquet(out).count() == len(EVENTS)
+
+
+def test_parquet_source_tumbling_bounded_state(spark, tmp_path):
+    """The bench scale leg's plumbing (bench_stream_live_10x) at test
+    size: parquet file source → watermarked tumbling agg → noop sink,
+    availableNow with maxFilesPerTrigger forcing multiple micro-batches.
+    Pins the bounded-state property the leg exists to evidence: after
+    the final batch the watermark has evicted closed windows, so state
+    rows track open windows×event_types — NOT total input rows."""
+    from ade_agente_documental_empresarial___miner_a_spark.plans.catalog import (
+        events_table,
+    )
+
+    src = str(tmp_path / "events_pq")
+    events_table(spark, "/root/testdata/sf0.001").repartition(4).write.parquet(src)
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    q = (
+        tumbling_metrics(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    # 4 files / maxFilesPerTrigger=2, plus availableNow may append a
+    # final empty commit batch
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) == 2
+    assert sum(p["numInputRows"] for p in progress) == 1000
+    final_state = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    # 1000 input rows; watermark (max ts - 2h) evicts all but the
+    # trailing open windows — state must be orders of magnitude smaller
+    assert 0 < final_state < 100
