@@ -782,3 +782,64 @@ def test_parquet_source_tumbling_bounded_state(spark, tmp_path):
     # 1000 input rows; watermark (max ts - 2h) evicts all but the
     # trailing open windows — state must be orders of magnitude smaller
     assert 0 < final_state < 100
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """The 100 TB state posture: at production state sizes the default
+    HDFS-backed in-memory state store is the OOM, and the fix is the
+    bundled RocksDBStateStoreProvider (state spills to local disk,
+    changelog-checkpointed). Pin that our streaming ops run — and
+    produce batch-identical answers — under RocksDB, so flipping the
+    provider on a real cluster is a config change, not a code risk.
+    The provider is a runtime SQL conf read at query start; restored
+    after the test so the suite's other streaming tests keep the
+    default provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.plans.catalog import (
+        events_table,
+    )
+
+    src = str(tmp_path / "events_pq")
+    ev = events_table(spark, "/root/testdata/sf0.001")
+    ev.repartition(4).write.parquet(src)
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    spark.conf.set(key, rocks)
+    try:
+        q = (
+            tumbling_metrics(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("rocksdb_tumbling")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck_rocks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the state operator really ran on RocksDB, not the default
+        metrics = q.recentProgress[-1]["stateOperators"][0]["customMetrics"]
+        assert any(m.startswith("rocksdb") for m in metrics), metrics
+        streamed = {
+            tuple(r)
+            for r in spark.sql(
+                "SELECT * FROM rocksdb_tumbling"
+            ).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = {tuple(r) for r in tumbling_metrics(ev).collect()}
+    assert streamed == batch and len(batch) > 100

@@ -96,7 +96,7 @@ def compare(name, spark_df, con, sql, verbose=False):
     status = "OK " if not problems else "FAIL"
     print(f"{status} {name:32s} rows={len(srows):7d} spark={t_spark:6.2f}s duck={t_duck:6.2f}s"
           + ("" if not problems else "\n     " + "\n     ".join(problems)))
-    return not problems
+    return not problems, len(srows), round(t_spark, 3), round(t_duck, 3)
 
 
 def main():
@@ -119,6 +119,7 @@ def main():
     qs = mod.queries()
     oracles = mod.oracle_sql()
     ok = bad = rows_only = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -127,16 +128,48 @@ def main():
             n = df.count()
             print(f"ROWS {name:32s} rows={n:7d} (no oracle — rows-only)")
             rows_only += 1
+            records[name] = {"status": "rows_only", "rows": n}
             continue
         try:
-            if compare(name, fn(spark, sf_dir), con, oracles[name]):
+            good, n, t_s, t_d = compare(
+                name, fn(spark, sf_dir), con, oracles[name]
+            )
+            records[name] = {
+                "status": "ok" if good else "fail",
+                "rows": n,
+                "t_spark": t_s,
+                "t_duck": t_d,
+            }
+            if good:
                 ok += 1
             else:
                 bad += 1
         except Exception as e:  # noqa: BLE001
             bad += 1
             print(f"ERR  {name}: {type(e).__name__}: {e}")
+            records[name] = {
+                "status": "err", "error": f"{type(e).__name__}: {e}"
+            }
     print(f"\n{ok} ok, {bad} failed, {rows_only} rows-only")
+    # machine-readable artifact (PARITY_JSON=path): the full-catalog
+    # gate evidence in the same shape as the driver's CORRECTNESS files
+    out = os.environ.get("PARITY_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "summary": {
+                        "ok": ok, "failed": bad, "rows_only": rows_only
+                    },
+                    "entries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out}")
     sys.exit(1 if bad else 0)
 
 
