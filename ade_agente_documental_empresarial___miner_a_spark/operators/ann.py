@@ -49,6 +49,43 @@ def hyperplanes(
     return planes
 
 
+def lit_doubles(vals: list[float]) -> Column:
+    """``array<double>`` literal built in ONE py4j round-trip.
+
+    Classic PySpark's ``F.lit(list)`` / ``F.array(*[F.lit(x) ...])``
+    issue one py4j call per element (~4 ms each): a 256×64 codebook is
+    16k calls ≈ 60+ s of DRIVER time per query plan — measured on the
+    1M-vector serving path, where it dominated everything. One
+    ``F.expr`` string is a single round-trip and parses JVM-side in
+    ms. Values are bit-identical to the F.lit form: ``repr`` is the
+    shortest exact round-trip for doubles and the ``D`` suffix pins
+    the SQL type to DOUBLE (pinned by tests/test_scoring_bitexact)."""
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
+    return F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+    )
+
+
+def lit_double_matrix(mat: list[list[float]]) -> Column:
+    """``array<array<double>>`` literal in one py4j round-trip."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+            for row in mat
+        )
+        + ")"
+    )
+
+
+def lit_longs(vals: list[int]) -> Column:
+    """``array<bigint>`` literal in one py4j round-trip."""
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in vals) + ")")
+
+
 def _dot_literal(vec_col: Column, plane: list[int] | list[float]) -> Column:
     """Σ vᵢ·hᵢ with literal h — a signed sum, fold in array order.
 
@@ -59,7 +96,7 @@ def _dot_literal(vec_col: Column, plane: list[int] | list[float]) -> Column:
     loop on 100k×64-d assignment. The HOF keeps the bytecode loop-shaped
     and JIT-hot; the fold order is the array order, matching the DuckDB
     oracle mirror (``duck_dot``) bit-for-bit."""
-    arr = F.array(*[F.lit(float(x)) for x in plane])
+    arr = lit_doubles([float(x) for x in plane])
     prods = F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y)
     return F.aggregate(prods, F.lit(0.0), lambda s, x: s + x)
 
@@ -253,19 +290,19 @@ def _cell_scores(
     of n_centroids times.
 
     The codebook is packed into THREE array literals (vectors, cids,
-    norms) and scored via ``transform`` with index — ONE py4j Literal
-    each, ~10 expression nodes total. The naive per-centroid
-    ``F.array(64 structs of 64 F.lit()s)`` form costs ~10k py4j calls
-    to BUILD and a ~10k-node tree for Catalyst to analyze — measured
-    2-4 s of DRIVER time per query plan at 64×64, which dominated
-    serving latency. Values are identical: the inner zip/fold is the
-    same, and element_at on a literal array yields the same double the
-    scalar literal did."""
+    norms) and scored via ``transform`` with index. Each literal is
+    built by ``lit_doubles``/``lit_double_matrix`` — ONE py4j round
+    trip per literal, parsed JVM-side. (The earlier ``F.lit(list)``
+    form was NOT one round-trip: classic PySpark expands lists
+    element-by-element over py4j — measured 60+ s of driver time per
+    plan at 256×64 on the 1M-vector serving path.) Values are
+    identical: the inner zip/fold is the same, and element_at on a
+    literal array yields the same double the scalar literal did."""
     if vnorm is None:
         vnorm = l2_norm(vec_col)
-    cb = F.lit([[float(x) for x in cvec] for _, cvec in cents])
-    cids = F.lit([int(cid) for cid, _ in cents])
-    cnorms = F.lit([_const_l2_norm(cvec) for _, cvec in cents])
+    cb = lit_double_matrix([[float(x) for x in cvec] for _, cvec in cents])
+    cids = lit_longs([int(cid) for cid, _ in cents])
+    cnorms = lit_doubles([_const_l2_norm(cvec) for _, cvec in cents])
 
     def _score(cv, i):
         prods = F.zip_with(vec_col, cv, lambda x, y: x.cast("double") * y)
@@ -527,6 +564,7 @@ def save_ivf_i8_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     impl: str = "hof",
+    shuffle_to_cells: bool = False,
 ) -> str:
     """Build + persist the IVF/int8 index: ``<path>/codebook`` (n_centroids
     rows) and ``<path>/codes`` (vec_id, m, q) PARTITIONED BY cell. The
@@ -551,6 +589,14 @@ def save_ivf_i8_index(
         abs_max(F.col(vec_col)).alias("m"),
         quantize_i8(F.col(vec_col), abs_max(F.col(vec_col))).alias("q"),
     )
+    if shuffle_to_cells:
+        # at-rest layout control: without this, every input task writes
+        # a sliver into every cell directory (tasks × cells small files);
+        # one shuffle by cell makes it one file per cell partition — the
+        # layout a large index wants (default off: the extra Exchange is
+        # not worth it at catalog/bench sizes, and the bytes written are
+        # identical either way)
+        codes = codes.repartition("cell")
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     spark = emb.sparkSession
     cb = spark.createDataFrame(
@@ -699,9 +745,7 @@ def pq_encode(
         cands = F.array(
             *[
                 F.struct(
-                    l2_sq(
-                        sub, F.array(*[F.lit(float(x)) for x in cvec])
-                    ).alias("d"),
+                    l2_sq(sub, lit_doubles(cvec)).alias("d"),
                     F.lit(cid).alias("cid"),
                 )
                 for cid, cvec in cb
@@ -754,13 +798,12 @@ def pq_adc_topk(
     # after which cid ≠ list position)
     cb_maps = [
         F.map_from_arrays(
-            F.array(*[F.lit(cid) for cid, _ in cb]),
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in cvec])
-                    for _cid, cvec in cb
-                ]
+            # int keys (not lit_longs): the stored codes are ARRAY<INT>
+            # and the map lookup should not need a cast
+            F.expr(
+                "array(" + ",".join(str(int(cid)) for cid, _ in cb) + ")"
             ),
+            lit_double_matrix([cvec for _cid, cvec in cb]),
         )
         for cb in codebooks
     ]

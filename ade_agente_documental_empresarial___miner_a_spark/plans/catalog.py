@@ -169,6 +169,15 @@ _RECHECK: frozenset[str] = frozenset(
         "sim_ivf_topk",
         "sim_ivf_quantized",
         "sim_ivf_persisted",
+        # r05 continuation: literal-array builders re-plumbed through
+        # one-round-trip F.expr (ann.lit_doubles/lit_double_matrix/
+        # lit_longs — bit-identical values, pinned by the bitexact
+        # tests + an 11-entry parity run, but the driver must re-green
+        # every green entry whose plan now builds through them):
+        # hyperplane buckets (_dot_literal) and PQ codebook literals.
+        "sim_lsh_bucketed",
+        "dedup_embedding_lsh",
+        "sim_pq_adc_topk",
     }
 )
 
