@@ -16,6 +16,42 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def lit_doubles(vals: list[float]) -> Column:
+    """``array<double>`` literal built in ONE py4j round-trip.
+
+    Classic PySpark's ``F.lit(list)`` / ``F.array(*[F.lit(x) ...])``
+    issue one py4j call per element (~4 ms each) — a 256×64 codebook
+    is 16k calls ≈ 60+ s of driver time per plan (measured on the
+    1M-vector serving path). One ``F.expr`` string is a single round
+    trip, parsed JVM-side in ms. Values are bit-identical to the
+    F.lit form: ``repr`` round-trips doubles exactly and the ``D``
+    suffix pins the SQL type to DOUBLE."""
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
+    return F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+    )
+
+
+def lit_double_matrix(mat: list[list[float]]) -> Column:
+    """``array<array<double>>`` literal in one py4j round-trip."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+            for row in mat
+        )
+        + ")"
+    )
+
+
+def lit_longs(vals: list[int]) -> Column:
+    """``array<bigint>`` literal in one py4j round-trip."""
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a left-fold in array order (deterministic)."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -50,7 +86,7 @@ def cosine_to_literal(vec_col: Column, query_vec: list[float]) -> Column:
     cosine_similarity(v, lit(q)): same dot fold, same |v| fold, |q| as
     a driver-computed constant (const_l2_norm) in the same position of
     the same expression tree."""
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = lit_doubles(query_vec)
     return dot(vec_col, qcol) / (
         l2_norm(vec_col) * F.lit(const_l2_norm(query_vec))
     )

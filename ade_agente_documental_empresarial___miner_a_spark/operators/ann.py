@@ -23,7 +23,14 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import const_l2_norm, cosine_similarity, l2_norm
+from ..functions.vector import (
+    const_l2_norm,
+    cosine_similarity,
+    l2_norm,
+    lit_double_matrix,
+    lit_doubles,
+    lit_longs,
+)
 
 DEFAULT_PLANES = 6
 DEFAULT_DIM = 64
@@ -49,43 +56,10 @@ def hyperplanes(
     return planes
 
 
-def lit_doubles(vals: list[float]) -> Column:
-    """``array<double>`` literal built in ONE py4j round-trip.
-
-    Classic PySpark's ``F.lit(list)`` / ``F.array(*[F.lit(x) ...])``
-    issue one py4j call per element (~4 ms each): a 256×64 codebook is
-    16k calls ≈ 60+ s of DRIVER time per query plan — measured on the
-    1M-vector serving path, where it dominated everything. One
-    ``F.expr`` string is a single round-trip and parses JVM-side in
-    ms. Values are bit-identical to the F.lit form: ``repr`` is the
-    shortest exact round-trip for doubles and the ``D`` suffix pins
-    the SQL type to DOUBLE (pinned by tests/test_scoring_bitexact)."""
-    if not vals:
-        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
-    return F.expr(
-        "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
-    )
-
-
-def lit_double_matrix(mat: list[list[float]]) -> Column:
-    """``array<array<double>>`` literal in one py4j round-trip."""
-    return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
-            for row in mat
-        )
-        + ")"
-    )
-
-
-def lit_longs(vals: list[int]) -> Column:
-    """``array<bigint>`` literal in one py4j round-trip."""
-    if not vals:
-        return F.expr("CAST(array() AS ARRAY<BIGINT>)")
-    return F.expr("array(" + ",".join(f"{int(x)}L" for x in vals) + ")")
-
-
+# NOTE: lit_doubles / lit_double_matrix / lit_longs (imported above) are the
+# one-py4j-round-trip literal builders; canonical home functions/vector.py.
+# The ANN codebook paths are where the per-element F.lit cost was measured —
+# 16k py4j calls ≈ 60+ s per 256×64 serving plan before the fix.
 def _dot_literal(vec_col: Column, plane: list[int] | list[float]) -> Column:
     """Σ vᵢ·hᵢ with literal h — a signed sum, fold in array order.
 

@@ -292,7 +292,9 @@ FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id"""
             "lex_rnk", F.row_number().over(wl).cast("long")
         ).select("doc_id", "lex_rnk")
 
-        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        from ..functions.vector import lit_doubles
+
+        qlit = lit_doubles(qvec)
         emb = table(spark, sf, "embeddings")
         dense0 = (
             emb.select(
