@@ -431,8 +431,14 @@ def _writer_dir(spark: SparkSession, sf: str) -> str:
 
 @register(
     "s14_python_ds_writer",
-    """SELECT lang, count(*) AS n_docs,
-       sum(n_chars) AS total_chars, max(doc_id) AS max_doc_id
+    # CAST the sum: DuckDB sum(BIGINT) is HUGEINT, which .df()/pandas
+    # renders as float64 while Spark's sum(long) stays int64 — values
+    # equal, but the driver's hash canonicalization sees different cell
+    # representations (the gate_mimic 'dtype:int64|float64' hazard, the
+    # same family as the r04 rel_grouping_sets red).
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
 FROM documents GROUP BY lang""",
 )
 def s14_python_ds_writer(spark: SparkSession, sf: str) -> DataFrame:
