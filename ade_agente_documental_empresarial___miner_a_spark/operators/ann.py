@@ -713,18 +713,30 @@ def pq_encode(
     Python. At 100 TB this is the one full scan a PQ build needs."""
     from ..functions.vector import l2_sq
 
+    # packed form, same recipe as _cell_scores: ONE matrix literal and
+    # ONE transform lambda per subspace instead of ksub per-centroid
+    # struct expressions. The naive per-centroid loop built m×ksub
+    # l2_sq HOFs at ~0.3 s of py4j lambda construction EACH — 136 s of
+    # driver time per encode at 8×16 (measured; encode runs twice per
+    # pq_adc_topk). Values identical: same l2_sq fold against the same
+    # doubles, array_min over the same (d, cid) structs.
+    def _scorer(sub, cids):
+        # closure factory: pyspark validates the lambda's arity by
+        # inspection, so captures must come from an enclosing scope,
+        # not default args
+        return lambda cv, i: F.struct(
+            l2_sq(sub, cv).alias("d"),
+            F.element_at(cids, i + F.lit(1)).alias("cid"),
+        )
+
     code_cols = []
     for s, cb in enumerate(codebooks):
         sub = F.slice(F.col(vec_col), s * subdim + 1, subdim)
-        cands = F.array(
-            *[
-                F.struct(
-                    l2_sq(sub, lit_doubles(cvec)).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in cb
-            ]
+        cbm = lit_double_matrix([cvec for _cid, cvec in cb])
+        cids = F.expr(
+            "array(" + ",".join(str(int(cid)) for cid, _ in cb) + ")"
         )
+        cands = F.transform(cbm, _scorer(sub, cids))
         code_cols.append(F.array_min(cands)["cid"])
     return emb.withColumn("codes", F.array(*code_cols))
 
