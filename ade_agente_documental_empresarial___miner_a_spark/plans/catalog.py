@@ -178,6 +178,9 @@ _RECHECK: frozenset[str] = frozenset(
         "sim_lsh_bucketed",
         "dedup_embedding_lsh",
         "sim_pq_adc_topk",
+        # r06: t3b gained an exact recursive-CTE oracle (was rows-only
+        # since r2; VERDICT r5 task 4) — must re-settle as value-green.
+        "t3b_chunk_long_docs",
     }
 )
 

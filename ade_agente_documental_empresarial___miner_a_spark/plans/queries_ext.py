@@ -44,7 +44,7 @@ _PLANES = ann.hyperplanes()
 # At the correctness SF every sectioned paragraph is < 500 chars (verified:
 # max 409 at sf0.01), so the 500/50 splitter is provably a strip()
 # pass-through there and the oracle below is exact. Real splitting is
-# exercised by `t3b_chunk_long_docs` (rows-only) and by unit tests.
+# exercised by `t3b_chunk_long_docs` (exact CTE oracle) and unit tests.
 @register(
     "t3_chunk_pipeline",
     f"""WITH {_DUCK_SECTIONS}
@@ -63,10 +63,71 @@ def t3_chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# T3b — real recursive splitting (chunk_size=120 over raw text): the
-# splitter recurses through '.'/' ' separators. Not SQL-expressible →
-# rows-only check; invariants unit-tested.
-@register("t3b_chunk_long_docs")
+# T3b — real splitting (chunk_size=120 over raw text). The synthetic
+# documents contain no '\n\n'/'\n'/'.', no doubled/leading/trailing
+# spaces, and no word piece >= 120 chars (all three pinned for
+# sf0.001/0.01/0.1 by tests/test_t3b_oracle.py — an oversized piece
+# would take the splitter's append-as-is branch, outside this oracle), so
+# the recursive splitter provably reduces to its single-level greedy
+# word-merge scan: split on ' ' (separator attached to the start of the
+# following piece), greedily fill windows of <= 120 chars, keep a
+# <= 20-char tail as overlap, strip each emitted join. That scan has a
+# closed form over per-doc prefix sums of piece lengths — chunk k covers
+# pieces [a_k, b_k] where b_k = max e with cum(e) - cum(a_k - 1) <= 120
+# and a_(k+1) = min j > a_k with cum(b_k) - cum(j-1) <= 20 and
+# cum(b_k) - cum(j-1) + len(piece b_k + 1) <= 120 (or the window is
+# empty) — which the oracle walks with a recursive CTE, reproducing
+# every chunk byte-for-byte (pinned vs RecursiveCharacterSplitter over
+# all sf0.01 docs, 1647/1647 chunks). Reference semantics:
+# micro-infobot/app.py:116-126.
+_T3B_ORACLE = """
+WITH RECURSIVE lens AS (
+  SELECT doc_id, text, i,
+         CAST(length(w) + CASE WHEN i > 1 THEN 1 ELSE 0 END AS BIGINT) AS l
+  FROM (SELECT doc_id, text,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents)
+), agg AS (
+  SELECT doc_id, any_value(text) AS text,
+         list_prepend(CAST(0 AS BIGINT), list(cumsum ORDER BY i)) AS cum,
+         max(i) AS n
+  FROM (SELECT doc_id, text, i,
+               CAST(sum(l) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT)
+                 AS cumsum
+        FROM lens)
+  GROUP BY doc_id
+), walk AS (
+  SELECT doc_id, text, cum, n, CAST(0 AS BIGINT) AS chunk_pos,
+         CAST(1 AS BIGINT) AS a,
+         CAST(greatest(1, len(list_filter(cum, x -> x <= cum[1] + 120)) - 1)
+              AS BIGINT) AS b
+  FROM agg
+  UNION ALL
+  SELECT doc_id, text, cum, n, chunk_pos + 1, a2,
+         CAST(greatest(a2, len(list_filter(cum,
+                x -> x <= cum[CAST(a2 AS BIGINT)] + 120)) - 1) AS BIGINT)
+  FROM (
+    SELECT doc_id, text, cum, n, chunk_pos,
+           CAST(least(greatest(
+             len(list_filter(cum, x -> x < greatest(cum[b + 1] - 20,
+                                                    cum[b + 2] - 120))) + 1,
+             a + 1), b + 1) AS BIGINT) AS a2,
+           b
+    FROM walk WHERE b < n
+  )
+)
+SELECT doc_id, chunk_pos,
+       CAST(length(trim(substr(text, CAST(cum[a] + 1 AS BIGINT),
+                               CAST(cum[b + 1] - cum[a] AS BIGINT))))
+            AS BIGINT) AS chunk_len,
+       trim(substr(text, CAST(cum[a] + 1 AS BIGINT),
+                   CAST(cum[b + 1] - cum[a] AS BIGINT))) AS text
+FROM walk
+"""
+
+
+@register("t3b_chunk_long_docs", _T3B_ORACLE)
 def t3b_chunk_long_docs(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents").select(
         "doc_id", F.lit("General").alias("section"),
