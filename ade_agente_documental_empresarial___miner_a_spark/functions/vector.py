@@ -16,6 +16,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _sql_double(x: float) -> str:
+    """One double as a Spark SQL literal token. ``repr`` round-trips
+    finite doubles exactly and the ``D`` suffix pins the type; the
+    non-finite values have no numeric-literal spelling in Spark SQL
+    (``repr`` gives 'nan'/'inf', which would ParseException), so they
+    go through the documented string casts instead."""
+    xd = float(x)
+    if math.isfinite(xd):
+        return repr(xd) + "D"
+    if math.isnan(xd):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'-' if xd < 0 else ''}Infinity' AS DOUBLE)"
+
+
 def lit_doubles(vals: list[float]) -> Column:
     """``array<double>`` literal built in ONE py4j round-trip.
 
@@ -24,25 +38,25 @@ def lit_doubles(vals: list[float]) -> Column:
     is 16k calls ≈ 60+ s of driver time per plan (measured on the
     1M-vector serving path). One ``F.expr`` string is a single round
     trip, parsed JVM-side in ms. Values are bit-identical to the
-    F.lit form: ``repr`` round-trips doubles exactly and the ``D``
-    suffix pins the SQL type to DOUBLE."""
+    F.lit form (see _sql_double)."""
     if not vals:
         return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
-    return F.expr(
-        "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
-    )
+    return F.expr("array(" + ",".join(_sql_double(x) for x in vals) + ")")
 
 
 def lit_double_matrix(mat: list[list[float]]) -> Column:
-    """``array<array<double>>`` literal in one py4j round-trip."""
-    return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
-            for row in mat
-        )
-        + ")"
-    )
+    """``array<array<double>>`` literal in one py4j round-trip. Empty
+    matrices and empty rows are pinned to the DOUBLE element type with
+    explicit casts (a bare ``array()`` would type as array<string>)."""
+    if not mat:
+        return F.expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
+    rows = [
+        "array(" + ",".join(_sql_double(x) for x in row) + ")"
+        if row
+        else "CAST(array() AS ARRAY<DOUBLE>)"
+        for row in mat
+    ]
+    return F.expr("array(" + ",".join(rows) + ")")
 
 
 def lit_longs(vals: list[int]) -> Column:
@@ -50,6 +64,15 @@ def lit_longs(vals: list[int]) -> Column:
     if not vals:
         return F.expr("CAST(array() AS ARRAY<BIGINT>)")
     return F.expr("array(" + ",".join(f"{int(x)}L" for x in vals) + ")")
+
+
+def lit_ints(vals: list[int]) -> Column:
+    """``array<int>`` literal in one py4j round-trip. The explicit cast
+    keeps the element type INT even when a value would otherwise promote
+    the bare SQL literal array to bigint, so joins/lookups against
+    stored ARRAY<INT> columns keep their key type."""
+    body = ",".join(str(int(x)) for x in vals)
+    return F.expr(f"CAST(array({body}) AS ARRAY<INT>)")
 
 
 def dot(a: Column, b: Column) -> Column:

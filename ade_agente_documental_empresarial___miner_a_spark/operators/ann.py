@@ -29,6 +29,7 @@ from ..functions.vector import (
     l2_norm,
     lit_double_matrix,
     lit_doubles,
+    lit_ints,
     lit_longs,
 )
 
@@ -751,9 +752,9 @@ def pq_encode(
     for s, cb in enumerate(codebooks):
         sub = F.slice(F.col(vec_col), s * subdim + 1, subdim)
         cbm = lit_double_matrix([cvec for _cid, cvec in cb])
-        cids = F.expr(
-            "array(" + ",".join(str(int(cid)) for cid, _ in cb) + ")"
-        )
+        # pinned ARRAY<INT>: a huge cid must not silently promote the
+        # literal (and with it the stored codes column) to bigint
+        cids = lit_ints([cid for cid, _ in cb])
         cands = F.transform(cbm, _scorer(sub, cids))
         code_cols.append(F.array_min(cands)["cid"])
     return emb.withColumn("codes", F.array(*code_cols))
@@ -804,9 +805,7 @@ def pq_adc_topk(
         F.map_from_arrays(
             # int keys (not lit_longs): the stored codes are ARRAY<INT>
             # and the map lookup should not need a cast
-            F.expr(
-                "array(" + ",".join(str(int(cid)) for cid, _ in cb) + ")"
-            ),
+            lit_ints([cid for cid, _ in cb]),
             lit_double_matrix([cvec for _cid, cvec in cb]),
         )
         for cb in codebooks

@@ -90,10 +90,21 @@ def topk_per_group(
 def normalize_scores(
     scored: DataFrame, score_col: str = "score", pct_col: str = "pct"
 ) -> DataFrame:
-    """A4 — per-row percentage of the global score sum (app.py:318-321)."""
-    total = Window.partitionBy()
-    return scored.withColumn(
-        pct_col, F.col(score_col) / F.sum(score_col).over(total) * 100.0
+    """A4 — per-row percentage of the global score sum (app.py:318-321).
+
+    The global sum is a broadcast-scalar crossJoin, not an empty
+    ``Window.partitionBy()`` — the window form coalesces the frame to
+    ONE partition (Spark warns ``WindowExec: No Partition Defined``),
+    which is a real hazard anywhere the input is not already tiny. A4
+    inputs are post-top-k (≤ k rows), but the operator should carry the
+    scale-safe shape so reuse on a large frame stays parallel."""
+    total = scored.agg(F.sum(score_col).alias("_score_tot"))
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .withColumn(
+            pct_col, F.col(score_col) / F.col("_score_tot") * 100.0
+        )
+        .drop("_score_tot")
     )
 
 

@@ -181,6 +181,11 @@ _RECHECK: frozenset[str] = frozenset(
         # r06: t3b gained an exact recursive-CTE oracle (was rows-only
         # since r2; VERDICT r5 task 4) — must re-settle as value-green.
         "t3b_chunk_long_docs",
+        # r06: global aggregates moved from empty-partition windows to
+        # broadcast-scalar crossJoins (VERDICT r5 task 6) — the two
+        # green entries whose plans changed re-enter the window.
+        "k4_a4_topk_normalized",
+        "rel_chi2_cells",
     }
 )
 

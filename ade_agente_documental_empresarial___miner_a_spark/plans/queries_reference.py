@@ -273,11 +273,9 @@ SELECT vec_id, label, score, rnk,
 FROM top""",
 )
 def k4_a4_topk_normalized(spark: SparkSession, sf: str) -> DataFrame:
-    top = _topk(_scored(spark, sf, 3), 3)
-    return top.withColumn(
-        "pct",
-        F.col("score") / F.sum("score").over(Window.partitionBy()) * 100.0,
-    )
+    from ..operators.similarity import normalize_scores
+
+    return normalize_scores(_topk(_scored(spark, sf, 3), 3))
 
 
 # K5 — head/limit preview (app.py:300)

@@ -222,14 +222,17 @@ def rel_chi2_cells(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("obs"))
     )
+    # grand total via broadcast scalar (BIGINT sum — exact regardless of
+    # partial-agg order), not an empty window that would coalesce the
+    # frame to one partition
+    grand = cells.agg(F.sum("obs").alias("n"))
     ext = cells.select(
         "lang",
         "source",
         "obs",
         F.sum("obs").over(Window.partitionBy("lang")).alias("row_tot"),
         F.sum("obs").over(Window.partitionBy("source")).alias("col_tot"),
-        F.sum("obs").over(Window.partitionBy()).alias("n"),
-    )
+    ).crossJoin(F.broadcast(grand))
     expected = (F.col("row_tot") * F.col("col_tot")).cast(
         "double"
     ) / F.col("n").cast("double")

@@ -251,14 +251,12 @@ def cur_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
 
     scored = text_trigram_lm(spark, sf).select("doc_id", "avg_logp")
     rn = F.row_number().over(Window.orderBy("avg_logp", "doc_id"))
-    n = F.count(F.lit(1)).over(
-        Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-    )
+    # global doc count as a broadcast scalar (exact BIGINT), not an
+    # empty-partition count window
+    n_tot = scored.agg(F.count(F.lit(1)).alias("n"))
     ranked = scored.select(
-        "doc_id", "avg_logp", rn.alias("rn"), n.alias("n")
-    )
+        "doc_id", "avg_logp", rn.alias("rn")
+    ).crossJoin(F.broadcast(n_tot))
     return ranked.select(
         "doc_id",
         "avg_logp",

@@ -494,30 +494,32 @@ def bench_stream_live_10x(spark, scale_dir: str) -> float:
         "event_type string, value double, props string"
     )
     ckpt = tempfile.mkdtemp(prefix="ade_stream10x_ck_")
-    t0 = time.time()
-    q = (
-        tumbling_metrics(
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 8)
-            .parquet(src_path)
+    try:
+        t0 = time.time()
+        q = (
+            tumbling_metrics(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(src_path)
+            )
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("noop")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    dt = round(time.time() - t0, 3)
-    n_batches = len(q.recentProgress)
-    rows = sum(p["numInputRows"] for p in q.recentProgress)
-    print(
-        f"# scale10x stream_live_tumbling: {dt:.3f}s "
-        f"({rows} rows, {n_batches} micro-batches)",
-        file=sys.stderr,
-    )
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return dt
+        q.awaitTermination()
+        dt = round(time.time() - t0, 3)
+        n_batches = len(q.recentProgress)
+        rows = sum(p["numInputRows"] for p in q.recentProgress)
+        print(
+            f"# scale10x stream_live_tumbling: {dt:.3f}s "
+            f"({rows} rows, {n_batches} micro-batches)",
+            file=sys.stderr,
+        )
+        return dt
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def main() -> None:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ade_agente_documental_empresarial___miner_a_spark.functions.vector import (
     lit_double_matrix,
     lit_doubles,
+    lit_ints,
     lit_longs,
 )
 
@@ -60,3 +61,37 @@ def test_lit_double_matrix_and_longs(spark):
 def test_lit_doubles_type_is_double(spark):
     df = spark.range(1).select(lit_doubles([1.5, 2.5]).alias("a"))
     assert df.schema["a"].dataType.simpleString() == "array<double>"
+
+
+def test_lit_doubles_nonfinite(spark):
+    """NaN/±Inf have no numeric-literal spelling in Spark SQL — the
+    builder must route them through string casts instead of emitting
+    repr()'s 'nan'/'inf' (which ParseException at plan build)."""
+    vals = [float("nan"), float("inf"), float("-inf"), 1.5]
+    flit = F.array(*[F.lit(x) for x in vals])
+    row = spark.range(1).select(
+        lit_doubles(vals).alias("a"), flit.alias("b")
+    ).collect()[0]
+    assert [repr(x) for x in row.a] == [repr(x) for x in row.b]
+
+
+def test_lit_matrix_empty_inputs_keep_double_type(spark):
+    df = spark.range(1).select(
+        lit_double_matrix([]).alias("m0"),
+        lit_double_matrix([[], [1.5]]).alias("m1"),
+    )
+    assert df.schema["m0"].dataType.simpleString() == "array<array<double>>"
+    assert df.schema["m1"].dataType.simpleString() == "array<array<double>>"
+    row = df.collect()[0]
+    assert list(row.m0) == []
+    assert [list(r) for r in row.m1] == [[], [1.5]]
+
+
+def test_lit_ints_pinned_int_type(spark):
+    df = spark.range(1).select(
+        lit_ints([0, 7, 255]).alias("a"),
+        lit_ints([]).alias("e"),
+    )
+    assert df.schema["a"].dataType.simpleString() == "array<int>"
+    assert df.schema["e"].dataType.simpleString() == "array<int>"
+    assert list(df.collect()[0].a) == [0, 7, 255]
