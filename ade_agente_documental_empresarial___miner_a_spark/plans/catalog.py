@@ -186,6 +186,10 @@ _RECHECK: frozenset[str] = frozenset(
         # green entries whose plans changed re-enter the window.
         "k4_a4_topk_normalized",
         "rel_chi2_cells",
+        # r06: the S3 pdf branch gained the vendored pure-Python
+        # extractor fallback (degrade now decided by parse outcome, not
+        # the import probe alone) — the pinned degrade row must re-green.
+        "s3_extract_degrade",
     }
 )
 

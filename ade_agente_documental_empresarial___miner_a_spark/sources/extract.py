@@ -134,10 +134,24 @@ def _strip_markup(data: bytes) -> str:
 
 def _pdf_text(data: bytes) -> str:
     """S3 — per-page get_text("text") concatenation (app.py:200-202).
-    PyMuPDF is absent in this container; the boundary raises so callers
-    record an error row rather than silently emitting garbage."""
+
+    fitz present → PyMuPDF verbatim. fitz absent (this container) → the
+    vendored pure-Python extractor (sources/pdftext.py: classic-xref,
+    raw/Flate content streams, Tj/TJ/'/\" text ops). Anything the
+    fallback can't confidently parse degrades to the ORACLE-PINNED error
+    string below (s3_extract_degrade) — the pin is the public degrade
+    contract ("no full PDF engine available"), so it stays byte-stable
+    even though the fallback, not the missing import, decides; the real
+    cause rides along as ``__cause__`` for anyone debugging."""
     if not HAVE_PYMUPDF:
-        raise NotImplementedError("PyMuPDF (fitz) not installed")
+        from . import pdftext
+
+        try:
+            return pdftext.extract_text(data)
+        except Exception as e:  # noqa: BLE001 — degrade, never garbage
+            raise NotImplementedError(
+                "PyMuPDF (fitz) not installed"
+            ) from e
     out = []
     with fitz.open(stream=data, filetype="pdf") as doc:
         for page in doc:

@@ -550,11 +550,30 @@ def main() -> None:
 
     spark.range(32, numPartitions=32).select(_warm("id")).collect()
 
+    # Noise sentinel: a FIXED JVM-side workload (no IO, no Python) whose
+    # quiet-box time is stable (~1s, see docs/bench_r5_quietbox*.json
+    # era calibration in the round notes). This sandbox hosts external
+    # CPU bursts (BENCH_r05 landed during one: the same tree measured
+    # 16.69s vs a 9.92s quiet floor); a recording whose sentinel legs sit
+    # far above calibration is self-identified as hot rather than read
+    # as a plan regression. Sampled before the headline section, after
+    # it, and after the TPC-H sweep so a mid-run burst is localized.
+    def sentinel() -> float:
+        t0 = time.time()
+        spark.range(200_000_000, numPartitions=32).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    sentinel()  # unrecorded: pays this shape's one-time codegen JIT
+    sentinels = {"start": sentinel()}
+    load_start = os.getloadavg()
+
     results: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best, n = None, 0
-        for _ in range(2):  # best-of-2: steady-state, de-noised
+        for _ in range(3):  # best-of-3: one burst must not set the record
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -575,6 +594,7 @@ def main() -> None:
     )
 
     total = round(sum(results.values()), 3)
+    sentinels["after_headline"] = sentinel()
 
     # 10× scale re-measurement (separate section: `value` stays the same
     # 16-query headline total, round-over-round comparable)
@@ -614,6 +634,11 @@ def main() -> None:
     tpch_total = round(sum(tpch.values()), 3)
     print(f"# tpch 22-query total: {tpch_total:.3f}s", file=sys.stderr)
 
+    sentinels["end"] = sentinel()
+    load_end = os.getloadavg()
+    print(f"# sentinel legs: {sentinels} loadavg {load_start}->{load_end}",
+          file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -625,6 +650,11 @@ def main() -> None:
                 "scale10x": scale,
                 "tpch": tpch,
                 "tpch_total": tpch_total,
+                # fixed-work noise sentinel (see sentinel() above): quiet
+                # box ≈ the calibration noted in README/ROUND6 notes; a
+                # hot recording shows here, not as a fake regression
+                "sentinel": sentinels,
+                "loadavg": {"start": load_start, "end": load_end},
             }
         )
     )

@@ -1,16 +1,13 @@
-"""S3 flip-path contract (SURVEY §2.1 S3; micro-infobot/app.py:200-202).
+"""S3 extraction + degrade contract (SURVEY §2.1 S3; app.py:200-202).
 
-PyMuPDF is absent from this container, so ``extract_text`` ships an
-oracle-pinned error-row degrade for PDFs. The degrade and its oracle both
-derive from the SAME import probe (``HAVE_PYMUPDF``), so if the
-environment ever grows ``fitz`` the entry must flip to true extraction
-without any oracle edit. This file pins both sides of that flip against
-one REAL (minimal, hand-assembled, spec-valid) PDF fixture:
-
-- fitz absent (today): the real PDF degrades to the exact
-  ``NotImplementedError`` error row the oracle pins;
-- fitz present (future env): the same fixture parses and the extracted
-  text carries the page's literal string — no degrade row.
+Since round 6 the fitz-absent path is no longer a pure degrade: a
+vendored pure-Python extractor (``sources/pdftext.py``) handles the
+classic-xref / raw-or-Flate / Tj-TJ profile, so a REAL simple PDF
+parses in THIS container — the "real branch" below runs un-skipped with
+either engine. The degrade contract survives for files outside the
+fallback's profile (or outside PDF entirely): those still produce the
+exact oracle-pinned error row that ``s3_extract_degrade`` checks
+(fixture golf.pdf is fake header bytes, so that entry is unchanged).
 """
 
 import pytest
@@ -79,10 +76,19 @@ def pdf_dir(tmp_path):
 
 
 @pytest.mark.skipif(
-    HAVE_PYMUPDF, reason="fitz present: degrade branch unreachable"
+    HAVE_PYMUPDF, reason="fitz present: its failure message differs"
 )
-def test_real_pdf_degrades_exactly_while_fitz_absent(spark, pdf_dir):
-    rows = extract_text(binary_scan(spark, pdf_dir, glob="*.pdf")).collect()
+def test_unparseable_pdf_degrades_exactly(spark, tmp_path):
+    """A .pdf outside the fallback's profile (here: header-only fake
+    bytes, same shape as the committed golf.pdf fixture) must yield the
+    exact error row the s3_extract_degrade oracle pins."""
+    import os
+
+    d = str(tmp_path / "bad")
+    os.makedirs(d)
+    with open(os.path.join(d, "fake.pdf"), "wb") as fh:
+        fh.write(b"%PDF-1.4 fake fixture bytes not a real pdf\n")
+    rows = extract_text(binary_scan(spark, d, glob="*.pdf")).collect()
     assert len(rows) == 1
     r = rows[0]
     assert r.text is None
@@ -90,10 +96,9 @@ def test_real_pdf_degrades_exactly_while_fitz_absent(spark, pdf_dir):
     assert r.error == "NotImplementedError: PyMuPDF (fitz) not installed"
 
 
-@pytest.mark.skipif(
-    not HAVE_PYMUPDF, reason="fitz not installed in this container"
-)
-def test_real_pdf_parses_when_fitz_present(spark, pdf_dir):
+def test_real_pdf_parses(spark, pdf_dir):
+    """The real branch — un-skipped in this container since round 6:
+    fitz if present, else the vendored pure-Python extractor."""
     rows = extract_text(binary_scan(spark, pdf_dir, glob="*.pdf")).collect()
     assert len(rows) == 1
     r = rows[0]
