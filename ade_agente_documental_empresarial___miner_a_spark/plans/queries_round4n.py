@@ -229,11 +229,11 @@ def rel_hll_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
 # worst decile of documents by corpus-trigram-LM mean log-probability.
 # Builds on text_trigram_lm's per-doc scores (same module constant backs
 # both oracles); the cutoff is rank-based with a (avg_logp, doc_id)
-# total order so the kept set is deterministic on both engines. The
-# global row_number window is the fixture-scale cut; at 100 TB the
-# cutoff comes from approx_percentile broadcast as a threshold (ties
-# resolved by doc_id), not a global sort — noted here because the decile
-# SEMANTICS are identical either way.
+# total order so the kept set is deterministic on both engines. This is
+# the repo's canonical UNBOUNDED global rank (one row per document), so
+# it uses operators/ranking.py::global_row_number — exact distributed
+# rank via range partitioning + per-partition row_number + broadcast
+# offsets, no single-partition window stage at any SF.
 @register(
     "cur_perplexity_filter",
     f"""WITH scored AS ({TRIGRAM_SCORES_SQL}),
@@ -249,14 +249,15 @@ FROM r""",
 def cur_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
     from .queries_round4c import text_trigram_lm
 
+    from ..operators.ranking import global_row_number
+
     scored = text_trigram_lm(spark, sf).select("doc_id", "avg_logp")
-    rn = F.row_number().over(Window.orderBy("avg_logp", "doc_id"))
     # global doc count as a broadcast scalar (exact BIGINT), not an
     # empty-partition count window
     n_tot = scored.agg(F.count(F.lit(1)).alias("n"))
-    ranked = scored.select(
-        "doc_id", "avg_logp", rn.alias("rn")
-    ).crossJoin(F.broadcast(n_tot))
+    ranked = global_row_number(scored, ["avg_logp", "doc_id"]).crossJoin(
+        F.broadcast(n_tot)
+    )
     return ranked.select(
         "doc_id",
         "avg_logp",
