@@ -569,18 +569,30 @@ def main() -> None:
     sentinels = {"start": sentinel()}
     load_start = os.getloadavg()
 
+    # Adaptive repeats: measure until the two fastest runs confirm each
+    # other (within 25%), cap 4. A quiet box settles in 2 runs (cheaper
+    # than fixed best-of-3); a host burst triggers extra samples exactly
+    # when they're needed, so one burst can never set a leg's record the
+    # way r5's best-of-2 allowed.
     results: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best, n = None, 0
-        for _ in range(3):  # best-of-3: one burst must not set the record
+        times: list[float] = []
+        n = 0
+        for _ in range(4):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            times.append(time.time() - t0)
+            two = sorted(times)[:2]
+            if len(two) == 2 and two[1] <= two[0] * 1.25:
+                break
+        best = min(times)
         results[name] = round(best, 3)
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {best:.3f}s ({n} rows, {len(times)} runs)",
+            file=sys.stderr,
+        )
 
     results["chat_turn"] = bench_chat_turns(spark, sf_dir)
     print(
