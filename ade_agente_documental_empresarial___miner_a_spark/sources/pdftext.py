@@ -7,8 +7,10 @@ overwhelmingly common "digital-born simple text" profile:
 
 * classic cross-reference PDFs — objects are scanned directly
   (``N G obj`` … ``endobj``), so a stale/linearized xref table doesn't
-  matter, but **object streams** (``/ObjStm``, PDF 1.5 compressed
-  objects) are out of scope;
+  matter — plus **object streams** (``/ObjStm``, PDF 1.5): every
+  Flate-decodable ObjStm is unpacked and its embedded objects join the
+  store, covering modern xref-stream writers without parsing the xref
+  stream itself (offsets are never trusted anyway);
 * content streams stored raw or ``/FlateDecode`` (zlib) — any other
   filter raises;
 * text shown with ``Tj``, ``'``, ``"`` and ``TJ``; line breaks from
@@ -223,6 +225,33 @@ class _Doc:
         if b"/Encrypt" in data:
             # conservative: any trailer mentioning /Encrypt degrades
             raise PdfUnsupportedError("encrypted PDF")
+        self._unpack_objstms()
+
+    def _unpack_objstms(self) -> None:
+        """PDF 1.5 object streams: modern writers park the catalog/page
+        dicts inside Flate-compressed /ObjStm streams. Decompress each,
+        read the N (objnum, offset) header pairs, and parse the embedded
+        objects into the store. Top-level definitions keep precedence
+        (incremental updates are appended top-level); a broken ObjStm is
+        skipped — the page tree may still resolve from elsewhere, and
+        pages() raises if it doesn't."""
+        for v in list(self.objs.values()):
+            if not (isinstance(v, tuple) and str(v[0].get("Type")) == "ObjStm"):
+                continue
+            try:
+                raw = self._stream_data(v)
+                count = self.resolve(v[0].get("N"))
+                first = self.resolve(v[0].get("First"))
+                if not isinstance(count, int) or not isinstance(first, int):
+                    continue
+                header = raw[:first].split()
+                for k in range(count):
+                    objnum = int(header[2 * k])
+                    off = int(header[2 * k + 1])
+                    val, _ = _parse_object(raw, first + off)
+                    self.objs.setdefault(objnum, val)
+            except (PdfUnsupportedError, ValueError, IndexError):
+                continue
 
     def resolve(self, val):
         seen = 0
@@ -272,7 +301,7 @@ class _Doc:
                 continue
             if "Root" in d:
                 root = self.resolve(d["Root"])
-        if root is None:
+        if not (isinstance(root, dict) and "Pages" in root):
             for v in self.objs.values():
                 base = v[0] if isinstance(v, tuple) else v
                 if isinstance(base, dict) and str(base.get("Type")) == "Catalog":

@@ -168,6 +168,40 @@ def test_unsupported_filter_raises():
         extract_text(pdf)
 
 
+def test_objstm_compressed_structure():
+    """PDF 1.5 shape: catalog/pages/page dicts live inside a Flate
+    /ObjStm (as modern xref-stream writers emit); only the content
+    stream is a top-level object. The extractor must unpack the object
+    stream and still walk the page tree."""
+    embedded = [
+        (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        (3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (4, b"<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>"),
+    ]
+    offsets, payload = [], b""
+    for num, body in embedded:
+        offsets.append((num, len(payload)))
+        payload += body + b" "
+    header = b" ".join(f"{n} {o}".encode() for n, o in offsets) + b" "
+    objstm_raw = header + payload
+    objstm = zlib.compress(objstm_raw)
+    content = b"BT (from an object stream) Tj ET"
+    pdf = build_pdf(
+        [
+            b"<< /Type /ObjStm /N 3 /First " + str(len(header)).encode()
+            + b" /Length " + str(len(objstm)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + objstm + b"\nendstream",
+            b"null", b"null", b"null",  # placeholders; real defs in ObjStm
+            stream_obj(content),
+        ]
+    )
+    # drop the placeholder null objects so the ObjStm definitions win
+    pdf = pdf.replace(b"2 0 obj\nnull\nendobj\n", b"")
+    pdf = pdf.replace(b"3 0 obj\nnull\nendobj\n", b"")
+    pdf = pdf.replace(b"4 0 obj\nnull\nendobj\n", b"")
+    assert "from an object stream" in extract_text(pdf)
+
+
 def test_pageless_fallback_document_order():
     """No catalog/trailer root: page objects are still found by scan."""
     pdf = build_pdf(
