@@ -190,6 +190,10 @@ _RECHECK: frozenset[str] = frozenset(
         # extractor fallback (degrade now decided by parse outcome, not
         # the import probe alone) — the pinned degrade row must re-green.
         "s3_extract_degrade",
+        # r06: S5 likewise gained the vendored stdlib OOXML reader — the
+        # entry RESHAPED from the import-probe degrade row to the real
+        # 3-sheet-row parse output; the driver must certify the flip.
+        "s5_xlsx_degrade",
     }
 )
 

@@ -131,24 +131,18 @@ def s3_extract_degrade(spark: SparkSession, sf: str) -> DataFrame:
 # S5 — xlsx contract (app.py:17,191: xlsx accepted by the uploader but
 # never handled; our xlsx_scan_distributed implements the declared
 # branch). india.xlsx is a REAL minimal OOXML workbook (1 sheet, 3 rows,
-# hand-built zip — tests/test_sources pins it), and the oracle is derived
-# from the SAME import probe the executor branch takes (the s7
-# CONF_DEFAULTS pattern): openpyxl present → one row per sheet row with
-# null error; absent (this container) → one error row per workbook, null
-# parse columns, job survives. Both branches are pinned; whichever the
-# environment selects, Spark and the oracle agree.
-try:  # noqa: SIM105 — the probe IS the oracle selector
-    import openpyxl  # noqa: F401
-
-    _S5_ORACLE = f"""SELECT {_FNAME} AS fname,
+# hand-built zip — tests/test_sources pins it). Since round 6 the
+# executor branch always has a parser (openpyxl when importable, else
+# the vendored stdlib reader sources/xlsx_lite.py), so the oracle is the
+# parse branch unconditionally: one row per sheet row, null error. The
+# degrade contract (error row, job survives) still exists for BROKEN
+# workbooks and is pinned by tests/test_sources.py, just no longer the
+# path a well-formed fixture takes. (The entry keeps its historical
+# "degrade" name — the catalog is frozen.)
+_S5_ORACLE = f"""SELECT {_FNAME} AS fname,
        CAST(v.ri AS BIGINT) AS row_idx,
        CAST(NULL AS VARCHAR) AS error
 FROM read_blob('{FIXTURE_DIR}/*.xlsx'), (VALUES (0), (1), (2)) v(ri)"""
-except ImportError:
-    _S5_ORACLE = f"""SELECT {_FNAME} AS fname,
-       CAST(NULL AS BIGINT) AS row_idx,
-       'NotImplementedError: openpyxl not installed' AS error
-FROM read_blob('{FIXTURE_DIR}/*.xlsx')"""
 
 
 @register("s5_xlsx_degrade", _S5_ORACLE)

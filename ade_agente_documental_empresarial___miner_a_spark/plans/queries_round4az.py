@@ -89,6 +89,14 @@ def rel_concurrency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 # bigram→model join co-partitions on the bigram key, the unigram
 # fallback is a broadcast-sized table at fixture scale and a
 # co-partitioned join at 100 TB.
+#
+# Known cross-engine residual (whole LM family): ln() is not correctly
+# rounded in either engine's libm, so on identical inputs the two
+# doubles can differ by 1 ulp — when such a value sits exactly on a
+# round(·,9) boundary the quantizations split (observed ONCE at
+# sf0.001: row 475, 1e-9 diff; docs/ROUND6.md §10). The gate SF is
+# deterministic-green; the discipline bounds any divergence to 1e-9 on
+# isolated rows rather than letting fold-order noise compound.
 @register(
     "text_bigram_backoff_lm",
     """WITH tok AS (

@@ -214,15 +214,25 @@ def csv_scan(
 def xlsx_scan(spark: SparkSession, path: str) -> DataFrame:
     """S5 — the branch the reference declared but never implemented
     (xlsx accepted by the uploader, silently dropped; app.py:17,191).
-    Single-small-file convenience path: openpyxl on the driver →
-    createDataFrame. For multi-file trees use ``xlsx_scan_distributed``
-    — this driver path materializes the sheet locally and must not be
-    pointed at a 100 TB tree."""
+    Single-small-file convenience path: openpyxl (via pd.read_excel) on
+    the driver when importable, else the vendored stdlib reader
+    (sources/xlsx_lite.py) with read_excel's first-row-is-header
+    convention → createDataFrame. For multi-file trees use
+    ``xlsx_scan_distributed`` — this driver path materializes the sheet
+    locally and must not be pointed at a 100 TB tree."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError("openpyxl not installed") from e
-    pdf = pd.read_excel(path)
+
+        pdf = pd.read_excel(path)
+    except ImportError:
+        from . import xlsx_lite
+
+        with open(path, "rb") as fh:
+            _, rows = xlsx_lite.read_workbook(fh.read())[0]
+        if not rows:
+            raise NotImplementedError("empty workbook")
+        header, body = rows[0], rows[1:]
+        pdf = pd.DataFrame(body, columns=[str(h) for h in header])
     return spark.createDataFrame(pdf)
 
 
@@ -246,12 +256,36 @@ def xlsx_scan_distributed(
     Output is one row per sheet row: (path, sheet, row_idx, cells, error)
     — cells stringified so heterogeneous workbooks share one schema.
 
-    Parse failures (or openpyxl missing, as in this container) degrade to
-    an error row per file instead of failing the job — same contract as
-    ``extract_text``. Per-file parallelism is the unit of scale: a tree of
-    N workbooks fans out N-wide regardless of individual file size.
+    Parser tiering mirrors S3: openpyxl verbatim when importable, else
+    the vendored stdlib OOXML reader (sources/xlsx_lite.py) — so the
+    real parse branch executes in THIS container too. Parse failures
+    degrade to an error row per file instead of failing the job — same
+    contract as ``extract_text``. Per-file parallelism is the unit of
+    scale: a tree of N workbooks fans out N-wide regardless of
+    individual file size.
     """
     binaries = binary_scan(spark, path, glob=glob)
+
+    def _parse(content: bytes):
+        """→ [(sheet, row_idx, cells)] via openpyxl or the fallback."""
+        try:
+            import openpyxl
+        except ImportError:
+            from . import xlsx_lite
+
+            return [
+                (name, i, cells)
+                for name, rows_ in xlsx_lite.read_workbook(content)
+                for i, cells in enumerate(rows_)
+            ]
+        wb = openpyxl.load_workbook(
+            io.BytesIO(content), read_only=True, data_only=True
+        )
+        return [
+            (ws.title, i, list(cells))
+            for ws in wb.worksheets
+            for i, cells in enumerate(ws.iter_rows(values_only=True))
+        ]
 
     def run(batches):
         for pdf in batches:
@@ -259,34 +293,18 @@ def xlsx_scan_distributed(
             for _, row in pdf.iterrows():
                 fpath, content = row["path"], row["content"]
                 try:
-                    import openpyxl
-
-                    wb = openpyxl.load_workbook(
-                        io.BytesIO(bytes(content)), read_only=True, data_only=True
-                    )
-                    for ws in wb.worksheets:
-                        for i, cells in enumerate(ws.iter_rows(values_only=True)):
-                            rows.append(
-                                {
-                                    "path": fpath,
-                                    "sheet": ws.title,
-                                    "row_idx": i,
-                                    "cells": [
-                                        None if c is None else str(c) for c in cells
-                                    ],
-                                    "error": None,
-                                }
-                            )
-                except ImportError:
-                    rows.append(
-                        {
-                            "path": fpath,
-                            "sheet": None,
-                            "row_idx": None,
-                            "cells": None,
-                            "error": "NotImplementedError: openpyxl not installed",
-                        }
-                    )
+                    for sheet, i, cells in _parse(bytes(content)):
+                        rows.append(
+                            {
+                                "path": fpath,
+                                "sheet": sheet,
+                                "row_idx": i,
+                                "cells": [
+                                    None if c is None else str(c) for c in cells
+                                ],
+                                "error": None,
+                            }
+                        )
                 except Exception as e:  # noqa: BLE001
                     rows.append(
                         {

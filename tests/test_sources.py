@@ -135,10 +135,11 @@ def test_frame_sample_plan(spark):
     assert all(f.frame_ts_ms % 5000 == 0 for f in frames)
 
 
-def test_xlsx_scan_distributed_two_files(spark, tmp_path):
+def test_xlsx_scan_distributed_broken_files_degrade(spark, tmp_path):
     """S5 distributed branch: binaryFile tree scan + per-file mapInPandas
-    parse. openpyxl is absent here, so each file must degrade to exactly
-    one error row — the plumbing (scan, batching, schema) is real."""
+    parse. Broken workbooks (zip magic, no OOXML inside) must degrade to
+    exactly one error row each regardless of which parser tier is
+    active — the plumbing (scan, batching, schema) is real."""
     from ade_agente_documental_empresarial___miner_a_spark.sources.extract import (
         xlsx_scan_distributed,
     )
@@ -155,26 +156,37 @@ def test_xlsx_scan_distributed_two_files(spark, tmp_path):
     ]
     rows = out.collect()
     assert len(rows) == 2  # one row per xlsx file, txt filtered by glob
-    try:
-        import openpyxl  # noqa: F401
-
-        have = True
-    except ImportError:
-        have = False
-    if not have:
-        assert all(
-            r.error == "NotImplementedError: openpyxl not installed" for r in rows
-        )
-        assert all(r.cells is None for r in rows)
+    assert all(r.error is not None and r.cells is None for r in rows)
     paths = {r.path.rsplit("/", 1)[-1] for r in rows}
     assert paths == {"one.xlsx", "two.xlsx"}
 
 
+def test_xlsx_scan_distributed_parses_real_workbook(spark):
+    """S5 real branch — executes in THIS container since round 6 via the
+    vendored stdlib reader (openpyxl would take over when importable):
+    india.xlsx yields its exact 3 sheet rows, stringified cells."""
+    from ade_agente_documental_empresarial___miner_a_spark.plans.queries_ingest import (
+        FIXTURE_DIR,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.sources.extract import (
+        xlsx_scan_distributed,
+    )
+
+    rows = sorted(
+        xlsx_scan_distributed(spark, FIXTURE_DIR).collect(),
+        key=lambda r: r.row_idx,
+    )
+    assert [(r.sheet, r.row_idx, list(r.cells), r.error) for r in rows] == [
+        ("Hoja1", 0, ["id", "name"], None),
+        ("Hoja1", 1, ["1", "ana"], None),
+        ("Hoja1", 2, ["2", "luis"], None),
+    ]
+
+
 def test_india_xlsx_is_real_workbook():
-    """The S5 fixture must be a well-formed OOXML zip so that, in an
-    environment WITH openpyxl, the success branch is exercised (the
-    oracle pins 3 sheet rows); in this container the import-probe branch
-    pins the degrade row instead."""
+    """The S5 fixture must be a well-formed OOXML zip so the parse
+    branch (either tier) is exercised against real structure — the
+    oracle pins 3 sheet rows."""
     import zipfile
 
     from ade_agente_documental_empresarial___miner_a_spark.plans.queries_ingest import (
