@@ -60,3 +60,35 @@ def global_row_number(
         .withColumn(rn_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_gpid", "_lrn", "_off")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed exact ``ntile(n) OVER (ORDER BY …)``: Spark's ntile
+    assigns the first ``n_rows % n`` buckets one extra row, which is a
+    pure function of (global row number, total count) — both available
+    without a single-partition window (global_row_number + a broadcast
+    scalar). Bit-identical to F.ntile under a TOTAL order (include a
+    unique tie-break, as ntile's own determinism already requires)."""
+    ranked = global_row_number(
+        df, order_cols, rn_col="_gnt_rn", num_partitions=num_partitions
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_gnt_n"))
+    rn, n = F.col("_gnt_rn"), F.col("_gnt_n")
+    k = F.lit(int(n_buckets))
+    q = (n / k).cast("long")  # base bucket size
+    r = n % k                 # first r buckets take one extra row
+    cut = r * (q + 1)         # rows covered by the size-(q+1) buckets
+    bucket = F.when(rn <= cut, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rn - cut - 1) / q) + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(bucket_col, bucket.cast("int"))
+        .drop("_gnt_rn", "_gnt_n")
+    )

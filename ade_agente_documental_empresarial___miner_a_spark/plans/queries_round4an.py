@@ -120,14 +120,15 @@ SELECT source, round(CAST(sum(term) AS DOUBLE), 9) AS psi,
 FROM terms GROUP BY source""",
 )
 def cur_psi_sources(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
+
     docs = table(spark, sf, "documents")
-    edges = docs.select(
-        "source",
-        "doc_id",
-        F.ntile(_PSI_BINS)
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("bin"),
-    )
+    # equi-depth bins over EVERY document — an unbounded global rank,
+    # so the distributed exact ntile (operators/ranking.py), not a
+    # partition-less window
+    edges = global_ntile(
+        docs, _PSI_BINS, ["n_chars", "doc_id"], bucket_col="bin"
+    ).select("source", "doc_id", "bin")
     corp = edges.groupBy("bin").agg(
         F.count(F.lit(1)).cast("double").alias("n_corp")
     )

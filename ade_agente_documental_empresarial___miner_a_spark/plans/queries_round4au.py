@@ -117,10 +117,14 @@ def cur_bitext_ratio_filter(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
 
     def side(lang: str, id_alias: str, len_alias: str) -> DataFrame:
-        return docs.where(F.col("lang") == lang).select(
-            F.row_number()
-            .over(Window.orderBy("doc_id"))
-            .alias("rnk"),
+        from ..operators.ranking import global_row_number
+
+        # position pairing ranks EVERY doc of the language — unbounded
+        # global rank → the distributed exact form
+        return global_row_number(
+            docs.where(F.col("lang") == lang), ["doc_id"], rn_col="rnk"
+        ).select(
+            "rnk",
             F.col("doc_id").alias(id_alias),
             F.length("text").alias(len_alias),
         )

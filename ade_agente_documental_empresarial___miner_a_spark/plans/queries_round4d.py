@@ -177,11 +177,15 @@ def cur_curriculum_phases(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.split(t, " ")).cast("long").alias("n_tokens"),
         quality_expr(t).alias("quality"),
     )
-    p = q.select(
+    from ..operators.ranking import global_ntile
+
+    # curriculum quartiles over EVERY document — unbounded global rank,
+    # so the distributed exact ntile rather than a partition-less window
+    p = global_ntile(q, 4, ["quality", "doc_id"], bucket_col="phase").select(
         "doc_id",
         "n_tokens",
         F.round("quality", 9).cast("decimal(20,9)").alias("quality_q"),
-        F.ntile(4).over(Window.orderBy("quality", "doc_id")).alias("phase"),
+        "phase",
     )
     return p.groupBy(F.col("phase").cast("long").alias("phase")).agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -150,12 +150,15 @@ SELECT CAST(decile AS INT) AS decile, count(*) AS n_orders,
 FROM t GROUP BY decile""",
 )
 def rel_equidepth_hist(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
+
     orders = table(spark, sf, "orders").select(
         "o_totalprice", "o_orderkey"
     )
-    t = orders.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")),
+    # deciles over EVERY order row — unbounded global rank, so the
+    # distributed exact ntile rather than a partition-less window
+    t = global_ntile(
+        orders, 10, ["o_totalprice", "o_orderkey"], bucket_col="decile"
     )
     return t.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_orders"),

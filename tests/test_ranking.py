@@ -12,6 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ade_agente_documental_empresarial___miner_a_spark.operators.ranking import (
+    global_ntile,
     global_row_number,
 )
 
@@ -48,6 +49,23 @@ def test_descending_and_column_exprs(spark):
 def test_tiny_frame_and_explicit_partitions(spark):
     rows = [(3.0, 1), (1.0, 2), (2.0, 3)]
     _assert_same(spark, rows, ["k", "id"], num_partitions=16)
+
+
+def test_global_ntile_matches_spark_ntile(spark):
+    rng = random.Random(3)
+    for n_rows, k in [(500, 10), (37, 4), (3, 10), (10, 10), (101, 7)]:
+        rows = [(float(rng.randint(0, 9)), i) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "k double, id long").repartition(8)
+        got = {
+            r.id: r.bucket
+            for r in global_ntile(df, k, ["k", "id"]).collect()
+        }
+        w = Window.orderBy("k", "id")
+        want = {
+            r.id: r.bucket
+            for r in df.withColumn("bucket", F.ntile(k).over(w)).collect()
+        }
+        assert got == want, f"n_rows={n_rows} k={k}"
 
 
 def test_no_partitionless_window_in_plan(spark):
