@@ -103,6 +103,41 @@ def load_index(spark, ref: str, kind: str = "chunks"):
     return spark.read.parquet(ref)
 
 
+def persist_serving_index(
+    index: DataFrame, rows_per_partition: int = 65_536
+) -> DataFrame:
+    """Pin a serving copy of an index in memory with DATA-SIZED
+    partitioning, and return the materialized frame.
+
+    A chunks/embeddings index read back from parquet inherits the file
+    split count (or ``spark.sql.shuffle.partitions`` worth of tiny
+    splits), so a small index serves every retrieval as dozens of
+    near-empty tasks — pure scheduler overhead on the per-query hot
+    path (the reference's Chroma collection is one RAM-resident
+    structure, ``micro-infobot/app.py:110-131``). Sizing is
+    ``ceil(rows / rows_per_partition)``: a 5k-chunk index collapses to
+    one in-memory partition, a 100 TB-scale index keeps thousands of
+    partitions and full scan parallelism — the formula, not the small-SF
+    outcome, is the contract. The formula is capped at the input's
+    CURRENT partition count: the helper only ever narrows, never
+    shuffles data wider (and the explicit cap is load-bearing — a bare
+    ``coalesce(parts)`` over an input that is itself a coalesce would
+    be collapsed by Catalyst's CollapseRepartition rule into the outer,
+    wider value).
+
+    Count runs twice by design: once pre-persist for sizing, once
+    post-persist to materialize the cache before the first query hits.
+    """
+    n = index.count()
+    parts = max(
+        1,
+        min(-(-n // rows_per_partition), index.rdd.getNumPartitions()),
+    )
+    sized = index.coalesce(parts).persist()
+    sized.count()
+    return sized
+
+
 def flagship_query(
     documents: DataFrame,
     question: str = "spark vector join query",

@@ -345,6 +345,7 @@ def bench_chat_turns(spark, sf_dir: str) -> float:
     )
     from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
         build_chunks,
+        persist_serving_index,
     )
 
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -355,9 +356,10 @@ def bench_chat_turns(spark, sf_dir: str) -> float:
     # the serving index is memory-resident (the reference's Chroma
     # collection lives in RAM once loaded): persist + materialize before
     # the timed loop so per-turn retrieval measures the query, not a
-    # repeated cold parquet scan of the same static index
-    chunks = spark.read.parquet(idx).persist()
-    chunks.count()
+    # repeated cold parquet scan of the same static index — with
+    # DATA-SIZED partitions (persist_serving_index), not 32 near-empty
+    # scheduler-overhead tasks per turn
+    chunks = persist_serving_index(spark.read.parquet(idx))
 
     best = float("inf")
     for _ in range(2):
@@ -394,6 +396,7 @@ def bench_chat_session(spark, sf_dir: str) -> float:
     )
     from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
         build_chunks,
+        persist_serving_index,
     )
 
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -401,8 +404,7 @@ def bench_chat_session(spark, sf_dir: str) -> float:
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         build_chunks(docs).write.mode("overwrite").parquet(idx)
-    chunks = spark.read.parquet(idx).persist()
-    chunks.count()
+    chunks = persist_serving_index(spark.read.parquet(idx))
 
     best = float("inf")
     for _ in range(2):
@@ -435,6 +437,7 @@ def bench_chat_deep_history(spark, sf_dir: str) -> float:
     )
     from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
         build_chunks,
+        persist_serving_index,
     )
     from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
         append_chat_history,
@@ -445,8 +448,7 @@ def bench_chat_deep_history(spark, sf_dir: str) -> float:
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         build_chunks(docs).write.mode("overwrite").parquet(idx)
-    chunks = spark.read.parquet(idx).persist()
-    chunks.count()
+    chunks = persist_serving_index(spark.read.parquet(idx))
 
     best = float("inf")
     for _ in range(2):
