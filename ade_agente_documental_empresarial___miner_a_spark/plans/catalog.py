@@ -101,13 +101,18 @@ _STATIC_GREEN = frozenset(
 )
 
 
-def _recorded_verdicts(root: str | None = None) -> dict[str, bool]:
+def _recorded_verdicts(
+    root: str | None = None,
+) -> tuple[dict[str, bool], dict[str, int]]:
     """Latest driver verdict per name, scanned from CORRECTNESS_r{N}.json
-    at the repo root. True = settled (value-green, or a recorded rows-only
-    run for oracle-less entries — the strongest evidence those can get);
-    False = the latest record is red (hash/schema/rows mismatch or a
-    harness error), which must re-front the name in the window even if an
-    older round had it green."""
+    at the repo root. Returns (verdicts, rounds): verdicts[name] True =
+    settled (value-green, or a recorded rows-only run for oracle-less
+    entries — the strongest evidence those can get); False = the latest
+    record is red (hash/schema/rows mismatch or a harness error), which
+    must re-front the name in the window even if an older round had it
+    green. rounds[name] = the round number of that latest record — used
+    by the _RECHECK auto-expiry (a recheck pin is satisfied only by a
+    green record from a round >= the round the change landed in)."""
     import glob
     import json
     import re
@@ -123,6 +128,7 @@ def _recorded_verdicts(root: str | None = None) -> dict[str, bool]:
         return int(m.group(1)) if m else -1
 
     latest: dict[str, bool] = {}
+    rounds: dict[str, int] = {}
     for path in sorted(paths, key=round_no):
         try:
             with open(path) as f:
@@ -144,22 +150,26 @@ def _recorded_verdicts(root: str | None = None) -> dict[str, bool]:
                 latest[name] = True  # rows-only entry: ran + recorded
             else:
                 latest[name] = False
-    return latest
+            rounds[name] = round_no(path)
+    return latest, rounds
 
 
-_VERDICTS = _recorded_verdicts()
+_VERDICTS, _VERDICT_ROUNDS = _recorded_verdicts()
 _DRIVER_GREEN = frozenset(
     (_STATIC_GREEN | {n for n, ok in _VERDICTS.items() if ok})
     - {n for n, ok in _VERDICTS.items() if not ok}
 )
 
-# Green names whose IMPLEMENTATION was touched this round: re-included in the
+# Green names whose IMPLEMENTATION was touched mid-round: re-included at the
 # front of the driver window so the external gate re-verifies them instead of
 # trusting a stale record (VERDICT r3 / ADVICE: a refactor behind a
-# green-listed name must not escape independent verification). Reset each
-# round after the CORRECTNESS file lands.
-_RECHECK: frozenset[str] = frozenset(
-    {
+# green-listed name must not escape independent verification). Each name maps
+# to the FIRST CORRECTNESS round that can certify the change (the round whose
+# gate runs after the change landed); the pin AUTO-EXPIRES once a green
+# driver record from that round or later exists, so no manual reset is
+# needed when a new round starts (previously a flagged round-boundary step).
+_RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
+    (
         # r05: IVF codebook scoring re-grouped for scale (_cell_scores —
         # shared per-row |v| + constant |c|; bit-exact re-grouping,
         # verified vs the DuckDB oracles AND measured 1.6-2x at 100k
@@ -194,7 +204,32 @@ _RECHECK: frozenset[str] = frozenset(
         # entry RESHAPED from the import-probe degrade row to the real
         # 3-sheet-row parse output; the driver must certify the flip.
         "s5_xlsx_degrade",
-    }
+    ),
+    # every pin above is satisfied by the round-6 gate: the r05-tagged
+    # literal-builder names changed AFTER the r5 gate ran, so their r5
+    # green records are pre-change and only a r>=6 record certifies them
+    6,
+)
+
+
+def _active_rechecks(
+    queued: dict[str, int],
+    verdicts: dict[str, bool],
+    rounds: dict[str, int],
+) -> frozenset:
+    """Names still owed a post-change driver verdict: the pin stays
+    active until a GREEN record from a round >= the queue round exists.
+    A red later record keeps the pin (the name re-fronts anyway via the
+    tier-2 path, but staying here keeps it ahead of the backlog)."""
+    return frozenset(
+        n
+        for n, queue_round in queued.items()
+        if not (verdicts.get(n, False) and rounds.get(n, -1) >= queue_round)
+    )
+
+
+_RECHECK: frozenset[str] = _active_rechecks(
+    _RECHECK_QUEUED, _VERDICTS, _VERDICT_ROUNDS
 )
 
 # Names pulled to the VERY FRONT of the driver window, regardless of

@@ -143,12 +143,15 @@ def test_recorded_verdicts_derivation(tmp_path):
         {"b": crash, "c": ok}
     ))
     (tmp_path / "CORRECTNESS_r06.json").write_text("not json")  # skipped
-    v = _recorded_verdicts(str(tmp_path))
+    v, rounds = _recorded_verdicts(str(tmp_path))
     assert v == {"a": True, "b": False, "c": True, "d": True}
+    # rounds track the LATEST record per name (the r06 file is unparseable
+    # so r05 is the newest valid record for b and c)
+    assert rounds == {"a": 4, "b": 5, "c": 5, "d": 4}
 
     # the module-level wiring: greens union the static baseline, latest
     # reds are excluded even if an older round (or the baseline) had them
-    live = _recorded_verdicts()
+    live, _ = _recorded_verdicts()
     expect = frozenset(
         (_STATIC_GREEN | {n for n, g in live.items() if g})
         - {n for n, g in live.items() if not g}
@@ -159,3 +162,45 @@ def test_recorded_verdicts_derivation(tmp_path):
     for name in ("emb_label_centroids", "rel_grouping_sets"):
         if name in live:
             assert live[name] is False or name in _DRIVER_GREEN
+
+
+def test_recheck_auto_expiry():
+    """A _RECHECK pin queued for round Q stays active until a GREEN
+    driver record from round >= Q exists: pre-change greens (older
+    rounds) don't satisfy it, later reds don't satisfy it, and a
+    post-change green retires it without a manual reset."""
+    from ade_agente_documental_empresarial___miner_a_spark.plans.catalog import (
+        _RECHECK,
+        _RECHECK_QUEUED,
+        _VERDICT_ROUNDS,
+        _VERDICTS,
+        _active_rechecks,
+    )
+
+    queued = {"x": 6, "y": 6, "z": 6, "w": 6}
+    verdicts = {"x": True, "y": True, "z": False}
+    rounds = {"x": 5, "y": 6, "z": 7}
+    active = _active_rechecks(queued, verdicts, rounds)
+    assert "x" in active  # green but PRE-change (r5 < queue r6)
+    assert "y" not in active  # post-change green -> retired
+    assert "z" in active  # post-change but red -> still owed a green
+    assert "w" in active  # never recorded
+
+    # module wiring: the live _RECHECK is exactly the derivation over
+    # the live verdict/round maps
+    assert _RECHECK == _active_rechecks(
+        _RECHECK_QUEUED, _VERDICTS, _VERDICT_ROUNDS
+    )
+    # as of the r5 records currently in-repo, nothing can have a r>=6
+    # green yet, so every queued name is still active; once the driver
+    # writes CORRECTNESS_r06 greens, these retire with no code change
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = max(
+        int(p.rsplit("_r", 1)[1].split(".")[0])
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    )
+    if latest < 6:
+        assert _RECHECK == frozenset(_RECHECK_QUEUED)
