@@ -276,17 +276,29 @@ def driver_ordered(mapping: dict) -> dict:
         for k, v in mapping.items()
         if k in _DRIVER_GREEN and k in _RECHECK and k not in prio
     }
+    # tier 2 leads with RECORDED-RED names (the driver saw these fail —
+    # they must re-enter the very next window, not wait at their
+    # registration position behind the never-checked backlog; this
+    # generalizes the manual _PRIORITY pins the r04 reds needed), then
+    # the never-checked names in registration order.
+    red = {
+        k: v
+        for k, v in mapping.items()
+        if _VERDICTS.get(k) is False and k not in _DRIVER_GREEN
+        and k not in prio
+    }
     never = {
         k: v
         for k, v in mapping.items()
-        if k not in _DRIVER_GREEN and k not in prio
+        if k not in _DRIVER_GREEN and k not in prio and k not in red
     }
     back = {
         k: v
         for k, v in mapping.items()
         if k not in prio and k not in never and k not in recheck
+        and k not in red
     }
-    return {**prio, **recheck, **never, **back}
+    return {**prio, **recheck, **red, **never, **back}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -114,6 +114,39 @@ def test_driver_window_ordering():
     assert osql_order == [n for n in order if n in set(osql_order)]
 
 
+def test_recorded_red_names_lead_tier_two(monkeypatch):
+    """A name whose LATEST driver record is red must lead tier 2 — it
+    re-enters the very next window instead of waiting at its
+    registration position behind the never-checked backlog (the r04
+    reds needed manual _PRIORITY pins for exactly this; the ordering
+    now generalizes it)."""
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        catalog,
+    )
+
+    mapping = {f"q{i}": i for i in range(8)}
+    # q1/q2 green, q5 RED on record, q0/q3/q4/q6/q7 never checked;
+    # q5 registers LATE (position 5) yet must front tier 2
+    monkeypatch.setattr(catalog, "_VERDICTS", {
+        "q1": True, "q2": True, "q5": False,
+    })
+    monkeypatch.setattr(
+        catalog, "_DRIVER_GREEN", frozenset({"q1", "q2"})
+    )
+    monkeypatch.setattr(catalog, "_RECHECK", frozenset({"q2"}))
+    monkeypatch.setattr(catalog, "_PRIORITY", ("q7",))
+    got = list(catalog.driver_ordered(mapping))
+    assert got == [
+        "q7",                       # priority
+        "q2",                       # recheck (green + touched)
+        "q5",                       # RED record — fronts tier 2
+        "q0", "q3", "q4", "q6",    # never-checked, registration order
+        "q1",                       # settled green last
+    ]
+    # values ride along untouched
+    assert catalog.driver_ordered(mapping)["q5"] == 5
+
+
 def test_recorded_verdicts_derivation(tmp_path):
     """The driver-green set is derived from the CORRECTNESS_r{N}.json
     files the driver writes; latest round wins so regressions re-enter
