@@ -340,6 +340,23 @@ def scale10x_queries(qs):
 CHAT_TURNS = 8
 
 
+def _adaptive_best(sample, cap: int = 4, band: float = 1.25) -> float:
+    """Best-of-adaptive for the chat legs: call ``sample()`` (returns one
+    wall-clock measurement) until the two fastest confirm each other
+    within ``band``, cap ``cap`` — the same discipline the headline loop
+    uses. The chat legs are the most job-latency-bound (and therefore
+    burst-sensitive) numbers in the recording; fixed best-of-2 let a
+    single host burst set chat_turn records 30% apart across two
+    otherwise-quiet runs."""
+    times: list[float] = []
+    for _ in range(cap):
+        times.append(sample())
+        two = sorted(times)[:2]
+        if len(two) == 2 and two[1] <= two[0] * band:
+            break
+    return min(times)
+
+
 def bench_chat_turns(spark, sf_dir: str) -> float:
     """E2 chat loop end-to-end — the reference's primary entry point
     (micro-infobot/app.py:214-283): retrieve (K1) → context fold (T6) →
@@ -377,21 +394,24 @@ def bench_chat_turns(spark, sf_dir: str) -> float:
     # scheduler-overhead tasks per turn
     chunks = persist_serving_index(spark.read.parquet(idx))
 
-    best = float("inf")
-    for _ in range(2):
+    def sample() -> float:
         hist_dir = tempfile.mkdtemp(prefix="ade_chat_hist_")
         hist = os.path.join(hist_dir, "hist")
-        t0 = time.time()
-        for i in range(CHAT_TURNS):
-            answer_question(
-                spark,
-                chunks,
-                "bench-user",
-                f"spark vector join query number {i}",
-                history_path=hist,
-            )
-        best = min(best, time.time() - t0)
-        shutil.rmtree(hist_dir, ignore_errors=True)
+        try:
+            t0 = time.time()
+            for i in range(CHAT_TURNS):
+                answer_question(
+                    spark,
+                    chunks,
+                    "bench-user",
+                    f"spark vector join query number {i}",
+                    history_path=hist,
+                )
+            return time.time() - t0
+        finally:
+            shutil.rmtree(hist_dir, ignore_errors=True)
+
+    best = _adaptive_best(sample)
     chunks.unpersist()
     return round(best, 3)
 
@@ -422,16 +442,21 @@ def bench_chat_session(spark, sf_dir: str) -> float:
         build_chunks(docs).write.mode("overwrite").parquet(idx)
     chunks = persist_serving_index(spark.read.parquet(idx))
 
-    best = float("inf")
-    for _ in range(2):
+    def sample() -> float:
         hist_dir = tempfile.mkdtemp(prefix="ade_chat_sess_")
         hist = os.path.join(hist_dir, "hist")
-        t0 = time.time()
-        sess = ChatSession(spark, chunks, "bench-user", history_path=hist)
-        for i in range(CHAT_TURNS):
-            sess.ask(f"spark vector join query number {i}")
-        best = min(best, time.time() - t0)
-        shutil.rmtree(hist_dir, ignore_errors=True)
+        try:
+            t0 = time.time()
+            sess = ChatSession(
+                spark, chunks, "bench-user", history_path=hist
+            )
+            for i in range(CHAT_TURNS):
+                sess.ask(f"spark vector join query number {i}")
+            return time.time() - t0
+        finally:
+            shutil.rmtree(hist_dir, ignore_errors=True)
+
+    best = _adaptive_best(sample)
     chunks.unpersist()
     return round(best, 3)
 
@@ -466,22 +491,27 @@ def bench_chat_deep_history(spark, sf_dir: str) -> float:
         build_chunks(docs).write.mode("overwrite").parquet(idx)
     chunks = persist_serving_index(spark.read.parquet(idx))
 
-    best = float("inf")
-    for _ in range(2):
+    def sample() -> float:
         hist_dir = tempfile.mkdtemp(prefix="ade_chat_deep_")
         hist = os.path.join(hist_dir, "hist")
-        append_chat_history(
-            spark,
-            [("bench-user", f"seed question {i}", f"seed answer {i}",
-              None, 5, 3) for i in range(500)],
-            hist,
-        )
-        sess = ChatSession(spark, chunks, "bench-user", history_path=hist)
-        t0 = time.time()
-        for i in range(4):
-            sess.ask(f"spark vector join query number {i}")
-        best = min(best, time.time() - t0)
-        shutil.rmtree(hist_dir, ignore_errors=True)
+        try:
+            append_chat_history(
+                spark,
+                [("bench-user", f"seed question {i}", f"seed answer {i}",
+                  None, 5, 3) for i in range(500)],
+                hist,
+            )
+            sess = ChatSession(
+                spark, chunks, "bench-user", history_path=hist
+            )
+            t0 = time.time()
+            for i in range(4):
+                sess.ask(f"spark vector join query number {i}")
+            return time.time() - t0
+        finally:
+            shutil.rmtree(hist_dir, ignore_errors=True)
+
+    best = _adaptive_best(sample)
     chunks.unpersist()
     return round(best, 3)
 
