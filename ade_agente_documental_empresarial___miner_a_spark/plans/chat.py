@@ -204,9 +204,12 @@ class ChatSession:
     in-process and the persisted ``turn_id`` counter is read once at
     construction and advanced locally (single-writer append, the same
     assumption ``sinks.append_chat_history`` documents). A turn then
-    costs exactly one retrieval job plus one append write, and yields
+    costs exactly ONE Spark job — the retrieval collect; the append is
+    a driver-side Arrow write (``sinks._arrow_append``, the engine
+    analogue of the reference's client-side insert_one) — and yields
     byte-identical prompts, answers, and persisted rows to the
-    stateless loop (pinned by tests/test_chat_session.py).
+    stateless loop (pinned by tests/test_chat_session.py and the
+    sink equivalence battery).
     """
 
     def __init__(

@@ -121,9 +121,9 @@ def test_session_without_store(spark):
 
 def test_session_job_budget(spark, tmp_path):
     """The serving contract: after construction, a turn launches
-    exactly two Spark jobs — one retrieval collect, one append write
-    (the stateless loop additionally pays a history read and a
-    counter read every turn)."""
+    exactly ONE Spark job — the retrieval collect; the history append
+    is a driver-side Arrow write since round 6 (the stateless loop
+    additionally pays a history-read job every turn)."""
     chunks = make_index(spark)
     # materialize the index first so retrieval doesn't re-run the
     # chunk build lineage inside the counted window
@@ -137,7 +137,7 @@ def test_session_job_budget(spark, tmp_path):
     sess.ask("counted question")
     after = tracker.getJobIdsForGroup(None)
     new_jobs = set(after) - set(before)
-    assert len(new_jobs) <= 2, (
-        f"session turn launched {len(new_jobs)} jobs, expected <=2"
+    assert len(new_jobs) <= 1, (
+        f"session turn launched {len(new_jobs)} jobs, expected <=1"
     )
     chunks.unpersist()
