@@ -142,6 +142,17 @@ def append_chat_history(
             .save()
         )
         return
+    import re
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", path):
+        # any URI scheme (hdfs://, s3a://, even file:): the driver-side
+        # write below is bare-local-path only — keep the Spark writer,
+        # which speaks every Hadoop filesystem (single-slice: one task,
+        # one file)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(full, 1), CHAT_SCHEMA
+        ).write.mode("append").parquet(path)
+        return
     _arrow_append(full, path)
 
 

@@ -70,6 +70,19 @@ def test_turn_ids_continue_across_mixed_writers(spark, tmp_path):
     assert got == [0, 1, 2]
 
 
+def test_uri_scheme_paths_use_the_spark_writer(spark, tmp_path):
+    """A store addressed by URI (file:, hdfs:, s3a:, ...) must route
+    through the Spark writer — the driver-side file write handles only
+    bare local paths (a file: URI would otherwise become a literal
+    'file:' directory via os.makedirs)."""
+    target = tmp_path / "uri_store"
+    append_chat_history(spark, ROWS[:1], f"file:{target}")
+    # written through Spark: readable, and no literal 'file:' dir appears
+    got = read_chat_history(spark, str(target)).collect()
+    assert len(got) == 1 and got[0].user == "ana"
+    assert not (tmp_path / "file:").exists()
+
+
 def test_readers_ignore_dangling_tmp_files(spark, tmp_path):
     """A crash mid-write leaves only a dot-prefixed temp file, which
     Spark readers skip — the visible store stays consistent."""
