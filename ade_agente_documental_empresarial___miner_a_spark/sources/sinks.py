@@ -71,15 +71,9 @@ def _arrow_append(rows: list[tuple], path: str) -> None:
     a bottleneck."""
     import os
     import uuid
-    from datetime import timezone
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-
-    def _utc(ts):
-        return ts if ts.tzinfo is not None else ts.replace(
-            tzinfo=timezone.utc
-        )
 
     table = pa.table(
         {
@@ -87,7 +81,7 @@ def _arrow_append(rows: list[tuple], path: str) -> None:
             "message": pa.array([r[1] for r in rows], pa.string()),
             "response": pa.array([r[2] for r in rows], pa.string()),
             "ts": pa.array(
-                [_utc(r[3]) for r in rows], pa.timestamp("us", tz="UTC")
+                [r[3] for r in rows], pa.timestamp("us", tz="UTC")
             ),
             "prompt_tokens": pa.array([r[4] for r in rows], pa.int64()),
             "completion_tokens": pa.array(
@@ -112,29 +106,50 @@ def append_chat_history(
     """Append chat turns (S6). ``rows`` are (user, message, response,
     ts, prompt_tokens, completion_tokens) tuples; ts=None → now()
     (one shared batch timestamp, matching current_timestamp()'s
-    per-query evaluation; naive inputs are UTC per the fixture
-    contract). Each row gets a persisted ``turn_id`` continuing from
-    the stored history (single-writer append, as in the reference's
-    chat loop). ``base_turn_id`` lets a caller that already knows the
-    counter (a live ChatSession holding it in RAM) skip the
-    read-before-write; when omitted the stored max is re-derived."""
+    per-query evaluation); NAIVE timestamps are interpreted in
+    ``spark.sql.session.timeZone`` — the same rule createDataFrame
+    applies — so every store type (local Arrow file, Hadoop-FS Spark
+    write, mongo connector) persists the identical instant. Each row
+    gets a persisted ``turn_id`` continuing from the stored history
+    (single-writer append, as in the reference's chat loop).
+    ``base_turn_id`` lets a caller that already knows the counter (a
+    live ChatSession holding it in RAM) skip the read-before-write;
+    when omitted the stored max is re-derived."""
     from datetime import datetime, timezone
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        session_tz = ZoneInfo(
+            spark.conf.get("spark.sql.session.timeZone", "UTC")
+        )
+    except Exception:  # unparseable zone id (e.g. raw GMT offsets)
+        session_tz = timezone.utc
 
     base = _next_turn_id(spark, path) if base_turn_id is None else base_turn_id
     now = datetime.now(timezone.utc)
+
+    def _aware(ts):
+        if ts is None:
+            return now
+        return ts if ts.tzinfo is not None else ts.replace(tzinfo=session_tz)
+
     full = [
-        (r[0], r[1], r[2], r[3] if r[3] is not None else now, r[4], r[5],
-         base + i)
+        (r[0], r[1], r[2], _aware(r[3]), r[4], r[5], base + i)
         for i, r in enumerate(rows)
     ]
-    mongo_uri = spark.conf.get("spark.ade.mongo.uri", None)
-    if mongo_uri:
-        # connector path: ship through a (single-slice) DataFrame write
-        df = spark.createDataFrame(
+
+    def _spark_df():
+        # single-slice: one task, one file per append batch — the
+        # single-writer shape the turn_id contract assumes
+        return spark.createDataFrame(
             spark.sparkContext.parallelize(full, 1), CHAT_SCHEMA
         )
+
+    mongo_uri = spark.conf.get("spark.ade.mongo.uri", None)
+    if mongo_uri:
         (
-            df.write.format("mongodb")
+            _spark_df().write.format("mongodb")
             .mode("append")
             .option("connection.uri", mongo_uri)
             .option("database", "db-historial-chats")
@@ -144,14 +159,19 @@ def append_chat_history(
         return
     import re
 
-    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", path):
-        # any URI scheme (hdfs://, s3a://, even file:): the driver-side
-        # write below is bare-local-path only — keep the Spark writer,
-        # which speaks every Hadoop filesystem (single-slice: one task,
-        # one file)
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(full, 1), CHAT_SCHEMA
-        ).write.mode("append").parquet(path)
+    default_fs = spark._jsc.hadoopConfiguration().get(
+        "fs.defaultFS", "file:///"
+    )
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", path) or not default_fs.startswith(
+        "file:"
+    ):
+        # explicit URI scheme (hdfs://, s3a://, even file:) OR a bare
+        # path under a non-local fs.defaultFS: the driver-side write
+        # below is local-FS only, and Spark readers resolve bare paths
+        # against defaultFS — writing locally would silently split the
+        # store across filesystems. Keep the Spark writer, which speaks
+        # every Hadoop filesystem.
+        _spark_df().write.mode("append").parquet(path)
         return
     _arrow_append(full, path)
 

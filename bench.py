@@ -625,20 +625,19 @@ def main() -> None:
     results: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        times: list[float] = []
-        n = 0
-        for _ in range(4):
+        stats = {"n": 0, "runs": 0}
+
+        def sample() -> float:
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            times.append(time.time() - t0)
-            two = sorted(times)[:2]
-            if len(two) == 2 and two[1] <= two[0] * 1.25:
-                break
-        best = min(times)
+            stats["n"] = fn(spark, sf_dir).count()
+            stats["runs"] += 1
+            return time.time() - t0
+
+        best = _adaptive_best(sample)
         results[name] = round(best, 3)
         print(
-            f"# {name}: {best:.3f}s ({n} rows, {len(times)} runs)",
+            f"# {name}: {best:.3f}s ({stats['n']} rows,"
+            f" {stats['runs']} runs)",
             file=sys.stderr,
         )
 
@@ -654,7 +653,11 @@ def main() -> None:
     )
 
     total = round(sum(results.values()), 3)
-    subset16 = round(sum(results[k] for k in SUBSET16 if k in results), 3)
+    # the gate number must FAIL LOUDLY if a comparable leg ever goes
+    # missing — a silent 15-leg sum would under-report and fake-pass
+    missing16 = set(SUBSET16) - results.keys()
+    assert not missing16, f"SUBSET16 legs missing from results: {missing16}"
+    subset16 = round(sum(results[k] for k in SUBSET16), 3)
     print(
         f"# 16-subset: {subset16:.3f}s"
         f" ({subset16 / _SUBSET16_BASELINE_R01:.3f}x r01 baseline)",

@@ -70,6 +70,24 @@ def test_turn_ids_continue_across_mixed_writers(spark, tmp_path):
     assert got == [0, 1, 2]
 
 
+def test_naive_ts_follows_session_timezone_like_spark_write(spark, tmp_path):
+    """Naive timestamps must mean the same instant through every store
+    type: the Arrow path interprets them in spark.sql.session.timeZone,
+    exactly as createDataFrame does on the Spark branches — under a
+    non-UTC session the two writers must still agree."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        a, b = str(tmp_path / "sw"), str(tmp_path / "aw")
+        _spark_write(spark, ROWS[:1], a)
+        append_chat_history(spark, ROWS[:1], b)
+        ra = read_chat_history(spark, a).collect()[0]
+        rb = read_chat_history(spark, b).collect()[0]
+        assert ra.ts == rb.ts
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_uri_scheme_paths_use_the_spark_writer(spark, tmp_path):
     """A store addressed by URI (file:, hdfs:, s3a:, ...) must route
     through the Spark writer — the driver-side file write handles only
