@@ -107,9 +107,14 @@ def append_chat_history(
     ts, prompt_tokens, completion_tokens) tuples; ts=None → now()
     (one shared batch timestamp, matching current_timestamp()'s
     per-query evaluation); NAIVE timestamps are interpreted in
-    ``spark.sql.session.timeZone`` — the same rule createDataFrame
-    applies — so every store type (local Arrow file, Hadoop-FS Spark
-    write, mongo connector) persists the identical instant. Each row
+    ``spark.sql.session.timeZone`` — this sink's OWN contract, pinned
+    by test, so every store type (local Arrow file, Hadoop-FS Spark
+    write, mongo connector) persists the identical instant regardless
+    of the driver host's OS zone. (The pre-round-6 Spark-write path
+    interpreted naive datetimes via the driver's OS zone —
+    ``TimestampType.toInternal`` uses ``time.mktime`` — so stores
+    written by it on non-UTC hosts may disagree with this rule on
+    naive inputs; aware inputs were and are unambiguous.) Each row
     gets a persisted ``turn_id`` continuing from the stored history
     (single-writer append, as in the reference's chat loop).
     ``base_turn_id`` lets a caller that already knows the counter (a
@@ -132,7 +137,15 @@ def append_chat_history(
     def _aware(ts):
         if ts is None:
             return now
-        return ts if ts.tzinfo is not None else ts.replace(tzinfo=session_tz)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=session_tz)
+        # Normalize to UTC HERE, not at the Arrow boundary: pyarrow's
+        # tz-typed array constructor (verified on 16.x) takes each
+        # datetime's wall clock verbatim and discards its tzinfo, so a
+        # 12:00+09:00 handed to pa.timestamp('us', tz='UTC') would be
+        # stored as 12:00Z. astimezone(utc) keeps the instant identical
+        # for the Spark/mongo branches and makes it explicit for Arrow.
+        return ts.astimezone(timezone.utc)
 
     full = [
         (r[0], r[1], r[2], _aware(r[3]), r[4], r[5], base + i)

@@ -1,12 +1,20 @@
 """The chat sink's driver-side Arrow append must be indistinguishable,
 through Spark readers, from the Spark-write path it replaced — same
-schema, same values, same timestamp semantics (naive input = UTC, None
-= batch now). Reference shape: per-turn client-side insert_one,
-micro-infobot/app.py:50-71."""
+schema, same values, same timestamp semantics (naive input = session
+timeZone, None = batch now). Reference shape: per-turn client-side
+insert_one, micro-infobot/app.py:50-71.
+
+Timestamp-instant assertions go through ``unix_micros`` (epoch micros),
+never collected ``datetime`` equality: PySpark's collect renders
+timestamps in the driver's OS zone, so epoch comparison is the only
+form that holds under any host TZ (the battery is exercised under
+TZ=Asia/Tokyo in CI-equivalent runs, not just UTC).
+"""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
+from zoneinfo import ZoneInfo
 
 from pyspark.sql import functions as F
 
@@ -16,11 +24,53 @@ from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
     read_chat_history,
 )
 
+# Aware inputs with DISTINCT zones: equivalence below compares the two
+# writer paths in isolation (aware datetimes are unambiguous instants
+# on both), independent of either path's naive-interpretation rule.
 ROWS = [
-    ("ana", "hola", "hello", datetime(2024, 3, 1, 12, 0, 0, 123456), 11, 3),
-    ("ana", "¿qué tal?", "fine", datetime(2024, 3, 1, 12, 0, 1), 7, 2),
-    ("luis", "adiós", "bye", datetime(2024, 3, 2, 9, 30, 0), 5, 1),
+    (
+        "ana",
+        "hola",
+        "hello",
+        datetime(2024, 3, 1, 12, 0, 0, 123456, tzinfo=timezone.utc),
+        11,
+        3,
+    ),
+    (
+        "ana",
+        "¿qué tal?",
+        "fine",
+        datetime(2024, 3, 1, 12, 0, 1, tzinfo=ZoneInfo("Asia/Tokyo")),
+        7,
+        2,
+    ),
+    (
+        "luis",
+        "adiós",
+        "bye",
+        datetime(2024, 3, 2, 9, 30, 0, tzinfo=ZoneInfo("America/New_York")),
+        5,
+        1,
+    ),
 ]
+
+
+def _epoch_micros(aware: datetime) -> int:
+    u = aware.astimezone(timezone.utc)
+    return (
+        int(u.replace(microsecond=0, tzinfo=timezone.utc).timestamp())
+        * 1_000_000
+        + u.microsecond
+    )
+
+
+def _read_micros(spark, path):
+    return sorted(
+        r.m
+        for r in read_chat_history(spark, path)
+        .select(F.unix_micros("ts").alias("m"))
+        .collect()
+    )
 
 
 def _spark_write(spark, rows, path, base=0):
@@ -45,6 +95,10 @@ def test_arrow_append_reads_back_identical_to_spark_write(spark, tmp_path):
     ra = sorted(map(tuple, da.collect()))
     rb = sorted(map(tuple, db.collect()))
     assert ra == rb
+    # and both persisted the TRUE instants (offset applied, not dropped)
+    expected = sorted(_epoch_micros(r[3]) for r in ROWS)
+    assert _read_micros(spark, a) == expected
+    assert _read_micros(spark, b) == expected
 
 
 def test_none_ts_fills_one_batch_timestamp(spark, tmp_path):
@@ -70,20 +124,30 @@ def test_turn_ids_continue_across_mixed_writers(spark, tmp_path):
     assert got == [0, 1, 2]
 
 
-def test_naive_ts_follows_session_timezone_like_spark_write(spark, tmp_path):
-    """Naive timestamps must mean the same instant through every store
-    type: the Arrow path interprets them in spark.sql.session.timeZone,
-    exactly as createDataFrame does on the Spark branches — under a
-    non-UTC session the two writers must still agree."""
+def test_naive_ts_means_session_timezone_instant(spark, tmp_path):
+    """The sink's naive-timestamp contract, pinned on its OWN terms
+    against an explicit expected instant: naive = wall clock in
+    spark.sql.session.timeZone, whatever the driver host's OS zone.
+    (The pre-round-6 Spark writer used the OS zone via time.mktime —
+    comparing against it would only hold on UTC hosts, so that
+    comparison is deliberately NOT the contract here.) Naive 12:00 on
+    2024-03-01 in America/New_York (EST, UTC-5) is 17:00:00Z."""
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        a, b = str(tmp_path / "sw"), str(tmp_path / "aw")
-        _spark_write(spark, ROWS[:1], a)
-        append_chat_history(spark, ROWS[:1], b)
-        ra = read_chat_history(spark, a).collect()[0]
-        rb = read_chat_history(spark, b).collect()[0]
-        assert ra.ts == rb.ts
+        path = str(tmp_path / "aw")
+        naive = datetime(2024, 3, 1, 12, 0, 0, 123456)
+        append_chat_history(spark, [("u", "q", "a", naive, 1, 1)], path)
+        expected = _epoch_micros(
+            naive.replace(tzinfo=ZoneInfo("America/New_York"))
+        )
+        assert _read_micros(spark, path) == [expected]
+        assert (
+            expected
+            == _epoch_micros(
+                datetime(2024, 3, 1, 17, 0, 0, 123456, tzinfo=timezone.utc)
+            )
+        )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
 
