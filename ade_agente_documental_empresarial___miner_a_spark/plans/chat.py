@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.embedding import embed_one
+from ..operators.serving import RamServingIndex
 from ..operators.similarity import topk_similar
 from ..sources.sinks import (
     append_chat_history,
@@ -69,7 +70,7 @@ class ChatTurn:
 
 def answer_question(
     spark: SparkSession,
-    chunks: DataFrame,
+    chunks: DataFrame | RamServingIndex,
     user: str,
     question: str,
     history_path: str | None = None,
@@ -134,7 +135,7 @@ def _load_past(
 
 def _run_turn(
     spark: SparkSession,
-    chunks: DataFrame,
+    chunks: DataFrame | RamServingIndex,
     user: str,
     question: str,
     past: list[tuple[str, str]],
@@ -151,7 +152,15 @@ def _run_turn(
     (``ChatSession``) — so the two modes assemble byte-identical
     prompts for the same history."""
     qvec = embed_one(question, dim=dim)
-    hits = topk_similar(chunks, qvec, k=k).collect()  # K1
+    # K1 retrieval, two physical tiers with bit-identical results
+    # (operators/serving.py, pinned by tests/test_serving_ram.py):
+    # a DataFrame index runs the distributed TakeOrderedAndProject
+    # plan; a RamServingIndex answers driver-side with zero Spark
+    # jobs — the reference's client-side Chroma query (app.py:223).
+    if isinstance(chunks, RamServingIndex):
+        hits = chunks.topk(qvec, k=k)
+    else:
+        hits = topk_similar(chunks, qvec, k=k).collect()
     context = "\n".join(r.text for r in hits)  # T6 app.py:224
 
     messages = [{"role": "system", "content": SYSTEM_PROMPT}]
@@ -210,12 +219,19 @@ class ChatSession:
     byte-identical prompts, answers, and persisted rows to the
     stateless loop (pinned by tests/test_chat_session.py and the
     sink equivalence battery).
+
+    Passing a ``RamServingIndex`` as ``chunks`` drops the remaining
+    job: retrieval answers driver-side from the bounded RAM index
+    (bit-identical hits — operators/serving.py), so a turn runs ZERO
+    Spark jobs, the reference's actual per-turn profile (client-side
+    Chroma query + client-side insert_one). The distributed DataFrame
+    tier remains the default and the multi-process/unbounded path.
     """
 
     def __init__(
         self,
         spark: SparkSession,
-        chunks: DataFrame,
+        chunks: DataFrame | RamServingIndex,
         user: str,
         history_path: str | None = None,
         k: int = 4,

@@ -461,6 +461,53 @@ def bench_chat_session(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def bench_chat_serving_ram(spark, sf_dir: str) -> float:
+    """The same CHAT_TURNS-turn conversation through ChatSession's RAM
+    serving tier (operators/serving.RamServingIndex): retrieval answers
+    driver-side from the bounded in-RAM index with BIT-identical hits
+    (pinned by tests/test_serving_ram.py), so a turn runs ZERO Spark
+    jobs — the reference's actual per-turn profile (client-side Chroma
+    query app.py:223 + client-side insert_one app.py:258). The index
+    build (one bounded Spark job) is excluded like the other legs'
+    persist/materialize steps; the delta vs `chat_session` is exactly
+    the per-turn Spark plan-build + scheduling cost the RAM tier
+    removes."""
+    import shutil
+    import tempfile
+
+    from ade_agente_documental_empresarial___miner_a_spark.operators.serving import (
+        RamServingIndex,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.plans.chat import (
+        ChatSession,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
+        build_chunks,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/ade_bench_chat_idx_{tag}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_chunks(docs).write.mode("overwrite").parquet(idx)
+    ram = RamServingIndex.from_frame(spark.read.parquet(idx))
+
+    def sample() -> float:
+        hist_dir = tempfile.mkdtemp(prefix="ade_chat_ram_")
+        hist = os.path.join(hist_dir, "hist")
+        try:
+            t0 = time.time()
+            sess = ChatSession(spark, ram, "bench-user", history_path=hist)
+            for i in range(CHAT_TURNS):
+                sess.ask(f"spark vector join query number {i}")
+            return time.time() - t0
+        finally:
+            shutil.rmtree(hist_dir, ignore_errors=True)
+
+    best = _adaptive_best(sample)
+    return round(best, 3)
+
+
 def bench_chat_deep_history(spark, sf_dir: str) -> float:
     """Serving latency with a DEEP stored history: 500 turns are
     pre-seeded into the store (one append batch, not timed), then 4
@@ -649,6 +696,12 @@ def main() -> None:
     results["chat_session"] = bench_chat_session(spark, sf_dir)
     print(
         f"# chat_session: {results['chat_session']:.3f}s ({CHAT_TURNS} turns)",
+        file=sys.stderr,
+    )
+    results["chat_serving_ram"] = bench_chat_serving_ram(spark, sf_dir)
+    print(
+        f"# chat_serving_ram: {results['chat_serving_ram']:.3f}s"
+        f" ({CHAT_TURNS} turns)",
         file=sys.stderr,
     )
 

@@ -1,0 +1,234 @@
+"""RamServingIndex must be BIT-identical to the distributed retrieval
+plan it mirrors: same scores (every IEEE-754 rounding step reproduced),
+same ranking, same ties, same NaN placement — so a ChatSession served
+from RAM produces byte-identical turns to one served by Spark jobs.
+Reference analogue: the RAM Chroma collection queried client-side per
+turn (micro-infobot/app.py:130, 223)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ade_agente_documental_empresarial___miner_a_spark.operators.embedding import (
+    embed_one,
+)
+from ade_agente_documental_empresarial___miner_a_spark.operators.serving import (
+    RamServingIndex,
+)
+from ade_agente_documental_empresarial___miner_a_spark.operators.similarity import (
+    topk_similar,
+)
+
+
+def _chunks_frame(spark, sf_dir):
+    from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
+        build_chunks,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_chunks(docs)
+
+
+@pytest.fixture(scope="module")
+def served(spark, sf_dir):
+    chunks = _chunks_frame(spark, sf_dir).cache()
+    chunks.count()
+    idx = RamServingIndex.from_frame(chunks)
+    yield chunks, idx
+    chunks.unpersist()
+
+
+def test_topk_bitexact_vs_spark_plan(spark, served):
+    chunks, idx = served
+    for q in (
+        "spark vector join query",
+        "nación de clientes y pedidos",
+        "x",
+        "documents with unusual tokens zzz qqq",
+    ):
+        qvec = embed_one(q)
+        want = [
+            (r.chunk_id, r.text, r.score)
+            for r in topk_similar(chunks, qvec, k=7).collect()
+        ]
+        got = [(h.chunk_id, h.text, h.score) for h in idx.topk(qvec, k=7)]
+        # exact equality, scores included: the kernel reproduces the
+        # JVM fold rounding step for step
+        assert got == want
+
+
+def test_scores_bitexact_beyond_topk(spark, served):
+    """Not just the winners: the FULL score vector matches the Spark
+    expression bit for bit (sampled via a large k)."""
+    chunks, idx = served
+    qvec = embed_one("full vector parity probe")
+    k = min(len(idx), 500)
+    want = {
+        r.chunk_id: r.score
+        for r in topk_similar(chunks, qvec, k=k).collect()
+    }
+    got = {h.chunk_id: h.score for h in idx.topk(qvec, k=k)}
+    assert got == want
+
+
+def test_tie_break_is_id_ascending(spark):
+    df = spark.createDataFrame(
+        [(10, "b", [1.0, 0.0]), (3, "a", [2.0, 0.0]), (7, "c", [1.0, 0.0])],
+        "chunk_id long, text string, embedding array<float>",
+    )
+    idx = RamServingIndex.from_frame(df)
+    hits = idx.topk([1.0, 0.0], k=3)
+    # all three have cosine 1.0 → ids ascending
+    assert [h.chunk_id for h in hits] == [3, 7, 10]
+    want = [r.chunk_id for r in topk_similar(df, [1.0, 0.0], k=3).collect()]
+    assert [h.chunk_id for h in hits] == want
+
+
+def test_zero_norm_raises_like_ansi_spark(spark):
+    """Spark 4 runs ANSI by default: scoring a zero-norm vector raises
+    DIVIDE_BY_ZERO, it does not produce NaN. The kernel mirrors that —
+    a zero-norm index row fails the BUILD fast (every query against it
+    would raise), a zero-norm query fails topk."""
+    df = spark.createDataFrame(
+        [(1, "zero", [0.0, 0.0]), (2, "unit", [1.0, 0.0])],
+        "chunk_id long, text string, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        topk_similar(df, [1.0, 0.0], k=2).collect()
+    with pytest.raises(ArithmeticError, match="zero-norm"):
+        RamServingIndex.from_frame(df)
+
+    ok = RamServingIndex.from_frame(df.where("chunk_id = 2"))
+    with pytest.raises(ArithmeticError, match="zero-norm query"):
+        ok.topk([0.0, 0.0], k=1)
+
+
+def test_nan_embeddings_rank_first_like_spark(spark):
+    """NaN-VALUED embeddings (not zero norms) score NaN on both paths —
+    a NaN divisor is not ANSI zero — and Spark's ordering treats NaN as
+    GREATEST, so under descending order the NaN row ranks first."""
+    df = spark.createDataFrame(
+        [(1, "nan", [float("nan"), 1.0]), (2, "unit", [1.0, 0.0])],
+        "chunk_id long, text string, embedding array<float>",
+    )
+    idx = RamServingIndex.from_frame(df)
+    got = [h.chunk_id for h in idx.topk([1.0, 0.0], k=2)]
+    want = [r.chunk_id for r in topk_similar(df, [1.0, 0.0], k=2).collect()]
+    assert got == want == [1, 2]
+
+
+def test_row_guard_fails_fast(spark):
+    df = spark.range(10).selectExpr(
+        "id AS chunk_id",
+        "CAST(id AS STRING) AS text",
+        "array(CAST(id AS FLOAT), 1.0F) AS embedding",
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        RamServingIndex.from_frame(df, max_rows=9)
+    assert len(RamServingIndex.from_frame(df, max_rows=10)) == 10
+
+
+def test_empty_and_dim_mismatch(spark):
+    df = spark.createDataFrame(
+        [], "chunk_id long, text string, embedding array<float>"
+    )
+    idx = RamServingIndex.from_frame(df)
+    assert idx.topk([1.0, 0.0], k=3) == []
+    full = RamServingIndex.from_frame(
+        spark.createDataFrame(
+            [(1, "a", [1.0, 0.0])],
+            "chunk_id long, text string, embedding array<float>",
+        )
+    )
+    with pytest.raises(ValueError, match="dim"):
+        full.topk([1.0, 0.0, 0.0])
+
+
+def test_chat_session_ram_tier_byte_identical(spark, sf_dir, tmp_path):
+    """The full serving loop: same questions through a Spark-served and
+    a RAM-served ChatSession yield byte-identical answers, contexts,
+    prompts, and persisted history rows — and the RAM tier runs ZERO
+    Spark jobs per turn after construction."""
+    from ade_agente_documental_empresarial___miner_a_spark.plans.chat import (
+        ChatSession,
+    )
+
+    chunks = _chunks_frame(spark, sf_dir).cache()
+    chunks.count()
+    idx = RamServingIndex.from_frame(chunks)
+    qs = ["primera pregunta", "segunda sobre pedidos", "tercera corta"]
+
+    a = ChatSession(spark, chunks, "u", history_path=str(tmp_path / "a"))
+    b = ChatSession(spark, idx, "u", history_path=str(tmp_path / "b"))
+    turns_a = [a.ask(q) for q in qs]
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("ram-serving-turns", "ram tier turn jobs")
+    try:
+        turns_b = [b.ask(q) for q in qs]
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    ram_jobs = len(tracker.getJobIdsForGroup("ram-serving-turns") or [])
+    assert ram_jobs == 0, f"RAM tier ran {ram_jobs} Spark jobs per 3 turns"
+
+    for ta, tb in zip(turns_a, turns_b):
+        assert ta.answer == tb.answer
+        assert ta.context == tb.context
+        assert ta.messages == tb.messages
+        assert (ta.prompt_tokens, ta.completion_tokens, ta.cost_usd) == (
+            tb.prompt_tokens,
+            tb.completion_tokens,
+            tb.cost_usd,
+        )
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
+        read_chat_history,
+    )
+
+    ra = [
+        (r.user, r.message, r.response, r.prompt_tokens,
+         r.completion_tokens, r.turn_id)
+        for r in read_chat_history(spark, str(tmp_path / "a"))
+        .orderBy("turn_id").collect()
+    ]
+    rb = [
+        (r.user, r.message, r.response, r.prompt_tokens,
+         r.completion_tokens, r.turn_id)
+        for r in read_chat_history(spark, str(tmp_path / "b"))
+        .orderBy("turn_id").collect()
+    ]
+    assert ra == rb and len(ra) == len(qs)
+    chunks.unpersist()
+
+
+def test_kernel_fold_matches_sequential_reference():
+    """The vectorized per-dimension accumulation must equal a pure
+    sequential left fold per row (the documented rounding contract),
+    including on values chosen to expose reordered summation."""
+    rng = np.random.default_rng(7)
+    m32 = (rng.standard_normal((50, 16)) * rng.choice(
+        [1e-8, 1.0, 1e8], size=(50, 16)
+    )).astype(np.float32)
+    q = [float(x) for x in rng.standard_normal(16).astype(np.float32)]
+    idx = RamServingIndex(
+        np.arange(50, dtype=np.int64),
+        ["t"] * 50,
+        m32.astype(np.float64),
+    )
+    hits = {h.chunk_id: h.score for h in idx.topk(q, k=50)}
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.vector import (
+        const_l2_norm,
+    )
+
+    for i in range(50):
+        s = 0.0
+        n = 0.0
+        for j in range(16):
+            v = float(np.float64(m32[i, j]))
+            s = s + v * q[j]
+            n = n + v * v
+        want = s / ((n ** 0.5) * const_l2_norm(q))
+        assert hits[i] == want or (np.isnan(hits[i]) and np.isnan(want))
