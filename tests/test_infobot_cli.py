@@ -1,0 +1,76 @@
+"""The CLI glue (tools/infobot_cli.py) must drive the full reference
+workflow — fixture ingest → index build → RAM-served turn → persisted
+history + cost rollup — through the same public APIs MIGRATION.md
+documents."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+
+def _cli():
+    spec = importlib.util.spec_from_file_location(
+        "infobot_cli",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "infobot_cli.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_one_shot_question_end_to_end(spark, sf_dir, tmp_path, capsys):
+    cli = _cli()
+    hist = str(tmp_path / "hist")
+    rc = cli.main(
+        [
+            "--sf-dir",
+            sf_dir,
+            "--history",
+            hist,
+            "--user",
+            "cli-test",
+            "--ask",
+            "pregunta de humo sobre pedidos",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr()
+    assert out.out.strip()  # a non-empty answer on stdout
+    assert "# index ready:" in out.err and "# history: 1 stored turns" in out.err
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
+        read_chat_history,
+    )
+
+    rows = read_chat_history(spark, hist).collect()
+    assert len(rows) == 1 and rows[0].user == "cli-test"
+    assert rows[0].response == out.out.strip()
+
+
+def test_index_reuse_roundtrip(spark, sf_dir, tmp_path, capsys):
+    cli = _cli()
+    idx = str(tmp_path / "idx")
+    for _ in range(2):  # second run loads the persisted index
+        rc = cli.main(
+            ["--sf-dir", sf_dir, "--index", idx, "--ask", "hola"],
+            spark=spark,
+        )
+        assert rc == 0
+    assert os.path.exists(os.path.join(idx, "_SUCCESS"))
+    assert capsys.readouterr().out.strip()
+
+
+def test_repl_reads_stdin(spark, sf_dir, monkeypatch, capsys):
+    cli = _cli()
+    feed = iter(["primera pregunta", ""])
+    monkeypatch.setattr("builtins.input", lambda _="": next(feed))
+    rc = cli.main(["--sf-dir", sf_dir], spark=spark)
+    assert rc == 0
+    assert capsys.readouterr().out.strip()

@@ -203,6 +203,72 @@ def test_chat_session_ram_tier_byte_identical(spark, sf_dir, tmp_path):
     chunks.unpersist()
 
 
+def test_kernel_fold_matches_sequential_reference_property():
+    """Hypothesis sweep of the rounding contract: for ADVERSARIAL
+    float32 inputs (mixed magnitudes, signs, subnormal-adjacent), the
+    vectorized kernel must equal the pure sequential left fold bit for
+    bit — any hidden reassociation, pairwise summation, or FMA in the
+    kernel shows up here as a one-ulp split. Spark-free, so hypothesis
+    can afford many examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.vector import (
+        const_l2_norm,
+    )
+
+    # allow_subnormal=False: a dependency in this container sets FTZ
+    # (flush-to-zero), so hypothesis refuses to generate subnormals;
+    # the magnitude mix below still exercises reassociation splits.
+    finite32 = st.floats(
+        min_value=-999999995904.0,
+        max_value=999999995904.0,
+        allow_nan=False,
+        allow_subnormal=False,
+        width=32,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        m=arrays(np.float32, (7, 9), elements=finite32),
+        q=arrays(np.float32, (9,), elements=finite32),
+    )
+    def check(m, q):
+        qlist = [float(x) for x in q]
+        if const_l2_norm(qlist) == 0.0:
+            return
+        norms_ok = True
+        for i in range(m.shape[0]):
+            n = 0.0
+            for j in range(m.shape[1]):
+                v = float(m[i, j])
+                n = n + v * v
+            if n == 0.0 or not np.isfinite(n):
+                norms_ok = False
+        if not norms_ok:
+            return  # zero-norm raises by contract; overflow is untyped
+        idx = RamServingIndex(
+            np.arange(m.shape[0], dtype=np.int64),
+            ["t"] * m.shape[0],
+            m.astype(np.float64),
+        )
+        got = {h.chunk_id: h.score for h in idx.topk(qlist, k=m.shape[0])}
+        for i in range(m.shape[0]):
+            s = 0.0
+            n = 0.0
+            for j in range(m.shape[1]):
+                v = float(m[i, j])
+                s = s + v * qlist[j]
+                n = n + v * v
+            want = s / ((n ** 0.5) * const_l2_norm(qlist))
+            assert got[i] == want or (
+                np.isnan(got[i]) and np.isnan(want)
+            ), f"row {i}: {got[i]!r} != {want!r}"
+
+    check()
+
+
 def test_kernel_fold_matches_sequential_reference():
     """The vectorized per-dimension accumulation must equal a pure
     sequential left fold per row (the documented rounding contract),
