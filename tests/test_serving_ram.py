@@ -7,6 +7,8 @@ turn (micro-infobot/app.py:130, 223)."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 
@@ -261,7 +263,11 @@ def test_kernel_fold_matches_sequential_reference_property():
                 v = float(m[i, j])
                 s = s + v * qlist[j]
                 n = n + v * v
-            want = s / ((n ** 0.5) * const_l2_norm(qlist))
+            # math.sqrt, NOT n ** 0.5: libm pow(x, 0.5) is off by one
+            # ulp from correctly-rounded sqrt on ~0.1% of inputs, and
+            # the engine (JVM Math.sqrt / np.sqrt / math.sqrt) always
+            # uses true sqrt — hypothesis found the split
+            want = s / (math.sqrt(n) * const_l2_norm(qlist))
             assert got[i] == want or (
                 np.isnan(got[i]) and np.isnan(want)
             ), f"row {i}: {got[i]!r} != {want!r}"
@@ -296,5 +302,5 @@ def test_kernel_fold_matches_sequential_reference():
             v = float(np.float64(m32[i, j]))
             s = s + v * q[j]
             n = n + v * v
-        want = s / ((n ** 0.5) * const_l2_norm(q))
+        want = s / (math.sqrt(n) * const_l2_norm(q))
         assert hits[i] == want or (np.isnan(hits[i]) and np.isnan(want))

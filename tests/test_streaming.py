@@ -7,8 +7,20 @@ file source, watermark, session windows, and applyInPandasWithState.
 
 import json
 import time
+from datetime import timezone
 
 from pyspark.sql import functions as F
+
+
+def ts_str(dt) -> str:
+    """UTC wall-clock string of a collected timestamp. PySpark's
+    collect renders TimestampType as a NAIVE datetime in the driver
+    host's OS zone, so str() on it is host-TZ-dependent (found by a
+    TZ=Asia/Tokyo suite run); astimezone re-interprets the local
+    rendering back to the session zone (UTC). The fixture instants
+    (2024-01-01) sit nowhere near a DST fold in any plausible host
+    zone, so the local→UTC inversion is unambiguous."""
+    return dt.astimezone(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
 
 from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
     session_metrics,
@@ -68,7 +80,7 @@ def test_tumbling_stream_matches_batch(spark, tmp_path):
     )
     run_to_completion(q)
     rows = {
-        (str(r.window_start), r.event_type): r.n_events
+        (ts_str(r.window_start), r.event_type): r.n_events
         for r in spark.sql("select * from tumbling_out").collect()
     }
     assert rows[("2024-01-01 10:00:00", "click")] == 3  # late row included
@@ -115,7 +127,7 @@ def test_watermark_drops_too_late_rows(spark, tmp_path):
     )
     run_once()                          # watermark → 12:00, finalizes 10h/11h
     finalized = {
-        (str(r.window_start), r.event_type): r.n_events
+        (ts_str(r.window_start), r.event_type): r.n_events
         for r in spark.read.parquet(out).collect()
     }
     # the beyond-watermark straggler's window never finalizes with its row
@@ -139,7 +151,7 @@ def test_session_stream(spark, tmp_path):
         .start()
     )
     run_to_completion(q)
-    rows = {(r.user_id, str(r.session_start)): r.n_events
+    rows = {(r.user_id, ts_str(r.session_start)): r.n_events
             for r in spark.sql("select * from session_out").collect()}
     # user 1: 10:00/10:30/10:45 within 1h gaps -> one session of 3
     assert rows[(1, "2024-01-01 10:00:00")] == 3
@@ -221,11 +233,11 @@ def test_sliding_stream_matches_batch(spark, tmp_path):
     )
     run_to_completion(q)
     live = {
-        (str(r.win_start), r.event_type): (r.n_events, r.total_value)
+        (ts_str(r.win_start), r.event_type): (r.n_events, r.total_value)
         for r in spark.sql("select * from sliding_out").collect()
     }
     batch = {
-        (str(r.win_start), r.event_type): (r.n_events, r.total_value)
+        (ts_str(r.win_start), r.event_type): (r.n_events, r.total_value)
         for r in sliding_metrics(
             spark.read.schema(EVENT_SCHEMA).json(str(src))
         ).collect()
@@ -278,11 +290,11 @@ def test_funnel_stream_matches_batch_semantics(spark, tmp_path):
         latest[r.user_id] = r  # memory sink appends in batch order
     assert set(latest) == {1, 2}  # purchase-only user 3 not in funnel
     u1, u2 = latest[1], latest[2]
-    assert u1.converted and str(u1.first_purchase) == "2024-01-01 11:00:00"
+    assert u1.converted and ts_str(u1.first_purchase) == "2024-01-01 11:00:00"
     assert u1.us_to_convert == 3600 * 1_000_000
-    assert u2.converted and str(u2.first_purchase) == "2024-01-01 12:30:00"
+    assert u2.converted and ts_str(u2.first_purchase) == "2024-01-01 12:30:00"
     # the pre-view purchase at 10:01 was correctly excluded
-    assert str(u2.first_view) == "2024-01-01 10:05:00"
+    assert ts_str(u2.first_view) == "2024-01-01 10:05:00"
 
 
 def test_cdc_upsert_state_matches_batch_mirror(spark, tmp_path):
@@ -360,7 +372,7 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     )
     run_to_completion(q)
     live = {
-        (str(r.window_start), r.c_mktsegment): (r.n_events, r.total_value)
+        (ts_str(r.window_start), r.c_mktsegment): (r.n_events, r.total_value)
         for r in spark.sql("select * from enrich_out").collect()
     }
     batch_events = spark.createDataFrame(
@@ -372,7 +384,7 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
         "event_id long, ts string, user_id long, event_type string, value double, props string",
     ).withColumn("ts", F.to_timestamp("ts"))
     batch = {
-        (str(r.window_start), r.c_mktsegment): (r.n_events, r.total_value)
+        (ts_str(r.window_start), r.c_mktsegment): (r.n_events, r.total_value)
         for r in enriched_metrics(batch_events, dim).collect()
     }
     assert live == batch
