@@ -147,6 +147,21 @@ def test_empty_and_dim_mismatch(spark):
         full.topk([1.0, 0.0, 0.0])
 
 
+def test_ragged_and_null_embeddings_rejected(spark):
+    ragged = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "b", [1.0, 0.0, 3.0])],
+        "chunk_id long, text string, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        RamServingIndex.from_frame(ragged)
+    withnull = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "b", None)],
+        "chunk_id long, text string, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="null"):
+        RamServingIndex.from_frame(withnull)
+
+
 def test_chat_session_ram_tier_byte_identical(spark, sf_dir, tmp_path):
     """The full serving loop: same questions through a Spark-served and
     a RAM-served ChatSession yield byte-identical answers, contexts,
