@@ -147,6 +147,30 @@ def test_empty_and_dim_mismatch(spark):
         full.topk([1.0, 0.0, 0.0])
 
 
+def test_topk_batch_bitexact_vs_single(spark, served):
+    """Each batch result must be BIT-identical to its single-query
+    call — topk_batch delegates per query (the loop IS the fast path;
+    see the method docstring), so exactness holds by construction and
+    this pin keeps any future vectorization honest."""
+    chunks, idx = served
+    qs = [
+        embed_one("batch probe uno"),
+        embed_one("batch probe dos distinct"),
+        embed_one("x"),
+    ]
+    batch = idx.topk_batch(qs, k=9)
+    assert len(batch) == 3
+    for q, got in zip(qs, batch):
+        want = idx.topk(q, k=9)
+        assert got == want  # ids, texts, AND exact scores
+
+    assert idx.topk_batch([], k=3) == []
+    with pytest.raises(ValueError, match="incompatible"):
+        idx.topk_batch([[1.0, 2.0]], k=3)
+    with pytest.raises(ArithmeticError, match="zero-norm"):
+        idx.topk_batch([qs[0], [0.0] * len(qs[0])], k=3)
+
+
 def test_ragged_and_null_embeddings_rejected(spark):
     ragged = spark.createDataFrame(
         [(1, "a", [1.0, 0.0]), (2, "b", [1.0, 0.0, 3.0])],
