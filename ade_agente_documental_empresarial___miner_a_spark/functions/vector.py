@@ -87,7 +87,18 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """cosine(a, b); a zero-norm operand yields NULL, not an error.
+
+    ``try_divide`` matches the DuckDB oracle exactly (DuckDB DOUBLE
+    division by zero is NULL, not ±inf), and NULL sorts LAST under the
+    ``score DESC`` orderings every top-k entry uses — on both engines.
+    Under plain ANSI division a single zero vector anywhere in a 100 TB
+    corpus would abort the whole job with DIVIDE_BY_ZERO (found by
+    tools/parity_fuzz.py's edge profile); undefined-similarity rows
+    ranking last is the contract a serving pipeline actually wants.
+    The arithmetic is unchanged for every nonzero denominator: same
+    folds, same single correctly-rounded IEEE division."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def const_l2_norm(vec: list[float]) -> float:
@@ -110,8 +121,9 @@ def cosine_to_literal(vec_col: Column, query_vec: list[float]) -> Column:
     a driver-computed constant (const_l2_norm) in the same position of
     the same expression tree."""
     qcol = lit_doubles(query_vec)
-    return dot(vec_col, qcol) / (
-        l2_norm(vec_col) * F.lit(const_l2_norm(query_vec))
+    return F.try_divide(
+        dot(vec_col, qcol),
+        l2_norm(vec_col) * F.lit(const_l2_norm(query_vec)),
     )
 
 

@@ -27,11 +27,15 @@ exactly that product-then-add sequence in IEEE-754 doubles (numpy
 ufuncs round each op separately — no FMA), so scores, and therefore
 rankings, match the JVM bit for bit. Ties break on the id column
 ascending, the same order ``topk_similar`` requests. Zero-norm vectors
-raise, mirroring the engine's ANSI divide-by-zero contract (Spark 4
-default): a zero-norm INDEX row fails the build fast (under ANSI every
-query that scores it would raise), a zero-norm QUERY fails ``topk``.
-NaN-valued embeddings score NaN (NaN divisor is not ANSI zero) and
-rank FIRST under descending order, Spark's NaN-greatest semantics.
+score NULL (``ServingHit.score is None``), mirroring the engine's
+``try_divide`` contract (``functions/vector.py:cosine_similarity`` —
+itself pinned to the DuckDB oracle's x/0 → NULL): a zero-norm INDEX
+row ranks LAST (Spark's DESC NULLS LAST), ties among null-scored rows
+break by id ascending, and a zero-norm QUERY yields all-NULL scores —
+the first k ids in ascending order. NaN-valued embeddings score NaN
+(NaN divisor is not zero) and rank FIRST under descending order,
+Spark's NaN-greatest semantics. Full descending order of a score
+column: NaN, then real numbers, then NULL.
 """
 
 from __future__ import annotations
@@ -48,7 +52,7 @@ from ..functions.vector import const_l2_norm
 class ServingHit(NamedTuple):
     chunk_id: int
     text: str
-    score: float
+    score: float | None  # None = NULL cosine (a zero-norm operand)
 
 
 class RamServingIndex:
@@ -87,21 +91,19 @@ class RamServingIndex:
             col = self._m[:, j]
             n2 += col * col
         self._norms = np.sqrt(n2)
-        if np.any(self._norms == 0.0):
-            bad = self._ids[np.nonzero(self._norms == 0.0)[0][:5]]
-            raise ArithmeticError(
-                "zero-norm embedding rows (ids "
-                f"{bad.tolist()}...): under the engine's ANSI contract "
-                "every cosine query against them raises DIVIDE_BY_ZERO, "
-                "so the build fails fast instead"
-            )
+        # zero-norm rows score NULL under the engine's try_divide
+        # contract — they stay in the index and rank last (NULLS LAST)
+        self._null_rows = self._norms == 0.0
 
     def __len__(self) -> int:
         return self._m.shape[0]
 
     @property
     def nbytes(self) -> int:
-        return int(self._m.nbytes + self._norms.nbytes + self._ids.nbytes)
+        return int(
+            self._m.nbytes + self._norms.nbytes + self._ids.nbytes
+            + self._null_rows.nbytes
+        )
 
     @classmethod
     def from_frame(
@@ -188,8 +190,9 @@ class RamServingIndex:
         (writes n×B temporaries per dimension; the single-query 8 MB
         s/tmp buffers stay cache-resident instead), so per-query
         execution is the fast path as well as the trivially-exact one.
-        The batch shape and zero-norm queries are validated up front so
-        a bad batch fails before any work."""
+        The batch shape is validated up front so a bad batch fails
+        before any work; a zero-norm query in the batch returns the
+        all-NULL-score top-k, same as the single-query contract."""
         if not query_vecs:
             return []
         qm = np.asarray(query_vecs, dtype=np.float64)
@@ -200,27 +203,38 @@ class RamServingIndex:
                 f"query batch shape {qm.shape} incompatible with index "
                 f"dim {self._m.shape[1] if len(self) else '(empty)'}"
             )
-        qns = [const_l2_norm([float(x) for x in q]) for q in query_vecs]
-        if any(qn == 0.0 for qn in qns):
-            raise ArithmeticError(
-                "zero-norm query vector in batch: cosine is undefined "
-                "(engine ANSI contract raises DIVIDE_BY_ZERO)"
-            )
         return [self.topk(list(q), k=k) for q in query_vecs]
 
-    def _rank(self, scores: np.ndarray, k: int) -> list[ServingHit]:
+    def _rank(
+        self, scores: np.ndarray, null_mask: np.ndarray, k: int
+    ) -> list[ServingHit]:
+        """DESC by score with Spark's full ordering — NaN greatest,
+        NULL last — ties by id ascending. ``null_mask`` marks rows
+        whose cosine is NULL (zero-norm operand under try_divide)."""
         n_rows = scores.shape[0]
         key = np.where(np.isnan(scores), np.inf, scores)
-        if k >= n_rows:
-            order = np.lexsort((self._ids, -key))[:k]
+        # NULL rows sort after every non-null key; give them a constant
+        # key so their mutual order falls through to id ascending.
+        key = np.where(null_mask, -np.inf, key)
+        nulls_as_hits = int(null_mask.sum()) and k > (
+            n_rows - int(null_mask.sum())
+        )
+        if k >= n_rows or nulls_as_hits:
+            # small or null-reaching cut: full lexsort, primary
+            # null-flag (nulls last), then key desc, then id asc
+            order = np.lexsort((self._ids, -key, null_mask))[:k]
         else:
-            kth = np.partition(key, n_rows - k)[n_rows - k]
-            cand = np.nonzero(key >= kth)[0]
+            live = np.nonzero(~null_mask)[0]
+            lk = key[live]
+            kth = np.partition(lk, lk.shape[0] - k)[lk.shape[0] - k]
+            cand = live[key[live] >= kth]
             sub = np.lexsort((self._ids[cand], -key[cand]))[:k]
             order = cand[sub]
         return [
             ServingHit(
-                int(self._ids[i]), self._texts[i], float(scores[i])
+                int(self._ids[i]),
+                self._texts[i],
+                None if null_mask[i] else float(scores[i]),
             )
             for i in order
         ]
@@ -248,15 +262,18 @@ class RamServingIndex:
             s += tmp
         qn = const_l2_norm([float(x) for x in query_vec])
         if qn == 0.0:
-            raise ArithmeticError(
-                "zero-norm query vector: cosine is undefined "
-                "(engine ANSI contract raises DIVIDE_BY_ZERO)"
-            )
-        scores = s / (self._norms * qn)
+            # try_divide contract: zero-norm query → every score NULL →
+            # the first k ids ascending (NULLS LAST ties on id)
+            null_mask = np.ones(n_rows, dtype=bool)
+            return self._rank(np.zeros(n_rows), null_mask, k)
+        denom = self._norms * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = s / denom
         # ranking: NaN maps to +inf (Spark sorts NaN as GREATEST under
-        # descending order), then an O(n) threshold prefilter via
-        # np.partition — every top-k row (key desc, id asc) has key >=
-        # the k-th largest key, ties included, so sorting just the
+        # descending order), NULL (zero-norm row, try_divide) maps
+        # last, then an O(n) threshold prefilter via np.partition —
+        # every top-k row (key desc, id asc) has key >= the k-th
+        # largest non-null key, ties included, so sorting just the
         # candidate set with the same comparator is bit-identical to
         # the full lexsort (150 ms → 7 ms at 1M rows).
-        return self._rank(scores, k)
+        return self._rank(scores, self._null_rows, k)

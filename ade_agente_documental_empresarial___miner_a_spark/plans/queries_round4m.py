@@ -340,9 +340,12 @@ def dedup_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     return n_exact.crossJoin(n_found).select(
         "n_exact",
         "n_found",
-        (
-            F.col("n_found").cast("double")
-            / F.col("n_exact").cast("double")
+        # try_divide: a corpus with NO true near-dup pairs has recall
+        # NULL (0/0), matching DuckDB's x/0 → NULL — plain ANSI division
+        # would abort the job on a clean corpus (parity_fuzz, random).
+        F.try_divide(
+            F.col("n_found").cast("double"),
+            F.col("n_exact").cast("double"),
         ).alias("recall"),
     )
 

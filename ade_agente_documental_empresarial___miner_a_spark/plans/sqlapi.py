@@ -34,7 +34,7 @@ _NORM = (
 
 FUNCTIONS: dict[str, str] = {
     "cosine_sim": f"""(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE
-RETURN {_DOT.format(a='a', b='b')} / ({_NORM.format(a='a')} * {_NORM.format(a='b')})""",
+RETURN try_divide({_DOT.format(a='a', b='b')}, {_NORM.format(a='a')} * {_NORM.format(a='b')})""",
     "cosine_dist": """(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE
 RETURN 1.0D - cosine_sim(a, b)""",
     "l2_norm": f"""(a ARRAY<FLOAT>) RETURNS DOUBLE

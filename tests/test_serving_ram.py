@@ -87,23 +87,39 @@ def test_tie_break_is_id_ascending(spark):
     assert [h.chunk_id for h in hits] == want
 
 
-def test_zero_norm_raises_like_ansi_spark(spark):
-    """Spark 4 runs ANSI by default: scoring a zero-norm vector raises
-    DIVIDE_BY_ZERO, it does not produce NaN. The kernel mirrors that —
-    a zero-norm index row fails the BUILD fast (every query against it
-    would raise), a zero-norm query fails topk."""
+def test_zero_norm_scores_null_like_try_divide(spark):
+    """cosine uses try_divide: a zero-norm operand scores NULL, and
+    NULL ranks LAST under ``score DESC`` (Spark DESC default is NULLS
+    LAST — same as the DuckDB oracle, whose DOUBLE x/0 is NULL). One
+    bad vector in a 100 TB corpus must not abort the job (found by
+    tools/parity_fuzz.py, edge profile). The kernel mirrors exactly:
+    zero-norm index rows rank last with ``score is None``; a zero-norm
+    QUERY yields all-NULL scores — the first k ids ascending."""
     df = spark.createDataFrame(
         [(1, "zero", [0.0, 0.0]), (2, "unit", [1.0, 0.0])],
         "chunk_id long, text string, embedding array<float>",
     )
-    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
-        topk_similar(df, [1.0, 0.0], k=2).collect()
-    with pytest.raises(ArithmeticError, match="zero-norm"):
-        RamServingIndex.from_frame(df)
+    rows = topk_similar(df, [1.0, 0.0], k=2).collect()
+    assert [r.chunk_id for r in rows] == [2, 1]
+    assert rows[0].score == 1.0 and rows[1].score is None
 
-    ok = RamServingIndex.from_frame(df.where("chunk_id = 2"))
-    with pytest.raises(ArithmeticError, match="zero-norm query"):
-        ok.topk([0.0, 0.0], k=1)
+    idx = RamServingIndex.from_frame(df)
+    hits = idx.topk([1.0, 0.0], k=2)
+    assert [(h.chunk_id, h.score) for h in hits] == [
+        (r.chunk_id, r.score) for r in rows
+    ]
+
+    # zero-norm query: every score NULL on both tiers → ids ascending
+    want0 = topk_similar(df, [0.0, 0.0], k=2).collect()
+    hits0 = idx.topk([0.0, 0.0], k=2)
+    assert [(h.chunk_id, h.score) for h in hits0] == [
+        (r.chunk_id, r.score) for r in want0
+    ]
+    assert all(h.score is None for h in hits0)
+    assert [h.chunk_id for h in hits0] == [1, 2]
+
+    # null-reaching cut: k=1 on the zero-norm query picks the lowest id
+    assert [h.chunk_id for h in idx.topk([0.0, 0.0], k=1)] == [1]
 
 
 def test_nan_embeddings_rank_first_like_spark(spark):
@@ -167,8 +183,12 @@ def test_topk_batch_bitexact_vs_single(spark, served):
     assert idx.topk_batch([], k=3) == []
     with pytest.raises(ValueError, match="incompatible"):
         idx.topk_batch([[1.0, 2.0]], k=3)
-    with pytest.raises(ArithmeticError, match="zero-norm"):
-        idx.topk_batch([qs[0], [0.0] * len(qs[0])], k=3)
+    # a zero-norm query inside a batch follows the try_divide contract
+    # (all-NULL scores), not an up-front batch rejection
+    mixed = idx.topk_batch([qs[0], [0.0] * len(qs[0])], k=3)
+    assert mixed[0] == idx.topk(qs[0], k=3)
+    assert mixed[1] == idx.topk([0.0] * len(qs[0]), k=3)
+    assert all(h.score is None for h in mixed[1])
 
 
 def test_ragged_and_null_embeddings_rejected(spark):
@@ -288,7 +308,7 @@ def test_kernel_fold_matches_sequential_reference_property():
             if n == 0.0 or not np.isfinite(n):
                 norms_ok = False
         if not norms_ok:
-            return  # zero-norm raises by contract; overflow is untyped
+            return  # zero-norm → NULL (tested separately); overflow untyped
         idx = RamServingIndex(
             np.arange(m.shape[0], dtype=np.int64),
             ["t"] * m.shape[0],

@@ -1,0 +1,372 @@
+"""Randomized differential testing: Spark vs the DuckDB oracle on GENERATED data.
+
+The driver's correctness gate (and tools/parity.py) proves value equality on
+one fixed fixture set per scale factor. That leaves a blind spot: a query
+pair can agree on the fixtures while disagreeing on data the fixtures never
+exercise — ties under LIMIT, empty/unicode/whitespace text, zero-norm
+vectors, skewed keys, single-row tables. Round 6's timezone bug was exactly
+this class (green only because the CI host was UTC); this tool hunts the
+data-shaped siblings of that bug.
+
+It generates the ten engine tables (region nation customer supplier part
+orders lineitem events documents embeddings) at the EXACT fixture Arrow
+schemas and value conventions (sampled from /root/testdata/sf0.001), under
+seeded adversarial profiles, writes them as a drop-in sf_dir, then runs
+every oracle-paired catalog entry through tools/parity.py's exact compare.
+
+Profiles
+--------
+- random : fixture-like domains, fresh draws; referentially intact.
+- edge   : empty/whitespace/unicode/huge docs, exact-duplicate docs,
+           zero + duplicate embedding vectors, tied timestamps/scores/
+           prices (the LIMIT-tie trap), a few dangling foreign keys,
+           negative balances, boundary discounts.
+- skew   : ~85% of rows share one hot key per table (user, order, lang,
+           label) — the AQE/salting story's data shape.
+- tiny   : 1-4 rows per table; the off-by-one / empty-group shape.
+
+Every failure is triaged, not auto-judged: a report row says whether row
+counts, schema, or values diverged, and the first differing cell. A
+divergence means the Spark plan and the ANSI oracle disagree on data that
+COULD exist at 100 TB — either the entry's contract needs a total order /
+null rule, or the engine has a real bug.
+
+Usage:
+    python tools/parity_fuzz.py                      # all profiles, seed 0
+    python tools/parity_fuzz.py --profiles edge,tiny --seeds 0,1,2
+    python tools/parity_fuzz.py --only text_bm25_topk dedup_exact
+    OUT=docs/parity_fuzz_r7.json python tools/parity_fuzz.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.parity import TABLES, duck_conn, compare  # noqa: E402
+
+EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
+EPOCH_1995 = np.datetime64("1995-01-01T00:00:00", "us")
+
+WORDS = ("the fast key order sort table scan merge part window small hash "
+         "join batch stream spark group query row data slow filter customer "
+         "line value column agg dup a r").split()
+
+EDGE_TEXTS = [
+    "",                                   # empty
+    " ",                                  # single space
+    "\n\n\n",                             # newlines only
+    "\t \t",                              # mixed whitespace
+    "a",                                  # single char
+    "??!!,,..;;::",                       # punctuation only
+    "0123456789 0123456789",              # digits
+    "naïve café déjà-vu über señor",      # latin accents
+    "数据 处理 引擎 规模 测试 中文 文本",      # CJK with spaces
+    "数据处理引擎规模测试中文文本",             # CJK no spaces
+    "مرحبا بالعالم هذا نص عربي",            # RTL Arabic
+    "Ω≈ç√∫˜µ≤≥÷ emoji 🙂🚀🔥 mix",          # symbols + emoji
+    "word " * 400,                        # long repetitive
+    "x" * 5000,                           # one huge token
+    "MiXeD CaSe MiXeD CaSe mixed case",   # case folding
+    "éclair combining-mark é",  # combining accent
+    "line one\nline two\n\nline four",    # paragraph structure
+]
+
+
+def _rng(seed: int, tag: str) -> np.random.Generator:
+    return np.random.default_rng(
+        np.random.SeedSequence([seed, abs(hash(tag)) % (2 ** 31)]))
+
+
+def _sentence(rng, lo: int, hi: int) -> str:
+    n = int(rng.integers(lo, hi + 1))
+    return " ".join(WORDS[i] for i in rng.integers(0, len(WORDS), n))
+
+
+def _ts(rng, n: int, base, span_us: int, tie_frac: float = 0.0) -> np.ndarray:
+    off = rng.integers(0, span_us, n)
+    if tie_frac and n > 3:
+        k = max(2, int(n * tie_frac))
+        off[rng.choice(n, k, replace=False)] = int(off[0])
+    return base + off.astype("timedelta64[us]")
+
+
+def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
+    """Generate all ten tables at the fixture Arrow schemas."""
+    sizes = {
+        "random": dict(cust=120, supp=8, part=150, orders=900, li_k=4,
+                       events=700, docs=260, embs=300),
+        "edge":   dict(cust=60, supp=6, part=80, orders=400, li_k=4,
+                       events=500, docs=200, embs=200),
+        "skew":   dict(cust=80, supp=6, part=100, orders=700, li_k=5,
+                       events=900, docs=300, embs=260),
+        "tiny":   dict(cust=3, supp=2, part=3, orders=4, li_k=2,
+                       events=4, docs=3, embs=3),
+    }[profile]
+    out: dict[str, pa.Table] = {}
+
+    # region / nation: fixed small dims (entries join on their names)
+    out["region"] = pa.table(
+        {"r_regionkey": pa.array(range(5), pa.int32()),
+         "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]})
+    rng = _rng(seed, profile + "nation")
+    n_nat = 25 if profile != "tiny" else 4
+    out["nation"] = pa.table(
+        {"n_nationkey": pa.array(range(n_nat), pa.int32()),
+         "n_name": [f"NATION_{i}" for i in range(n_nat)],
+         "n_regionkey": pa.array(rng.integers(0, 5, n_nat), pa.int32())})
+
+    # customer
+    rng = _rng(seed, profile + "customer")
+    nc = sizes["cust"]
+    bal = np.round(rng.uniform(-1000, 10000, nc), 2)
+    if profile == "edge" and nc >= 4:
+        bal[0] = 0.0
+        bal[1] = bal[2]  # tie
+    segs = ["HOUSEHOLD", "AUTOMOBILE", "MACHINERY", "FURNITURE", "BUILDING"]
+    out["customer"] = pa.table(
+        {"c_custkey": pa.array(range(nc), pa.int64()),
+         "c_name": [f"Customer#{i:09d}" for i in range(nc)],
+         "c_nationkey": pa.array(rng.integers(0, n_nat, nc), pa.int32()),
+         "c_acctbal": bal,
+         "c_mktsegment": [segs[i] for i in rng.integers(0, len(segs), nc)]})
+
+    # supplier
+    rng = _rng(seed, profile + "supplier")
+    ns = sizes["supp"]
+    out["supplier"] = pa.table(
+        {"s_suppkey": pa.array(range(ns), pa.int64()),
+         "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
+         "s_nationkey": pa.array(rng.integers(0, n_nat, ns), pa.int32()),
+         "s_acctbal": np.round(rng.uniform(-1000, 10000, ns), 2)})
+
+    # part
+    rng = _rng(seed, profile + "part")
+    npart = sizes["part"]
+    adjs = ["cold", "small", "large", "fast", "slow", "red", "blue"]
+    nouns = ["widget", "bolt", "gear", "valve", "spring"]
+    types = ["LARGE", "STANDARD", "SMALL", "MEDIUM", "ECONOMY", "PROMO"]
+    price = np.round(rng.uniform(900, 2100, npart), 2)
+    if profile == "edge" and npart >= 3:
+        price[1] = price[0]  # tied retail price under top-k
+    out["part"] = pa.table(
+        {"p_partkey": pa.array(range(npart), pa.int64()),
+         "p_name": [f"{adjs[int(rng.integers(0, len(adjs)))]} "
+                    f"{nouns[int(rng.integers(0, len(nouns)))]}"
+                    for _ in range(npart)],
+         "p_brand": [f"Brand#{int(b)}" for b in rng.integers(1, 26, npart)],
+         "p_type": [types[i] for i in rng.integers(0, len(types), npart)],
+         "p_size": pa.array(rng.integers(1, 51, npart), pa.int32()),
+         "p_retailprice": price})
+
+    # orders
+    rng = _rng(seed, profile + "orders")
+    no = sizes["orders"]
+    span = int(6.6 * 365.25 * 86400 * 1e6)
+    odate = _ts(rng, no, EPOCH_1995, span,
+                tie_frac=0.2 if profile == "edge" else 0.0)
+    odate = (odate.astype("datetime64[D]")).astype("datetime64[us]")  # midnight dates
+    if profile == "skew":
+        hot_cust = int(rng.integers(0, nc))
+        ocust = np.where(rng.random(no) < 0.85, hot_cust,
+                         rng.integers(0, nc, no))
+    else:
+        ocust = rng.integers(0, nc, no)
+    if profile == "edge" and no >= 10:
+        ocust[:3] = nc + 1000  # dangling FK → customer
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    tot = np.round(rng.uniform(900, 105000, no), 2)
+    if profile == "edge" and no >= 6:
+        tot[3] = tot[4]  # tie
+    out["orders"] = pa.table(
+        {"o_orderkey": pa.array(range(no), pa.int64()),
+         "o_custkey": pa.array(ocust, pa.int64()),
+         "o_orderstatus": [("P", "O", "F")[i] for i in rng.integers(0, 3, no)],
+         "o_totalprice": tot,
+         "o_orderdate": pa.array(odate, pa.timestamp("us")),
+         "o_orderpriority": [prios[i] for i in rng.integers(0, len(prios), no)]})
+
+    # lineitem: li_k lines per order on average
+    rng = _rng(seed, profile + "lineitem")
+    okeys, lnums = [], []
+    for ok in range(no):
+        k = int(rng.integers(1, sizes["li_k"] + 1))
+        okeys += [ok] * k
+        lnums += list(range(1, k + 1))
+    nl = len(okeys)
+    okeys = np.array(okeys, np.int64)
+    if profile == "skew" and nl > 10:
+        okeys[: int(nl * 0.5)] = okeys[0]  # hot order key
+        lnums = list(range(1, int(nl * 0.5) + 1)) + lnums[int(nl * 0.5):]
+    disc = np.round(rng.uniform(0, 0.1, nl), 2)
+    qty = rng.integers(1, 51, nl).astype(np.float64)
+    ext = np.round(rng.uniform(900, 105000, nl), 2)
+    if profile == "edge" and nl >= 8:
+        disc[:4] = [0.0, 0.1, 0.0, 0.1]   # boundary discounts
+        qty[:2] = [1.0, 50.0]
+        ext[2] = ext[3]                   # tie
+    sdate = _ts(rng, nl, EPOCH_1995, span,
+                tie_frac=0.15 if profile == "edge" else 0.0)
+    sdate = (sdate.astype("datetime64[D]")).astype("datetime64[us]")
+    rf = [("R", "A", "N")[i] for i in rng.integers(0, 3, nl)]
+    ls = [("O", "F")[i] for i in rng.integers(0, 2, nl)]
+    out["lineitem"] = pa.table(
+        {"l_orderkey": pa.array(okeys, pa.int64()),
+         "l_partkey": pa.array(rng.integers(0, npart, nl), pa.int64()),
+         "l_suppkey": pa.array(rng.integers(0, ns, nl), pa.int64()),
+         "l_linenumber": pa.array(lnums, pa.int32()),
+         "l_quantity": qty,
+         "l_extendedprice": ext,
+         "l_discount": disc,
+         "l_tax": np.round(rng.uniform(0, 0.08, nl), 2),
+         "l_returnflag": rf,
+         "l_linestatus": ls,
+         "l_shipdate": pa.array(sdate, pa.timestamp("us"))})
+
+    # events
+    rng = _rng(seed, profile + "events")
+    ne = sizes["events"]
+    etypes = ["signup", "click", "error", "view", "purchase"]
+    span_e = int(30 * 86400 * 1e6)
+    ets = _ts(rng, ne, EPOCH_2024, span_e,
+              tie_frac=0.2 if profile == "edge" else 0.0)
+    if profile == "skew":
+        uid = np.where(rng.random(ne) < 0.85, 3, rng.integers(0, 15, ne))
+    else:
+        uid = rng.integers(0, 15, ne)
+    val = np.round(rng.uniform(0.01, 330, ne), 2)
+    if profile == "edge" and ne >= 6:
+        val[:3] = [0.01, 0.01, 330.0]  # tied minima
+    out["events"] = pa.table(
+        {"event_id": pa.array(range(ne), pa.int64()),
+         "ts": pa.array(ets, pa.timestamp("us")),
+         "user_id": pa.array(uid, pa.int64()),
+         "event_type": [etypes[i] for i in rng.integers(0, len(etypes), ne)],
+         "value": val,
+         "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, ne)]})
+
+    # documents (n_chars == len(text) is a fixture invariant — keep it)
+    rng = _rng(seed, profile + "documents")
+    nd = sizes["docs"]
+    langs = ["en", "de", "zh", "fr", "es"]
+    if profile == "skew":
+        lang_col = ["en" if rng.random() < 0.85
+                    else langs[int(rng.integers(0, 5))] for _ in range(nd)]
+    else:
+        lang_col = [langs[i] for i in rng.integers(0, 5, nd)]
+    texts = [_sentence(rng, 20, 60) for _ in range(nd)]
+    if profile == "edge":
+        for i, t in enumerate(EDGE_TEXTS):
+            if i < nd:
+                texts[i] = t
+        if nd > len(EDGE_TEXTS) + 3:
+            dup = _sentence(rng, 30, 40)
+            texts[len(EDGE_TEXTS)] = dup          # exact duplicates
+            texts[len(EDGE_TEXTS) + 1] = dup
+            texts[len(EDGE_TEXTS) + 2] = dup + " tail"  # near-duplicate
+    out["documents"] = pa.table(
+        {"doc_id": pa.array(range(nd), pa.int64()),
+         "text": texts,
+         "lang": lang_col,
+         "source": [f"src{int(s)}" for s in rng.integers(0, 20, nd)],
+         "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+
+    # embeddings (dim 64, fixture value range ±0.5)
+    rng = _rng(seed, profile + "embeddings")
+    nv = sizes["embs"]
+    mat = rng.uniform(-0.5, 0.5, (nv, 64)).astype(np.float32)
+    if profile == "edge" and nv >= 6:
+        mat[0] = 0.0                    # zero-norm vector
+        mat[1] = mat[2]                 # exact duplicate vectors
+        mat[3] = mat[2] * 2.0           # colinear (cosine tie)
+        mat[4] = np.full(64, 1e-30, np.float32)   # denormal-ish norm
+    if profile == "skew":
+        lab = np.where(rng.random(nv) < 0.85, 7,
+                       rng.integers(0, 10, nv)).astype(np.int32)
+    else:
+        lab = rng.integers(0, 10, nv).astype(np.int32)
+    out["embeddings"] = pa.table(
+        {"vec_id": pa.array(range(nv), pa.int64()),
+         "embedding": pa.array([list(map(float, row)) for row in mat],
+                               pa.list_(pa.float32())),
+         "label": pa.array(lab, pa.int32())})
+    return out
+
+
+def write_sf_dir(tables: dict[str, pa.Table], dirpath: str) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    for name in TABLES:
+        pq.write_table(tables[name], os.path.join(dirpath, f"{name}.parquet"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profiles", default="random,edge,skew,tiny")
+    ap.add_argument("--seeds", default="0")
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    import importlib.util
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from ade_agente_documental_empresarial___miner_a_spark.session import get_spark
+    spark = get_spark("parity-fuzz", shuffle_partitions=16)
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    names = args.only or sorted(n for n in qs if n in oracles)
+
+    report: dict = {"profiles": {}, "summary": {}}
+    n_ok = n_fail = n_err = 0
+    failures = []
+    for profile in args.profiles.split(","):
+        for seed in (int(s) for s in args.seeds.split(",")):
+            tag = f"{profile}/s{seed}"
+            tmp = tempfile.mkdtemp(prefix=f"fuzz_{profile}_s{seed}_")
+            write_sf_dir(gen_tables(profile, seed), tmp)
+            rows: dict = {}
+            for name in names:
+                try:
+                    ok, nrows, ts, td = compare(
+                        f"{tag}:{name}", qs[name](spark, tmp),
+                        duck_conn(tmp), oracles[name])
+                    rows[name] = {"status": "ok" if ok else "FAIL",
+                                  "rows": nrows}
+                    n_ok += ok
+                    n_fail += not ok
+                    if not ok:
+                        failures.append(f"{tag}:{name}")
+                except Exception as exc:  # noqa: BLE001 — triage, don't die
+                    msg = str(exc).splitlines()[0][:300]
+                    print(f"ERR  {tag}:{name}: {msg}")
+                    rows[name] = {"status": "ERR", "err": msg}
+                    n_err += 1
+                    failures.append(f"{tag}:{name} (ERR)")
+            report["profiles"][tag] = rows
+    report["summary"] = {"ok": n_ok, "failed": n_fail, "errored": n_err,
+                         "failures": failures}
+    out = os.environ.get("OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=1)
+    print(f"\nTOTAL ok={n_ok} fail={n_fail} err={n_err}")
+    for f in failures:
+        print("  FAILURE:", f)
+    return 1 if (n_fail or n_err) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
