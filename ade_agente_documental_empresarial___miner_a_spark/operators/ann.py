@@ -300,10 +300,13 @@ def _cell_scores(
     def _score(cv, i):
         prods = F.zip_with(vec_col, cv, lambda x, y: x.cast("double") * y)
         d = F.aggregate(prods, F.lit(0.0), lambda s, x: s + x)
+        # try_divide: a zero-norm vector (or degenerate all-zero
+        # centroid) scores NULL instead of aborting the scan — same
+        # contract as cosine_similarity, same NULL the oracle computes
         return F.struct(
-            (d / (vnorm * F.element_at(cnorms, i + F.lit(1)))).alias(
-                "score"
-            ),
+            F.try_divide(
+                d, vnorm * F.element_at(cnorms, i + F.lit(1))
+            ).alias("score"),
             F.element_at(cids, i + F.lit(1)).alias("cid"),
         )
 

@@ -209,6 +209,41 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
     # literal-builder names changed AFTER the r5 gate ran, so their r5
     # green records are pre-change and only a r>=6 record certifies them
     6,
+) | dict.fromkeys(
+    (
+        # r07 robustness wave (tools/parity_fuzz.py): cosine moved to
+        # try_divide (zero-norm → NULL, matching the DuckDB oracle) in
+        # cosine_similarity / cosine_to_literal / ann._cell_scores, and
+        # six entries gained their own degenerate-denominator guards
+        # (rel_higher_moments, rel_rolling_corr, cur_mix_entropy,
+        # text_readability_fk, cur_bpe_pair_stats slice clamp,
+        # s18_csv_interop reader/writer options, text_edit_distance
+        # ASCII projection). The set below is EMPIRICAL: exactly the
+        # oracle-paired entries the fuzz sweep caught exercising a
+        # changed code path (every entry ran against zero-norm /
+        # degenerate data, so an affected entry could not hide). All
+        # 283 entries re-verified value-green on fixtures post-change
+        # (docs/parity_r7_full2.json); the driver must still re-green
+        # each at the hard gate.
+        "a6_result_union", "cur_bitext_ratio_filter",
+        "cur_bpe_pair_stats", "cur_mix_entropy",
+        "dedup_embedding_cosine", "dedup_embedding_lsh",
+        "dedup_lsh_recall", "dedup_semantic", "e2_hierarchical_search",
+        "emb_centroid_classify", "emb_hard_negatives", "emb_isotropy",
+        "emb_matryoshka_eval", "emb_mips_vs_cosine",
+        "emb_outlier_scores", "emb_pca_power", "emb_training_triplets",
+        "k1_topk_search", "k2_topk_titles", "k3_topk_per_section",
+        "k4_a4_topk_normalized", "rel_higher_moments",
+        "rel_rolling_corr", "s18_csv_interop", "sim_ivf_filtered",
+        "sim_ivf_ndcg", "sim_ivf_persisted", "sim_ivf_quantized",
+        "sim_ivf_recall", "sim_ivf_topk", "sim_knn_bruteforce",
+        "sim_lsh_bucketed", "sim_mmr_rerank", "sim_rrf_fusion",
+        "stream_incremental_index", "text_edit_distance",
+        "text_readability_fk",
+    ),
+    # the changes land before the round-7 gate runs, so a r>=7 green
+    # record certifies them
+    7,
 )
 
 

@@ -949,26 +949,42 @@ def rel_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Levenshtein edit-distance pairs (string-similarity scalar; bounded block)
+# Levenshtein edit-distance pairs (string-similarity scalar; bounded
+# block). Distance is over the ASCII PROJECTION of the 30-codepoint
+# prefix (every non-ASCII codepoint → '?'): Spark's levenshtein counts
+# codepoints but DuckDB's counts UTF-8 BYTES, so raw non-ASCII text
+# diverges between the engines (parity_fuzz edge profile; 'café' vs
+# 'cafe' is 1 to Spark, 2 to DuckDB). The projection makes bytes ==
+# codepoints, turning the oracle exact on ALL data — and both regex
+# engines treat supplementary codepoints (emoji) as ONE class match.
 @register(
     "text_edit_distance",
-    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) AS BIGINT) AS dist
+    r"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(
+         regexp_replace(substring(a.text, 1, 30), '[^\x00-\x7F]', '?', 'g'),
+         regexp_replace(substring(b.text, 1, 30), '[^\x00-\x7F]', '?', 'g')
+       ) AS BIGINT) AS dist
 FROM documents a JOIN documents b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE a.doc_id < 25 AND b.doc_id < 25""",
 )
 def text_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents").where(F.col("doc_id") < 25)
+
+    def _ascii30(col: str):
+        return F.regexp_replace(
+            F.substring(col, 1, 30), r"[^\x00-\x7F]", "?"
+        )
+
     a = docs.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
-        F.substring("text", 1, 30).alias("ta"),
+        _ascii30("text").alias("ta"),
     )
     b = docs.select(
         F.col("doc_id").alias("doc_b"),
         "lang",
-        F.substring("text", 1, 30).alias("tb"),
+        _ascii30("text").alias("tb"),
     )
     return (
         a.join(b, "lang")

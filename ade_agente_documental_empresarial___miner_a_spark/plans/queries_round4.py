@@ -1199,7 +1199,14 @@ def emb_centroid_classify(spark: SparkSession, sf: str) -> DataFrame:
             "rnk",
             F.row_number().over(
                 Window.partitionBy("vec_id").orderBy(
-                    F.desc(F.col("dot") / (F.col("nv") * F.col("nc"))),
+                    # try_divide: zero-norm vectors rank all centroids
+                    # NULL (DESC NULLS LAST → tie on clabel), matching
+                    # the oracle instead of aborting the job
+                    F.desc(
+                        F.try_divide(
+                            F.col("dot"), F.col("nv") * F.col("nc")
+                        )
+                    ),
                     "clabel",
                 )
             ),

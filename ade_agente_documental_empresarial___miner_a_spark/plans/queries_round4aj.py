@@ -123,11 +123,18 @@ def text_readability_fk(spark: SparkSession, sf: str) -> DataFrame:
         "n_sentences",
         "n_words",
         "n_syllables",
+        # try_divide: an empty/punctuation-only document has zero
+        # sentences (or zero words) — its FK grade is NULL, matching
+        # the oracle's x/0 → NULL, instead of aborting the job
         F.round(
             0.39
-            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            * F.try_divide(
+                F.col("n_words").cast("double"), F.col("n_sentences")
+            )
             + 11.8
-            * (F.col("n_syllables").cast("double") / F.col("n_words"))
+            * F.try_divide(
+                F.col("n_syllables").cast("double"), F.col("n_words")
+            )
             - 15.59,
             9,
         ).alias("fk_grade"),

@@ -130,10 +130,15 @@ def cur_mix_entropy(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("h_term").cast("double"), 9).alias(
             "entropy_nats"
         ),
+        # try_divide: a language with ONE source has log(1)=0 in the
+        # denominator — normalized entropy is undefined (NULL), same
+        # as the oracle's x/0 → NULL, instead of aborting the job
         F.round(
-            F.sum("h_term").cast("double")
-            / F.round(
-                F.log(F.max("n_sources").cast("double")), 9
+            F.try_divide(
+                F.sum("h_term").cast("double"),
+                F.round(
+                    F.log(F.max("n_sources").cast("double")), 9
+                ),
             ),
             9,
         ).alias("entropy_normalized"),

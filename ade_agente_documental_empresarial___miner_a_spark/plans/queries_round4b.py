@@ -769,8 +769,11 @@ def emb_outlier_scores(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "label",
             "vec_id",
+            # try_divide: zero-norm vectors get NULL distance (ranked
+            # last under DESC), matching the oracle's x/0 → NULL
             (
-                F.lit(1.0) - F.col("dot") / (F.col("nv") * F.col("nc"))
+                F.lit(1.0)
+                - F.try_divide(F.col("dot"), F.col("nv") * F.col("nc"))
             ).alias("centroid_dist"),
         )
     )

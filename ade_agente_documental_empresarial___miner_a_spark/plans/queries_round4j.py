@@ -316,11 +316,17 @@ def cur_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
     chars = words.select(
         F.regexp_extract_all("word", F.lit("."), 0).alias("chars")
     )
+    # greatest(·, 0): a newline-only "word" passes the length guard but
+    # regexp '.' matches nothing (RE2 '.' excludes \n on both engines),
+    # so chars is EMPTY and an unclamped size-1 slice length of -1
+    # aborts the job (parity_fuzz edge profile); DuckDB's list_slice
+    # just returns [] there, so the clamp is also the oracle's value.
+    n_pairs = F.greatest(F.size("chars") - 1, F.lit(0))
     pairs = chars.select(
         F.explode(
             F.zip_with(
-                F.slice(F.col("chars"), 1, F.size("chars") - 1),
-                F.slice(F.col("chars"), 2, F.size("chars") - 1),
+                F.slice(F.col("chars"), 1, n_pairs),
+                F.slice(F.col("chars"), 2, n_pairs),
                 lambda a, b: F.concat(a, b),
             )
         ).alias("pair")

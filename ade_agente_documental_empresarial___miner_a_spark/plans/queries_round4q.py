@@ -97,14 +97,23 @@ def rel_string_agg(spark: SparkSession, sf: str) -> DataFrame:
 # any SF in DECIMAL(38,8)), then evaluates ONE double formula per group
 # in an identical operation order on both engines. Same discipline as
 # rel_regression_moments, extended to the 3rd/4th moments.
+# Shared verbatim by the Spark selectExpr AND the DuckDB oracle, so the
+# degenerate-group guards are portable SQL, not engine builtins:
+# greatest(var, 0) clamps the tiny-negative variance FP cancellation can
+# produce (pow(neg, 1.5) errors on DuckDB, NaNs on Spark), and
+# nullif(denom, 0) turns a zero-variance group (e.g. a single row) into
+# NULL moments on BOTH engines instead of aborting Spark's ANSI divide.
+# Values are unchanged wherever the variance is strictly positive.
 _MOMENT_FORMULAS = """
   CAST(n AS BIGINT) AS n_items,
   round(s1d / n, 9) AS mean_qty,
   round((s3d/n - 3*(s1d/n)*(s2d/n) + 2*(s1d/n)*(s1d/n)*(s1d/n))
-        / pow(s2d/n - (s1d/n)*(s1d/n), 1.5), 9) AS skewness_qty,
+        / nullif(pow(greatest(s2d/n - (s1d/n)*(s1d/n), 0.0), 1.5), 0.0)
+        , 9) AS skewness_qty,
   round((s4d/n - 4*(s1d/n)*(s3d/n) + 6*(s1d/n)*(s1d/n)*(s2d/n)
          - 3*(s1d/n)*(s1d/n)*(s1d/n)*(s1d/n))
-        / pow(s2d/n - (s1d/n)*(s1d/n), 2.0) - 3.0, 9) AS kurtosis_qty
+        / nullif(pow(greatest(s2d/n - (s1d/n)*(s1d/n), 0.0), 2.0), 0.0)
+        - 3.0, 9) AS kurtosis_qty
 """
 
 

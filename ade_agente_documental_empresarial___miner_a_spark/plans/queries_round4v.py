@@ -63,7 +63,8 @@ framed AS (
   WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
 SELECT d, CAST(n AS BIGINT) AS n_days,
        round((sxy - sx * sy / n)
-             / nullif(sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+             / nullif(sqrt(greatest(sxx - sx * sx / n, 0.0)
+                           * greatest(syy - sy * sy / n, 0.0)),
                       0.0), 9) AS corr_7d
 FROM framed""",
 )
@@ -100,12 +101,24 @@ def rel_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("sxy"),
     )
+    # greatest(·, 0): FP cancellation in E[x²]−E[x]² can go a hair
+    # NEGATIVE when a variance is truly ~0 — unclamped, DuckDB's sqrt
+    # ERRORS on the negative product while Spark's returns NaN
+    # (parity_fuzz, random profile). Clamping each factor identically
+    # on both engines turns the degenerate window into NULL via the
+    # existing nullif, and is value-neutral wherever variance > 0.
     corr = (
         F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
     ) / F.nullif(
         F.sqrt(
-            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-            * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            F.greatest(
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+                F.lit(0.0),
+            )
+            * F.greatest(
+                F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"),
+                F.lit(0.0),
+            )
         ),
         F.lit(0.0),
     )
@@ -238,8 +251,33 @@ def s18_csv_interop(spark: SparkSession, sf: str) -> DataFrame:
         spiked.alias("spiked"),
         F.length(spiked).alias("n_chars"),
     )
+    # Lossless cycle on adversarial text (parity_fuzz edge profile):
+    # - writer: disable the DEFAULT leading/trailing whitespace trim
+    #   (it silently rewrites " " → "" on export);
+    # - reader: multiLine=True so quoted embedded newlines stay one
+    #   record (costs intra-file split parallelism — at 100 TB bound
+    #   export file sizes with maxRecordsPerFile so files, not splits,
+    #   carry the parallelism);
+    # - reader: nullValue="\N" (never written) so the writer's
+    #   null ↔ unquoted-empty vs "" ↔ quoted-"" distinction survives
+    #   the read instead of both collapsing to NULL. Residual known
+    #   ambiguity: a field whose VALUE is the two chars \N would read
+    #   back as NULL — the one shape RFC-4180 quoting can't disambiguate
+    #   without a writer-side escape convention.
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        src.write.mode("overwrite").option("header", True).csv(out)
-    return spark.read.schema(
-        "doc_id long, lang string, spiked string, n_chars long"
-    ).option("header", True).csv(out)
+        (
+            src.write.mode("overwrite")
+            .option("header", True)
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(out)
+        )
+    return (
+        spark.read.schema(
+            "doc_id long, lang string, spiked string, n_chars long"
+        )
+        .option("header", True)
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .csv(out)
+    )

@@ -1,0 +1,91 @@
+"""Pins for tools/parity_fuzz.py and the bug classes it caught.
+
+The fuzzer generates the ten engine tables at the exact fixture Arrow
+schemas under adversarial profiles and replays the driver's
+Spark-vs-DuckDB value compare on them. These tests pin (a) the
+generator's determinism + schema fidelity (no Spark needed) and (b) one
+representative entry per ROBUSTNESS BUG CLASS the first sweep found, on
+the exact profile that triggered it — each was a job-aborting crash or a
+cross-engine value divergence before the round-7 fixes:
+
+- zero-norm cosine        → k1_topk_search, edge   (was DIVIDE_BY_ZERO)
+- zero-denominator ratios → rel_higher_moments, tiny (single-row group)
+- empty regexp char array → cur_bpe_pair_stats, edge (slice length -1)
+- CSV quote/trim/newline  → s18_csv_interop, edge  (record splits, trim)
+- byte- vs codepoint-Levenshtein → text_edit_distance, edge
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from tools.parity import TABLES, compare, duck_conn  # noqa: E402
+from tools.parity_fuzz import gen_tables, write_sf_dir  # noqa: E402
+
+FIXTURE_DIR = "/root/testdata/sf0.001"
+
+
+def test_generation_is_deterministic_per_seed():
+    a = gen_tables("edge", 7)
+    b = gen_tables("edge", 7)
+    c = gen_tables("edge", 8)
+    for name in TABLES:
+        assert a[name].equals(b[name]), name
+    assert any(not a[n].equals(c[n]) for n in TABLES)
+
+
+@pytest.mark.parametrize("profile", ["random", "edge", "skew", "tiny"])
+def test_generated_schemas_match_fixtures(profile, tmp_path):
+    d = str(tmp_path / profile)
+    write_sf_dir(gen_tables(profile, 0), d)
+    for t in TABLES:
+        want = pq.read_schema(os.path.join(FIXTURE_DIR, f"{t}.parquet"))
+        got = pq.read_schema(os.path.join(d, f"{t}.parquet"))
+        assert [(f.name, f.type) for f in got] == [
+            (f.name, f.type) for f in want
+        ], t
+
+
+# (entry, profile) — one per fixed bug class, chosen to re-trigger the
+# original failure shape if the fix regresses.
+_REGRESSION_CASES = [
+    ("k1_topk_search", "edge"),
+    ("rel_higher_moments", "tiny"),
+    ("cur_bpe_pair_stats", "edge"),
+    ("s18_csv_interop", "edge"),
+    ("text_edit_distance", "edge"),
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("name,profile", _REGRESSION_CASES)
+def test_fuzz_regression_case(spark, entry_mod, tmp_path, name, profile):
+    d = str(tmp_path / f"{profile}_{name}")
+    write_sf_dir(gen_tables(profile, 0), d)
+    ok, nrows, _, _ = compare(
+        f"{profile}:{name}",
+        entry_mod.queries()[name](spark, d),
+        duck_conn(d),
+        entry_mod.oracle_sql()[name],
+    )
+    assert ok, f"{name} diverged from the oracle on {profile} data"

@@ -54,6 +54,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.parity import TABLES, duck_conn, compare  # noqa: E402
 
+# Oracles whose SQL is PROVABLY exact only on a pinned data domain, with
+# the Python operator as the spec outside it. t3/t3b's closed-form chunk
+# walk assumes fixture text shape (no newlines/periods/doubled spaces, no
+# word piece >= chunk_size — pinned per SF by tests/test_t3b_oracle.py);
+# the edge profile deliberately violates that, so there the harness runs
+# the Spark side crash-only (the splitter itself is separately
+# robustness-tested on EDGE_TEXTS) instead of comparing values.
+ORACLE_DOMAIN_VIOLATIONS: dict[str, set[str]] = {
+    "t3_chunk_pipeline": {"edge"},
+    "t3b_chunk_long_docs": {"edge"},
+}
+
 EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
 EPOCH_1995 = np.datetime64("1995-01-01T00:00:00", "us")
 
@@ -339,6 +351,21 @@ def main() -> int:
             write_sf_dir(gen_tables(profile, seed), tmp)
             rows: dict = {}
             for name in names:
+                if profile in ORACLE_DOMAIN_VIOLATIONS.get(name, ()):
+                    try:
+                        nrows = len(qs[name](spark, tmp).collect())
+                        rows[name] = {"status": "spark_only_out_of_domain",
+                                      "rows": nrows}
+                        print(f"OOD {tag}:{name} rows={nrows} "
+                              "(oracle domain violated; crash-check only)")
+                        n_ok += 1
+                    except Exception as exc:  # noqa: BLE001
+                        msg = str(exc).splitlines()[0][:300]
+                        print(f"ERR  {tag}:{name}: {msg}")
+                        rows[name] = {"status": "ERR", "err": msg}
+                        n_err += 1
+                        failures.append(f"{tag}:{name} (ERR)")
+                    continue
                 try:
                     ok, nrows, ts, td = compare(
                         f"{tag}:{name}", qs[name](spark, tmp),
