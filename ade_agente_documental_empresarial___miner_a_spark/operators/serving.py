@@ -91,19 +91,13 @@ class RamServingIndex:
             col = self._m[:, j]
             n2 += col * col
         self._norms = np.sqrt(n2)
-        # zero-norm rows score NULL under the engine's try_divide
-        # contract — they stay in the index and rank last (NULLS LAST)
-        self._null_rows = self._norms == 0.0
 
     def __len__(self) -> int:
         return self._m.shape[0]
 
     @property
     def nbytes(self) -> int:
-        return int(
-            self._m.nbytes + self._norms.nbytes + self._ids.nbytes
-            + self._null_rows.nbytes
-        )
+        return int(self._m.nbytes + self._norms.nbytes + self._ids.nbytes)
 
     @classmethod
     def from_frame(
@@ -261,12 +255,14 @@ class RamServingIndex:
             np.multiply(self._m[:, j], q[j], out=tmp)
             s += tmp
         qn = const_l2_norm([float(x) for x in query_vec])
-        if qn == 0.0:
-            # try_divide contract: zero-norm query → every score NULL →
-            # the first k ids ascending (NULLS LAST ties on id)
-            null_mask = np.ones(n_rows, dtype=bool)
-            return self._rank(np.zeros(n_rows), null_mask, k)
+        # try_divide NULLs exactly when the DENOMINATOR value is 0.0 —
+        # a zero-norm row or query, but also |v|·|q| UNDERFLOWING to 0
+        # for two denormal-magnitude operands. Masking the computed
+        # denominator (not the norms) reproduces the engine's rule bit
+        # for bit; a zero-norm query therefore yields all-NULL scores =
+        # the first k ids ascending (NULLS LAST, id ties).
         denom = self._norms * qn
+        null_mask = denom == 0.0
         with np.errstate(divide="ignore", invalid="ignore"):
             scores = s / denom
         # ranking: NaN maps to +inf (Spark sorts NaN as GREATEST under
@@ -276,4 +272,4 @@ class RamServingIndex:
         # largest non-null key, ties included, so sorting just the
         # candidate set with the same comparator is bit-identical to
         # the full lexsort (150 ms → 7 ms at 1M rows).
-        return self._rank(scores, self._null_rows, k)
+        return self._rank(scores, null_mask, k)

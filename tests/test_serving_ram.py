@@ -296,19 +296,11 @@ def test_kernel_fold_matches_sequential_reference_property():
         q=arrays(np.float32, (9,), elements=finite32),
     )
     def check(m, q):
+        # the contract is TOTAL since the try_divide change: zero-norm
+        # rows/queries (and denominator underflow) are modeled as None,
+        # overflow follows IEEE inf arithmetic — no skipped inputs.
         qlist = [float(x) for x in q]
-        if const_l2_norm(qlist) == 0.0:
-            return
-        norms_ok = True
-        for i in range(m.shape[0]):
-            n = 0.0
-            for j in range(m.shape[1]):
-                v = float(m[i, j])
-                n = n + v * v
-            if n == 0.0 or not np.isfinite(n):
-                norms_ok = False
-        if not norms_ok:
-            return  # zero-norm → NULL (tested separately); overflow untyped
+        qn = const_l2_norm(qlist)
         idx = RamServingIndex(
             np.arange(m.shape[0], dtype=np.int64),
             ["t"] * m.shape[0],
@@ -326,7 +318,12 @@ def test_kernel_fold_matches_sequential_reference_property():
             # ulp from correctly-rounded sqrt on ~0.1% of inputs, and
             # the engine (JVM Math.sqrt / np.sqrt / math.sqrt) always
             # uses true sqrt — hypothesis found the split
-            want = s / (math.sqrt(n) * const_l2_norm(qlist))
+            denom = math.sqrt(n) * qn
+            if denom == 0.0:
+                # try_divide: NULL exactly when the denominator is 0
+                assert got[i] is None, f"row {i}: {got[i]!r} != None"
+                continue
+            want = s / denom
             assert got[i] == want or (
                 np.isnan(got[i]) and np.isnan(want)
             ), f"row {i}: {got[i]!r} != {want!r}"
