@@ -64,6 +64,10 @@ from tools.parity import TABLES, duck_conn, compare  # noqa: E402
 ORACLE_DOMAIN_VIOLATIONS: dict[str, set[str]] = {
     "t3_chunk_pipeline": {"edge"},
     "t3b_chunk_long_docs": {"edge"},
+    # same chunker domain: its oracle states chunk counts/length sums
+    # via the closed-form section walk; the Spark-side append-delta ≡
+    # rebuild invariant (the `match` column) is what the entry pins
+    "stream_incremental_index": {"edge"},
 }
 
 EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
