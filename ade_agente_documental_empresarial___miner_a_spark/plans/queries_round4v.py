@@ -222,9 +222,12 @@ def _csv_dir(sf: str) -> str:
 
     from .queries_round4 import _source_tag
 
+    # v2: cache key includes the export FORMAT version — the round-7
+    # writer-option change (no whitespace trim) must not silently reuse
+    # an export written under the old options
     return os.path.join(
         tempfile.gettempdir(),
-        f"ade_csv_interop_{_source_tag(sf, 'documents')}",
+        f"ade_csv_interop_v2_{_source_tag(sf, 'documents')}",
     )
 
 
