@@ -58,17 +58,22 @@ risk AS (
   FROM tbl),
 terms AS (
   SELECT lifetime, d, n_at_risk,
-         CAST(CASE WHEN d > 0
+         CAST(CASE WHEN d > 0 AND d < n_at_risk
                    THEN round(ln(1.0 - d / n_at_risk), 9)
-                   ELSE 0.0 END AS DECIMAL(20,9)) AS logterm
+                   ELSE 0.0 END AS DECIMAL(20,9)) AS logterm,
+         CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS hit_zero
   FROM risk)
 SELECT CAST(lifetime AS BIGINT) AS lifetime_days,
        CAST(d AS BIGINT) AS n_churned,
        CAST(n_at_risk AS BIGINT) AS n_at_risk,
-       round(exp(CAST(sum(logterm) OVER (
-         ORDER BY lifetime
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS DOUBLE)), 9) AS survival
+       CASE WHEN sum(hit_zero) OVER (
+              ORDER BY lifetime
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+            THEN 0.0
+            ELSE round(exp(CAST(sum(logterm) OVER (
+              ORDER BY lifetime
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)), 9) END AS survival
 FROM terms""",
 )
 def rel_survival_km(spark: SparkSession, sf: str) -> DataFrame:
@@ -102,12 +107,22 @@ def rel_survival_km(spark: SparkSession, sf: str) -> DataFrame:
         "d",
         F.sum("arrivals").over(desc).alias("n_at_risk"),
     )
+    # d == n_at_risk (everyone at risk churns — always true at the max
+    # uncensored lifetime of a fully-churned cohort) sends the log-sum
+    # form to ln(0): DuckDB errors, Spark NULLs (parity_fuzz, tiny).
+    # KM's real value there is EXACTLY 0 from that t onward, so the
+    # zero crossing is tracked as a flag and survival pinned to 0.0 —
+    # identical on both engines, value-neutral when no group hits zero.
     logterm = F.when(
-        F.col("d") > 0,
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
         F.round(F.log(1.0 - F.col("d") / F.col("n_at_risk")), 9),
     ).otherwise(F.lit(0.0)).cast("decimal(20,9)")
+    hit_zero = F.when(
+        F.col("d") >= F.col("n_at_risk"), F.lit(1)
+    ).otherwise(F.lit(0))
     terms = risk.select(
-        "lifetime", "d", "n_at_risk", logterm.alias("logterm")
+        "lifetime", "d", "n_at_risk",
+        logterm.alias("logterm"), hit_zero.alias("hit_zero"),
     )
     asc = Window.orderBy("lifetime").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -116,7 +131,11 @@ def rel_survival_km(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lifetime").cast("long").alias("lifetime_days"),
         F.col("d").cast("long").alias("n_churned"),
         F.col("n_at_risk").cast("long").alias("n_at_risk"),
-        F.round(
-            F.exp(F.sum("logterm").over(asc).cast("double")), 9
-        ).alias("survival"),
+        F.when(F.sum("hit_zero").over(asc) > 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.sum("logterm").over(asc).cast("double")), 9
+            )
+        )
+        .alias("survival"),
     )

@@ -54,14 +54,17 @@ def test_generated_schemas_match_fixtures(profile, tmp_path):
         ], t
 
 
-# (entry, profile) — one per fixed bug class, chosen to re-trigger the
-# original failure shape if the fix regresses.
+# (entry, profile, seed) — one per fixed bug class, chosen to
+# re-trigger the original failure shape if the fix regresses.
 _REGRESSION_CASES = [
-    ("k1_topk_search", "edge"),
-    ("rel_higher_moments", "tiny"),
-    ("cur_bpe_pair_stats", "edge"),
-    ("s18_csv_interop", "edge"),
-    ("text_edit_distance", "edge"),
+    ("k1_topk_search", "edge", 0),
+    ("rel_higher_moments", "tiny", 0),
+    ("cur_bpe_pair_stats", "edge", 0),
+    ("s18_csv_interop", "edge", 0),
+    ("text_edit_distance", "edge", 0),
+    # KM survival hitting exactly 0 (d == n_at_risk): ln(0) in the
+    # log-sum form — needs seed 1's fully-churned tiny cohort
+    ("rel_survival_km", "tiny", 1),
 ]
 
 
@@ -78,10 +81,12 @@ def entry_mod():
     return mod
 
 
-@pytest.mark.parametrize("name,profile", _REGRESSION_CASES)
-def test_fuzz_regression_case(spark, entry_mod, tmp_path, name, profile):
+@pytest.mark.parametrize("name,profile,seed", _REGRESSION_CASES)
+def test_fuzz_regression_case(
+    spark, entry_mod, tmp_path, name, profile, seed
+):
     d = str(tmp_path / f"{profile}_{name}")
-    write_sf_dir(gen_tables(profile, 0), d)
+    write_sf_dir(gen_tables(profile, seed), d)
     ok, nrows, _, _ = compare(
         f"{profile}:{name}",
         entry_mod.queries()[name](spark, d),
