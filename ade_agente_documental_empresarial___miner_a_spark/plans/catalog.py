@@ -240,6 +240,9 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
         "sim_lsh_bucketed", "sim_mmr_rerank", "sim_rrf_fusion",
         "stream_incremental_index", "text_edit_distance",
         "text_readability_fk",
+        # const-profile catches (zero-range histogram width; tie-span
+        # rank contract for the approx-percentile sketch)
+        "rel_value_histogram", "rel_approx_percentile_contract",
     ),
     # the changes land before the round-7 gate runs, so a r>=7 green
     # record certifies them

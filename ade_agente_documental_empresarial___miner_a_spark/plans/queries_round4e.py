@@ -263,7 +263,9 @@ def stream_anomaly_hours(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "rel_value_histogram",
     """WITH st AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
-SELECT CAST(least(floor((value - vmin) / ((vmax - vmin) / 20.0)), 19.0)
+SELECT CAST(least(floor(coalesce((value - vmin)
+                                 / nullif((vmax - vmin) / 20.0, 0.0),
+                                 0.0)), 19.0)
             AS BIGINT) AS bin,
        count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_mass
@@ -273,11 +275,22 @@ GROUP BY bin""",
 def rel_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     ev = events_table(spark, sf).select("value")
     st = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    # nullif+coalesce: a ZERO-RANGE column (vmax == vmin — e.g. one
+    # constant measure) has bin width 0; the unguarded ratio is 0/0 —
+    # ANSI aborts the job, DuckDB NULLs (parity_fuzz const profile).
+    # Pinning the ratio to 0 puts all mass in bin 0 on BOTH engines and
+    # is value-neutral whenever the range is nonzero.
     binned = ev.crossJoin(F.broadcast(st)).select(
         F.least(
             F.floor(
-                (F.col("value") - F.col("vmin"))
-                / ((F.col("vmax") - F.col("vmin")) / 20.0)
+                F.coalesce(
+                    (F.col("value") - F.col("vmin"))
+                    / F.nullif(
+                        (F.col("vmax") - F.col("vmin")) / 20.0,
+                        F.lit(0.0),
+                    ),
+                    F.lit(0.0),
+                )
             ),
             F.lit(19.0),
         )

@@ -126,14 +126,21 @@ def rel_approx_percentile_contract(
     )
     # true rank of the sketch's answer, via binary-search-free exprs:
     # rank error bound = n / accuracy (+1 slack for interpolation of
-    # the exact side, which sits between two data ranks)
-    rank_of_approx = F.size(
+    # the exact side, which sits between two data ranks). Under TIES
+    # the answer's true rank is a SPAN [count(<)+1, count(<=)] — a
+    # fully-constant column makes count(<=) = n while the median rank
+    # is n/2 (parity_fuzz const profile flipped the old point-rank
+    # check to false) — so the contract tests whether the target rank
+    # intersects the span, widened by the sketch's rank-error bound.
+    below = F.size(
+        F.filter(F.col("_sorted"), lambda v: v < F.col("approx_p50"))
+    )
+    at_or_below = F.size(
         F.filter(F.col("_sorted"), lambda v: v <= F.col("approx_p50"))
     )
     target = F.col("n") / 2
-    ok = (
-        F.abs(rank_of_approx - target) <= F.col("n") / 1000 + 1
-    )
+    slack = F.col("n") / 1000 + 1
+    ok = (target >= below - slack) & (target <= at_or_below + slack)
     return agg.select(
         "l_returnflag",
         "n",

@@ -65,6 +65,10 @@ _REGRESSION_CASES = [
     # KM survival hitting exactly 0 (d == n_at_risk): ln(0) in the
     # log-sum form — needs seed 1's fully-churned tiny cohort
     ("rel_survival_km", "tiny", 1),
+    # const profile: zero-range histogram bin width (0/0 under ANSI);
+    # approx-percentile rank contract under total ties (rank is a span)
+    ("rel_value_histogram", "const", 0),
+    ("rel_approx_percentile_contract", "const", 0),
 ]
 
 

@@ -24,6 +24,10 @@ Profiles
 - skew   : ~85% of rows share one hot key per table (user, order, lang,
            label) — the AQE/salting story's data shape.
 - tiny   : 1-4 rows per table; the off-by-one / empty-group shape.
+- const  : every numeric measure CONSTANT (one value per column across
+           all rows) — zero-variance groups everywhere, so every
+           E[x²]−E[x]² / correlation / z-score / entropy expression
+           walks its catastrophic-cancellation and 0/0 path.
 
 Every failure is triaged, not auto-judged: a report row says whether row
 counts, schema, or values diverged, and the first differing cell. A
@@ -127,6 +131,8 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
                        events=900, docs=300, embs=260),
         "tiny":   dict(cust=3, supp=2, part=3, orders=4, li_k=2,
                        events=4, docs=3, embs=3),
+        "const":  dict(cust=60, supp=5, part=60, orders=300, li_k=3,
+                       events=400, docs=120, embs=120),
     }[profile]
     out: dict[str, pa.Table] = {}
 
@@ -315,6 +321,43 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
          "embedding": pa.array([list(map(float, row)) for row in mat],
                                pa.list_(pa.float32())),
          "label": pa.array(lab, pa.int32())})
+    if profile == "const":
+        out = _make_const(out, seed)
+    return out
+
+
+def _const_col(tbl: pa.Table, name: str, value) -> pa.Table:
+    idx = tbl.schema.get_field_index(name)
+    typ = tbl.schema.field(idx).type
+    return tbl.set_column(
+        idx, pa.field(name, typ), pa.array([value] * tbl.num_rows, typ)
+    )
+
+
+def _make_const(out: dict[str, pa.Table], seed: int) -> dict[str, pa.Table]:
+    """Flatten every numeric MEASURE to one constant (keys/timestamps
+    keep their draws): zero-variance groups everywhere, plus one shared
+    embedding vector so every pairwise cosine is a perfect tie."""
+    out = dict(out)
+    out["customer"] = _const_col(out["customer"], "c_acctbal", 5000.0)
+    out["supplier"] = _const_col(out["supplier"], "s_acctbal", 5000.0)
+    part = _const_col(out["part"], "p_retailprice", 1500.0)
+    out["part"] = _const_col(part, "p_size", 25)
+    out["orders"] = _const_col(out["orders"], "o_totalprice", 50000.0)
+    li = out["lineitem"]
+    for col, v in [("l_quantity", 25.0), ("l_extendedprice", 50000.0),
+                   ("l_discount", 0.05), ("l_tax", 0.04)]:
+        li = _const_col(li, col, v)
+    out["lineitem"] = li
+    out["events"] = _const_col(out["events"], "value", 100.0)
+    emb = out["embeddings"]
+    one = [float(x) for x in
+           _rng(seed, "const-vec").uniform(-0.5, 0.5, 64).astype(np.float32)]
+    idx = emb.schema.get_field_index("embedding")
+    out["embeddings"] = emb.set_column(
+        idx, pa.field("embedding", pa.list_(pa.float32())),
+        pa.array([one] * emb.num_rows, pa.list_(pa.float32())),
+    )
     return out
 
 
