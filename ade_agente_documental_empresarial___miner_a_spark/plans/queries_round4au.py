@@ -131,7 +131,11 @@ def cur_bitext_ratio_filter(spark: SparkSession, sf: str) -> DataFrame:
 
     en = side("en", "en_id", "en_len")
     de = side("de", "de_id", "de_len")
-    ratio = F.col("en_len").cast("double") / F.col("de_len")
+    # try_divide: a pair whose de side is EMPTY (length 0) has an
+    # undefined ratio — NULL ratio and NULL keep on both engines
+    # (DuckDB x/0 → NULL; NULL BETWEEN → NULL), instead of ANSI
+    # aborting the job (parity_fuzz edge, seed 2)
+    ratio = F.try_divide(F.col("en_len").cast("double"), F.col("de_len"))
     return en.join(de, "rnk").select(
         "en_id",
         "de_id",
