@@ -42,7 +42,9 @@ def test_generation_is_deterministic_per_seed():
     assert any(not a[n].equals(c[n]) for n in TABLES)
 
 
-@pytest.mark.parametrize("profile", ["random", "edge", "skew", "tiny"])
+@pytest.mark.parametrize(
+    "profile", ["random", "edge", "skew", "tiny", "const"]
+)
 def test_generated_schemas_match_fixtures(profile, tmp_path):
     d = str(tmp_path / profile)
     write_sf_dir(gen_tables(profile, 0), d)
@@ -63,8 +65,10 @@ _REGRESSION_CASES = [
     ("s18_csv_interop", "edge", 0),
     ("text_edit_distance", "edge", 0),
     # KM survival hitting exactly 0 (d == n_at_risk): ln(0) in the
-    # log-sum form — needs seed 1's fully-churned tiny cohort
-    ("rel_survival_km", "tiny", 1),
+    # log-sum form — needs seed 3's fully-churned tiny cohort (seeds
+    # re-scanned after _rng moved to crc32 tag hashing;
+    # test_pinned_seed_shapes asserts the shape still holds)
+    ("rel_survival_km", "tiny", 3),
     # const profile: zero-range histogram bin width (0/0 under ANSI);
     # approx-percentile rank contract under total ties (rank is a span)
     ("rel_value_histogram", "const", 0),
@@ -73,6 +77,56 @@ _REGRESSION_CASES = [
     # — needs seed 2's rank alignment to pair the empty en/de docs
     ("cur_bitext_ratio_filter", "edge", 2),
 ]
+
+
+def test_pinned_seed_shapes(tmp_path):
+    """The two seed-sensitive pins above only re-trigger their bug class
+    if the generated data still exhibits the shape. Assert the shape
+    DIRECTLY (via DuckDB) so a generator change that drifts the data is
+    a loud failure here, not a silently-depinned regression case."""
+    d = str(tmp_path / "km")
+    write_sf_dir(gen_tables("tiny", 3), d)
+    con = duck_conn(d)
+    try:
+        # fully-churned cohort: some lifetime step has d == n_at_risk,
+        # so KM survival hits exactly 0 at/after it
+        rows = con.execute(
+            """WITH ev AS (SELECT * FROM events),
+            span AS (SELECT user_id,
+                            CAST(min(CAST(ts AS DATE)) AS DATE) f,
+                            CAST(max(CAST(ts AS DATE)) AS DATE) l
+                     FROM ev GROUP BY user_id),
+            edge AS (SELECT max(l) AS e FROM span),
+            life AS (SELECT CAST(l - f AS BIGINT) AS lt,
+                            l > e - 3 AS cens
+                     FROM span CROSS JOIN edge),
+            tbl AS (SELECT lt,
+                           sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) d,
+                           count(*) a FROM life GROUP BY lt),
+            risk AS (SELECT d, sum(a) OVER (ORDER BY lt DESC) n
+                     FROM tbl)
+            SELECT count(*) FROM risk WHERE d >= n AND d > 0"""
+        ).fetchone()
+        assert rows[0] > 0, "tiny/seed 3 lost the d==n_at_risk shape"
+    finally:
+        con.close()
+
+    d = str(tmp_path / "bitext")
+    write_sf_dir(gen_tables("edge", 2), d)
+    con = duck_conn(d)
+    try:
+        # rank-paired en/de docs where the de side is EMPTY (len 0)
+        rows = con.execute(
+            """WITH en AS (SELECT row_number() OVER (ORDER BY doc_id) r
+                           FROM documents WHERE lang = 'en'),
+            de AS (SELECT row_number() OVER (ORDER BY doc_id) r,
+                          length(text) dl
+                   FROM documents WHERE lang = 'de')
+            SELECT count(*) FROM en JOIN de USING (r) WHERE dl = 0"""
+        ).fetchone()
+        assert rows[0] > 0, "edge/seed 2 lost the empty-de-doc pairing"
+    finally:
+        con.close()
 
 
 @pytest.fixture(scope="module")
