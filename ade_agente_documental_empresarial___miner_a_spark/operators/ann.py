@@ -215,7 +215,7 @@ def lloyd_refine_codebook(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iters: int = 1,
-    impl: str = "hof",
+    impl: str = "arrow",
 ) -> list[tuple[int, list[float]]]:
     """Seeded Lloyd's refinement of the coarse codebook, engine-portable.
 
@@ -361,10 +361,16 @@ def ivf_assign_arrow(
     therefore needs two centroid scores within ~1 ulp of each other —
     tests pin exact agreement with ``ivf_assign`` on the fixtures. Ties
     resolve to the larger cid (centroids scanned cid-descending +
-    argmax-first-max), matching the HOF struct-max order. The
-    oracle-paired catalog entries stay on the bit-exact HOF path; this
-    kernel is the ``impl="arrow"`` opt-in for bulk builds (at 100 TB the
-    assignment scan is the dominant S8 cost and this is ~10× less CPU).
+    argmax-first-max), matching the HOF struct-max order; degenerate
+    norms reproduce the HOF try_divide-NULL behavior via the -inf mask
+    below. Since round 8 this kernel is the DEFAULT bulk-build
+    assignment (at 100 TB the assignment scan is the dominant S8 cost
+    and this is ~10× less CPU; VERDICT r7 task 2) — the oracle-paired
+    entries ride it for the build while the query-side probe and exact
+    rerank stay on the HOF fold; ``impl="hof"`` remains the bit-exact
+    opt-out and the agreement is pinned at 100k vectors
+    (tests/test_ann_arrow.py: 0 assignment flips, bit-identical
+    refined codebook).
     """
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
@@ -391,11 +397,19 @@ def ivf_assign_arrow(
                 yield pdf[cols]
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            # |v| > 0 for all fixture/production vectors (same domain
-            # assumption as the HOF path's vnorm division)
-            scores = (v @ C.T) / (
-                np.sqrt((v * v).sum(axis=1, keepdims=True)) * cnorms
-            )
+            # Degenerate norms (zero vector / zero centroid) produce
+            # 0/0 = NaN here where the HOF path's try_divide produces
+            # NULL. HOF semantics: a NULL score LOSES the struct-max to
+            # any real score, and an all-NULL row falls through to the
+            # LARGEST cid. Masking NaN to -inf reproduces both: -inf
+            # loses to any real score, and an all--inf row argmaxes to
+            # index 0 = the largest cid in this cid-descending scan
+            # (pinned vs ivf_assign in tests/test_ann_arrow.py).
+            with np.errstate(invalid="ignore", divide="ignore"):
+                scores = (v @ C.T) / (
+                    np.sqrt((v * v).sum(axis=1, keepdims=True)) * cnorms
+                )
+            scores = np.where(np.isnan(scores), -np.inf, scores)
             pdf = pdf.assign(cell=cids[np.argmax(scores, axis=1)])
             yield pdf[cols]
 
@@ -419,7 +433,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     refine_iters: int = 1,
-    impl: str = "hof",
+    impl: str = "arrow",
 ) -> DataFrame:
     """IVF-flat ANN search: probe the nprobe nearest cells, exact cosine
     rerank inside them, global top-k via orderBy().limit(k)
@@ -427,9 +441,9 @@ def ivf_topk(
     Returns (vec_id, label, score, rnk). Recall is nprobe/n_centroids-
     tunable; nprobe = n_centroids degenerates to exact search.
     ``refine_iters`` Lloyd's passes sharpen the seed codebook (default 1);
-    0 reproduces the raw smallest-id seeds. ``impl="arrow"`` routes the
-    bulk assignment scans through the vectorized kernel
-    (``ivf_assign_arrow``); the query-side probe and the exact rerank
+    0 reproduces the raw smallest-id seeds. The bulk assignment scans
+    ride the Arrow-vectorized kernel by default (``ivf_assign_arrow``;
+    ``impl="hof"`` opts out); the query-side probe and the exact rerank
     stay on the bit-exact HOF fold either way."""
     from pyspark.sql import Window
 
@@ -479,7 +493,7 @@ def ivf_quantized_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     refine_iters: int = 1,
-    impl: str = "hof",
+    impl: str = "arrow",
 ) -> DataFrame:
     """IVF-pruned int8 retrieval — how a billion-vector index actually
     combines the two: the coarse codebook prunes the scan to nprobe cells,
@@ -559,7 +573,7 @@ def save_ivf_i8_index(
     refine_iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    impl: str = "hof",
+    impl: str = "arrow",
     shuffle_to_cells: bool = False,
 ) -> str:
     """Build + persist the IVF/int8 index: ``<path>/codebook`` (n_centroids

@@ -247,6 +247,28 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
     # the changes land before the round-7 gate runs, so a r>=7 green
     # record certifies them
     7,
+) | dict.fromkeys(
+    (
+        # r08: the Arrow-matmul assignment kernel became the DEFAULT
+        # IVF bulk-build lane (VERDICT r7 task 2) — lloyd_refine_
+        # codebook / ivf_topk / ivf_quantized_topk / save_ivf_i8_index
+        # default impl flipped hof→arrow, and the four direct
+        # ivf_assign call sites (recall/ndcg/filtered eval harnesses,
+        # SemDeDup cells) now call ivf_assign_arrow. Agreement is
+        # pinned bit-identical on fixtures + 100k vectors and the
+        # kernel gained the HOF-matching -inf mask for degenerate
+        # norms, but every green entry whose executed plan changed
+        # must re-green at the hard gate.
+        "sim_ivf_topk",
+        "sim_ivf_quantized",
+        "sim_ivf_persisted",
+        "sim_ivf_recall",
+        "sim_ivf_ndcg",
+        "sim_ivf_filtered",
+        "dedup_semantic",
+    ),
+    # the flip lands before the round-8 gate runs
+    8,
 )
 
 

@@ -91,13 +91,13 @@ def sim_ivf_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.vector import cosine_similarity
     from ..operators.ann import (
         _cell_scores,
-        ivf_assign,
+        ivf_assign_arrow,
         lloyd_refine_codebook,
     )
 
     emb = table(spark, sf, "embeddings")
     cents = lloyd_refine_codebook(emb, 16, iters=1)
-    assigned = ivf_assign(emb, 16, cents=cents)
+    assigned = ivf_assign_arrow(emb, 16, cents=cents)
     probed = F.slice(
         F.sort_array(_cell_scores(F.col("qvec"), cents), asc=False),
         1,

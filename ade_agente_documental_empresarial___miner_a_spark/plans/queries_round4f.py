@@ -299,11 +299,11 @@ FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id"""
 @register("dedup_semantic", _semdedup_sql())
 def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.vector import cosine_similarity
-    from ..operators.ann import ivf_assign, lloyd_refine_codebook
+    from ..operators.ann import ivf_assign_arrow, lloyd_refine_codebook
 
     emb = table(spark, sf, "embeddings")
     cents = lloyd_refine_codebook(emb, _SEM_CELLS, iters=1)
-    cells = ivf_assign(emb, _SEM_CELLS, cents=cents).select(
+    cells = ivf_assign_arrow(emb, _SEM_CELLS, cents=cents).select(
         "vec_id", "embedding", "cell"
     )
     a = cells.select(

@@ -444,14 +444,14 @@ def sim_ivf_filtered(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.vector import cosine_similarity
     from ..operators.ann import (
         _cell_scores,
-        ivf_assign,
+        ivf_assign_arrow,
         lloyd_refine_codebook,
     )
 
     qid, nprobe, k, target, n_cent = 7, 6, 5, 3, 16
     emb = table(spark, sf, "embeddings")
     cents = lloyd_refine_codebook(emb, n_cent, iters=1)
-    assigned = ivf_assign(emb, n_cent, cents=cents)
+    assigned = ivf_assign_arrow(emb, n_cent, cents=cents)
     probed = F.slice(
         F.sort_array(_cell_scores(F.col("_qvec"), cents), asc=False),
         1,

@@ -1,5 +1,5 @@
-"""Arrow-vectorized IVF assignment (`ivf_assign_arrow`) — the opt-in
-production-scale twin of the bit-exact HOF kernel.
+"""Arrow-vectorized IVF assignment (`ivf_assign_arrow`) — since round 8
+the DEFAULT bulk-build lane; `impl="hof"` is the bit-exact opt-out.
 
 The contract is AGREEMENT, not shared code paths: the numpy matmul may
 differ from the HOF's sequential fold in the last ulp of each dot, so an
@@ -48,11 +48,52 @@ def test_arrow_refined_codebook_bit_identical(spark, sf_dir):
 
 def test_arrow_ivf_topk_identical_results(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    hof = ivf_topk(emb, query_id=7, k=5, nprobe=4, n_centroids=16).collect()
+    hof = ivf_topk(
+        emb, query_id=7, k=5, nprobe=4, n_centroids=16, impl="hof"
+    ).collect()
     arrow = ivf_topk(
         emb, query_id=7, k=5, nprobe=4, n_centroids=16, impl="arrow"
     ).collect()
     assert hof == arrow
+
+
+def test_default_impl_is_arrow_and_matches_hof(spark, sf_dir):
+    # the production default (no impl kwarg) must be the arrow lane and
+    # must return exactly what the HOF opt-out returns on the fixtures
+    emb = _emb(spark, sf_dir)
+    default = ivf_topk(emb, query_id=7, k=5, nprobe=4, n_centroids=16)
+    hof = ivf_topk(
+        emb, query_id=7, k=5, nprobe=4, n_centroids=16, impl="hof"
+    )
+    # the default plan routes assignment through the Arrow kernel
+    # (MapInPandas node present), the opt-out does not
+    assert "MapInPandas" in default._jdf.queryExecution().toString()
+    assert "MapInPandas" not in hof._jdf.queryExecution().toString()
+    assert default.collect() == hof.collect()
+
+
+def test_degenerate_norms_match_hof_null_semantics(spark):
+    # zero VECTOR → every score NULL on the HOF path → struct-max falls
+    # through to the largest cid; zero CENTROID → that one score NULL →
+    # it must lose to any real score. The arrow kernel reproduces both
+    # via the NaN→-inf mask (without it, numpy argmax treats NaN as
+    # maximal and a zero centroid would capture every vector).
+    cents = [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])]
+    emb = spark.createDataFrame(
+        [
+            (10, [0.0, 0.0, 0.0]),   # zero vector: all-NULL → max cid
+            (11, [1.0, 0.0, 0.0]),   # real winner despite NULL vs cent 0
+            (12, [0.5, 0.5, 0.0]),   # exact tie c1/c2 → larger cid
+            (13, [-1.0, 0.0, 0.0]),  # negative best: score 0 beats -1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    hof = {r.vec_id: r.cell for r in ivf_assign(emb, cents=cents).collect()}
+    arrow = {
+        r.vec_id: r.cell
+        for r in ivf_assign_arrow(emb, cents=cents).collect()
+    }
+    assert hof == arrow == {10: 2, 11: 1, 12: 2, 13: 2}
 
 
 def test_arrow_assign_does_not_mutate_input_schema(spark, sf_dir):
