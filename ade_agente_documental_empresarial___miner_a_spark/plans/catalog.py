@@ -266,6 +266,15 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
         "sim_ivf_ndcg",
         "sim_ivf_filtered",
         "dedup_semantic",
+        # r08: multimodal decode de-stubbed to tier-2 stdlib header
+        # parsers (VERDICT r7 task 3) — these three entries now build
+        # genuinely-valid BMP/WAV/AVI payloads (synth_media_from_docs)
+        # and their dims/durations come from the header PARSE instead
+        # of the md5 fake. Values are constructed to be identical
+        # (verified green at sf0.01), but the executed plan changed.
+        "mm_resize_plan",
+        "mm_frame_plan",
+        "mm_audio_chunks",
     ),
     # the flip lands before the round-8 gate runs
     8,
@@ -435,6 +444,7 @@ def _load():
     from . import queries_round4ax  # noqa: F401
     from . import queries_round4ay  # noqa: F401
     from . import queries_round4az  # noqa: F401
+    from . import queries_round8  # noqa: F401
 
     _LOADED = True
 

@@ -1288,13 +1288,19 @@ SELECT media_id,
 FROM d""",
 )
 def mm_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
-    from ..sources.multimodal import frame_sample_plan
+    from ..sources.multimodal import frame_sample_plan, synth_media_from_docs
 
     docs = table(spark, sf, "documents")
-    media = docs.where(F.col("doc_id") % 3 == 0).select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("video").alias("kind"),
-        F.encode("text", "UTF-8").alias("content"),
+    # content is a VALID AVI (media_headers.build_avi) whose header
+    # carries the md5-derived duration; the plan's duration comes from
+    # the tier-2 header PARSE, which the oracle's md5 arithmetic
+    # certifies (a tier-3 fake would md5 the AVI bytes and diverge)
+    media = synth_media_from_docs(
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            "text",
+        )
     )
     return frame_sample_plan(media, every_ms=1000).select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
@@ -1430,13 +1436,20 @@ SELECT media_id, kind, width, height,
 FROM g""",
 )
 def mm_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
-    from ..sources.multimodal import resize_plan
+    from ..sources.multimodal import resize_plan, synth_media_from_docs
 
     docs = table(spark, sf, "documents").where(F.col("doc_id") % 3 != 2)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias("kind"),
-        F.encode("text", "UTF-8").alias("content"),
+    # valid BMP (image) / AVI (video) payloads whose headers carry the
+    # md5-derived dims; the resize math consumes the tier-2 header
+    # PARSE, oracle-certified by the md5 arithmetic
+    media = synth_media_from_docs(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 3 == 0, "video")
+            .otherwise("image")
+            .alias("kind"),
+            "text",
+        )
     )
     return resize_plan(media, target=224)
 

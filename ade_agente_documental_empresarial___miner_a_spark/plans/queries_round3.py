@@ -421,15 +421,20 @@ SELECT media_id, CAST(seg_idx AS BIGINT) AS seg_idx,
 FROM seg""",
 )
 def mm_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
-    from ..sources.multimodal import audio_chunk_plan
+    from ..sources.multimodal import audio_chunk_plan, synth_media_from_docs
 
     docs = table(spark, sf, "documents").where(F.col("doc_id") % 3 != 2)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("audio").alias(
-            "kind"
-        ),
-        F.encode("text", "UTF-8").alias("content"),
+    # valid WAV (audio) / AVI (video) payloads; segment bounds consume
+    # the tier-2 header-parsed duration, oracle-certified by the md5
+    # arithmetic the construction reuses
+    media = synth_media_from_docs(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 3 == 0, "video")
+            .otherwise("audio")
+            .alias("kind"),
+            "text",
+        )
     )
     return audio_chunk_plan(media, chunk_ms=5000)
 

@@ -1,0 +1,242 @@
+"""Vendored stdlib media header builders + parsers — multimodal tier 2.
+
+The container has no Pillow/librosa/av, so real pixel/sample decode is
+impossible here (tier 1, ``decode_stub=False``, still raises). What a
+100 TB curation pipeline needs FIRST from media, though, is header
+metadata — dimensions, duration, format — and that is pure byte
+arithmetic the stdlib covers. This module de-stubs that step the same
+way ``pdftext.py``/``xlsx_lite.py`` de-stubbed S3/S5 in round 6
+(VERDICT r7 task 3): hand-rolled parsers for the headers of six common
+container formats, plus builders that CONSTRUCT minimal valid files so
+the fixtures can carry genuinely parseable media.
+
+Parsers (``sniff``): PNG (IHDR), GIF (logical screen descriptor), BMP
+(BITMAPINFOHEADER), JPEG (SOF segment scan), WAV (RIFF fmt/data
+chunks), AVI (RIFF avih main header). Each returns header-declared
+facts only — a truncated payload parses fine, exactly like any
+header-sniffing tool (file(1), exiftool). Malformed bytes return None,
+never raise: the caller degrades to the md5-fake tier.
+
+Builders: header-exact files with deterministic parameters; payload
+bytes after the header are omitted (declared sizes stand in), which
+keeps 60k-row fixture media at tens of bytes per row instead of the
+megabytes real sample data would cost. The parse→build round trip is
+pinned by property tests (tests/test_media_headers.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+# ---------------------------------------------------------------------------
+# builders
+
+
+def build_bmp(width: int, height: int) -> bytes:
+    """54-byte BMP (BITMAPINFOHEADER, 24bpp) header; pixel array omitted."""
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0
+    )
+    return header
+
+
+def build_png(width: int, height: int) -> bytes:
+    """PNG signature + IHDR chunk (real CRC); IDAT/IEND omitted."""
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def build_gif(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer."""
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0x00, 0x00, 0x00])
+        + b"\x3b"
+    )
+
+
+def build_jpeg(width: int, height: int) -> bytes:
+    """SOI + APP0/JFIF + SOF0 (carries the dims) + EOI; scan data omitted."""
+    app0 = struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        [1, 1, 0, 0, 1, 0, 1, 0, 0]
+    )
+    sof0 = struct.pack(">HBHHB", 8 + 3, 8, height, width, 1) + bytes([1, 0x11, 0])
+    return (
+        b"\xff\xd8" + b"\xff\xe0" + app0 + b"\xff\xc0" + sof0 + b"\xff\xd9"
+    )
+
+
+def build_wav(duration_ms: int) -> bytes:
+    """44-byte WAV header, PCM 8-bit mono at 1000 Hz (byte rate 1000, so
+    the declared data size in bytes IS the duration in ms); sample bytes
+    omitted — duration comes from the declared size, as any header
+    sniffer reads it."""
+    data_size = int(duration_ms)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 1000, 1000, 1, 8)
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def build_avi(width: int, height: int, duration_ms: int) -> bytes:
+    """RIFF AVI with the hdrl LIST's avih main header (1 ms/frame, so
+    dwTotalFrames = duration in ms); movi data omitted."""
+    avih = struct.pack(
+        "<14I",
+        1000,           # dwMicroSecPerFrame: 1 ms per frame
+        0, 0, 0,
+        int(duration_ms),  # dwTotalFrames
+        0, 1, 0,
+        int(width),     # dwWidth
+        int(height),    # dwHeight
+        0, 0, 0, 0,
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    body = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# parsers — each returns a dict or None; none of them raises on garbage
+
+
+def _parse_png(data: bytes) -> dict | None:
+    if len(data) < 24 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if data[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", data[16:24])
+    return {"format": "png", "width": w, "height": h, "duration_ms": None}
+
+
+def _parse_gif(data: bytes) -> dict | None:
+    if len(data) < 10 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", data[6:10])
+    return {"format": "gif", "width": w, "height": h, "duration_ms": None}
+
+
+def _parse_bmp(data: bytes) -> dict | None:
+    if len(data) < 26 or data[:2] != b"BM":
+        return None
+    w, h = struct.unpack("<ii", data[18:26])
+    return {
+        "format": "bmp",
+        "width": abs(w),
+        "height": abs(h),  # negative height = top-down row order
+        "duration_ms": None,
+    }
+
+
+def _parse_jpeg(data: bytes) -> dict | None:
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    # SOF0..SOF15 carry the frame dims; C4/C8/CC are not SOFs
+    sof = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        code = data[pos + 1]
+        if code == 0xD9:  # EOI
+            return None
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if code in sof:
+            if pos + 9 > len(data):
+                return None
+            h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+            return {
+                "format": "jpeg",
+                "width": w,
+                "height": h,
+                "duration_ms": None,
+            }
+        pos += 2 + seg_len
+    return None
+
+
+def _riff_chunks(data: bytes, start: int):
+    """Yield (fourcc, declared_size, payload) for RIFF sub-chunks; the
+    payload may be shorter than the declared size on truncated files."""
+    pos = start
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        yield cid, size, data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _parse_wav(data: bytes) -> dict | None:
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    byte_rate = None
+    data_size = None
+    for cid, size, payload in _riff_chunks(data, 12):
+        if cid == b"fmt " and len(payload) >= 12:
+            byte_rate = struct.unpack("<I", payload[8:12])[0]
+        elif cid == b"data":
+            # DECLARED size, not len(payload): a truncated file still
+            # declares its duration in the header
+            data_size = size
+    if not byte_rate or data_size is None:
+        return None
+    return {
+        "format": "wav",
+        "width": None,
+        "height": None,
+        "duration_ms": data_size * 1000 // byte_rate,
+    }
+
+
+def _parse_avi(data: bytes) -> dict | None:
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    off = data.find(b"avih")
+    if off < 0 or off + 8 + 40 > len(data):
+        return None
+    body = data[off + 8 :]
+    usec_per_frame = struct.unpack("<I", body[0:4])[0]
+    total_frames = struct.unpack("<I", body[16:20])[0]
+    width = struct.unpack("<I", body[32:36])[0]
+    height = struct.unpack("<I", body[36:40])[0]
+    return {
+        "format": "avi",
+        "width": width,
+        "height": height,
+        "duration_ms": usec_per_frame * total_frames // 1000,
+    }
+
+
+_PARSERS = (_parse_png, _parse_gif, _parse_bmp, _parse_jpeg, _parse_wav,
+            _parse_avi)
+
+
+def sniff(data: bytes) -> dict | None:
+    """Magic-dispatch header parse. Returns {format, width, height,
+    duration_ms} (absent facts None) or None when no parser claims the
+    bytes. Never raises on malformed input."""
+    if not data:
+        return None
+    for parse in _PARSERS:
+        try:
+            out = parse(data)
+        except Exception:  # noqa: BLE001 — garbage bytes degrade, not die
+            out = None
+        if out is not None:
+            return out
+    return None

@@ -2,11 +2,24 @@
 
 Image/audio/video payloads are opaque ``BINARY`` columns with typed
 metadata structs; decode/feature-extraction runs as Arrow-batched
-``mapInPandas``. The decode libraries (Pillow/librosa/av) are NOT in this
-container, so the decode step is STUBBED: ``decode_stub=True`` routes to a
-deterministic fake (md5-seeded pseudo-features) and real decoders raise
-``NotImplementedError`` — the Spark-side plumbing (schema, batching,
-partition behavior) is real and tested either way.
+``mapInPandas``. Metadata decode is TIERED (same pattern as the S3/S5
+extract tiers in ``extract.py``):
+
+- tier 1 — real decoders (Pillow/librosa/av): NOT in this container;
+  ``decode_stub=False`` still raises ``NotImplementedError``.
+- tier 2 — vendored stdlib header parsers (``media_headers.sniff``):
+  payloads that are genuinely PNG/GIF/BMP/JPEG/WAV/AVI report their
+  REAL header width/height/duration. This is the default-active path
+  since round 8 (VERDICT r7 task 3); ``synth_media_from_docs`` below
+  constructs valid media so the fixtures exercise it, and the oracle
+  parity certifies the parse (a fake value would hash-diverge: the
+  fake seeds from md5(payload bytes), the construction from
+  md5(source text)).
+- tier 3 — deterministic md5-seeded fake dims/duration for payloads no
+  parser claims (the old stub, now the degrade path).
+
+The FEATURE vector itself stays md5-fake at every tier — pixel/sample
+decode genuinely needs the tier-1 libraries.
 """
 
 from __future__ import annotations
@@ -66,9 +79,11 @@ def extract_media_features(
     decode_stub: bool = True,
     dim: int = 8,
 ) -> DataFrame:
-    """Decode/feature-extract media binaries. With ``decode_stub`` the
-    decode is a deterministic fake (md5 features + synthetic dims);
-    without it, real decoders are required and currently raise."""
+    """Decode/feature-extract media binaries, tiered (module docstring):
+    tier 2 header-parses genuinely-valid payloads for real dims/duration;
+    tier 3 falls back to the deterministic md5 fake. ``decode_stub=False``
+    demands the tier-1 real decoders and currently raises."""
+    from .media_headers import sniff
 
     def run(batches):
         for pdf in batches:
@@ -93,12 +108,22 @@ def extract_media_features(
                         raise NotImplementedError(
                             "real media decoders (Pillow/librosa/av) not installed"
                         )
-                    h = hashlib.md5(data).digest()
-                    if kind in ("image", "video"):
-                        rec["width"] = 64 + h[0] % 192
-                        rec["height"] = 64 + h[1] % 192
-                    if kind in ("audio", "video"):
-                        rec["duration_ms"] = 1000 + int.from_bytes(h[2:4], "little")
+                    parsed = sniff(data)
+                    if parsed is not None:
+                        # tier 2: header facts are the truth
+                        rec["width"] = parsed["width"]
+                        rec["height"] = parsed["height"]
+                        rec["duration_ms"] = parsed["duration_ms"]
+                    else:
+                        # tier 3: md5-seeded fake dims (degrade path)
+                        h = hashlib.md5(data).digest()
+                        if kind in ("image", "video"):
+                            rec["width"] = 64 + h[0] % 192
+                            rec["height"] = 64 + h[1] % 192
+                        if kind in ("audio", "video"):
+                            rec["duration_ms"] = 1000 + int.from_bytes(
+                                h[2:4], "little"
+                            )
                     rec["features"] = _fake_features(data, dim)
                 except Exception as e:  # noqa: BLE001
                     rec["error"] = f"{type(e).__name__}: {e}"
@@ -109,6 +134,52 @@ def extract_media_features(
     needed = ["media_id", "kind", content_col]
     assert all(c in cols for c in needed), f"need columns {needed}"
     return media.select(*needed).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synth_media_from_docs(
+    docs: DataFrame,
+    kind_col: str = "kind",
+    id_col: str = "media_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Construct GENUINELY-VALID media binaries from document text —
+    the fixture-side producer for the tier-2 header parsers.
+
+    Parameters derive from md5(text) with the same arithmetic the old
+    md5 fake used (and the DuckDB oracles replay): width = 64+h[0]%192,
+    height = 64+h[1]%192, duration_ms = 1000+le16(h[2:4]). kind routes
+    the container: image → BMP, audio → WAV, video → AVI (dims AND
+    duration). Map-only (one Arrow-batched pass, no shuffle); output is
+    (media_id, kind, content) in MEDIA_SCHEMA shape."""
+    from .media_headers import build_avi, build_bmp, build_wav
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                h = hashlib.md5(
+                    str(row[text_col]).encode("utf-8")
+                ).digest()
+                w, ht = 64 + h[0] % 192, 64 + h[1] % 192
+                dur = 1000 + int.from_bytes(h[2:4], "little")
+                kind = row[kind_col]
+                if kind == "image":
+                    content = build_bmp(w, ht)
+                elif kind == "audio":
+                    content = build_wav(dur)
+                else:
+                    content = build_avi(w, ht, dur)
+                out.append(
+                    {"media_id": row[id_col], "kind": kind,
+                     "content": content}
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_SCHEMA]
+            )
+
+    return docs.select(id_col, kind_col, text_col).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 def resize_plan(

@@ -1,0 +1,189 @@
+"""Vendored media header builders/parsers (sources/media_headers.py) and
+the tier-2 decode path they enable in extract_media_features.
+
+The builders construct minimal VALID files; the parsers must read back
+exactly the parameters built in (round trip), never raise on garbage,
+and — the tier contract — take precedence over the md5 fake inside
+extract_media_features while unparseable payloads still degrade to it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+    build_avi,
+    build_bmp,
+    build_gif,
+    build_jpeg,
+    build_png,
+    build_wav,
+    sniff,
+)
+
+_IMG_BUILDERS = {
+    "png": build_png,
+    "gif": build_gif,
+    "bmp": build_bmp,
+    "jpeg": build_jpeg,
+}
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    fmt=st.sampled_from(sorted(_IMG_BUILDERS)),
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+)
+def test_image_roundtrip(fmt, w, h):
+    got = sniff(_IMG_BUILDERS[fmt](w, h))
+    assert got == {
+        "format": fmt, "width": w, "height": h, "duration_ms": None
+    }
+
+
+@settings(max_examples=50, deadline=None)
+@given(dur=st.integers(min_value=0, max_value=2**31 - 1))
+def test_wav_roundtrip(dur):
+    got = sniff(build_wav(dur))
+    assert got == {
+        "format": "wav", "width": None, "height": None, "duration_ms": dur
+    }
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=100_000),
+    h=st.integers(min_value=1, max_value=100_000),
+    dur=st.integers(min_value=0, max_value=10**8),
+)
+def test_avi_roundtrip(w, h, dur):
+    got = sniff(build_avi(w, h, dur))
+    assert got == {
+        "format": "avi", "width": w, "height": h, "duration_ms": dur
+    }
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_sniff_never_raises_on_garbage(data):
+    out = sniff(data)
+    assert out is None or isinstance(out, dict)
+
+
+def test_sniff_rejects_close_calls():
+    # right magic, truncated body — must degrade, not crash or misparse
+    assert sniff(b"") is None
+    assert sniff(b"BM") is None
+    assert sniff(b"\x89PNG\r\n\x1a\n") is None
+    assert sniff(b"GIF89a\x01") is None
+    assert sniff(b"\xff\xd8\xff") is None
+    assert sniff(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert sniff(b"RIFF\x04\x00\x00\x00AVI ") is None
+    assert sniff("plain text document".encode()) is None
+
+
+def test_bmp_topdown_negative_height():
+    # negative biHeight = top-down DIB; dimensions are still |h|
+    import struct
+
+    data = bytearray(build_bmp(10, 20))
+    data[22:26] = struct.pack("<i", -20)
+    assert sniff(bytes(data)) == {
+        "format": "bmp", "width": 10, "height": 20, "duration_ms": None
+    }
+
+
+def test_tier2_header_beats_tier3_fake(spark):
+    # a valid BMP whose header dims differ from what the md5 fake would
+    # invent for the same bytes: the extractor must report the header
+    from ade_agente_documental_empresarial___miner_a_spark.sources.multimodal import (
+        extract_media_features,
+    )
+
+    payload = build_bmp(123, 45)
+    h = hashlib.md5(payload).digest()
+    fake_w, fake_h = 64 + h[0] % 192, 64 + h[1] % 192
+    assert (fake_w, fake_h) != (123, 45)  # distinguishable by design
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, kind string, content binary",
+    )
+    row = extract_media_features(media).collect()[0]
+    assert (row.width, row.height) == (123, 45)
+    assert row.duration_ms is None
+    assert row.error is None
+
+
+def test_tier3_fake_still_covers_unparseable(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.sources.multimodal import (
+        extract_media_features,
+    )
+
+    payload = b"not a media file at all"
+    h = hashlib.md5(payload).digest()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload)), (2, "audio", bytearray(payload))],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert rows[1].width == 64 + h[0] % 192
+    assert rows[1].height == 64 + h[1] % 192
+    assert rows[1].duration_ms is None
+    assert rows[2].duration_ms == 1000 + int.from_bytes(h[2:4], "little")
+    assert rows[2].width is None
+
+
+def test_synth_media_parses_back_to_md5_params(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.sources.multimodal import (
+        extract_media_features,
+        synth_media_from_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "image", "alpha beta"),
+            (2, "audio", "gamma delta"),
+            (3, "video", "epsilon zeta"),
+        ],
+        "media_id long, kind string, text string",
+    )
+    feats = {
+        r.media_id: r
+        for r in extract_media_features(synth_media_from_docs(docs)).collect()
+    }
+    for mid, text in ((1, "alpha beta"), (2, "gamma delta"),
+                      (3, "epsilon zeta")):
+        h = hashlib.md5(text.encode()).digest()
+        w, ht = 64 + h[0] % 192, 64 + h[1] % 192
+        dur = 1000 + int.from_bytes(h[2:4], "little")
+        r = feats[mid]
+        assert r.error is None
+        if r.kind in ("image", "video"):
+            assert (r.width, r.height) == (w, ht)
+        if r.kind in ("audio", "video"):
+            assert r.duration_ms == dur
+        if r.kind == "image":
+            assert r.duration_ms is None
+        if r.kind == "audio":
+            assert r.width is None and r.height is None
+
+
+def test_decode_stub_false_still_raises_into_error_rows(spark):
+    # tier 1 (real decoders) remains absent in this container: the
+    # error lands in the row, the job never dies
+    from ade_agente_documental_empresarial___miner_a_spark.sources.multimodal import (
+        extract_media_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(build_png(8, 8)))],
+        "media_id long, kind string, content binary",
+    )
+    row = extract_media_features(media, decode_stub=False).collect()[0]
+    assert row.error is not None and "NotImplementedError" in row.error
+    assert row.width is None and row.features is None
