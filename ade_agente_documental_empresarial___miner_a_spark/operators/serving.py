@@ -55,6 +55,13 @@ class ServingHit(NamedTuple):
     score: float | None  # None = NULL cosine (a zero-norm operand)
 
 
+class HierarchyHit(NamedTuple):
+    label: object  # the label column's native value (str, int, ...)
+    chunk_id: int
+    score: float | None
+    rnk: int  # 1-based rank within the label group
+
+
 class RamServingIndex:
     """Bounded driver-RAM cosine top-k index over (id, text, embedding).
 
@@ -70,13 +77,21 @@ class RamServingIndex:
         ids: np.ndarray,
         texts: list[str],
         vectors: np.ndarray,
+        labels: list[str] | None = None,
     ) -> None:
         if vectors.ndim != 2 or not (
             len(ids) == len(texts) == vectors.shape[0]
         ):
             raise ValueError("ids/texts/vectors row counts must agree")
+        if labels is not None and len(labels) != vectors.shape[0]:
+            raise ValueError("labels row count must agree with vectors")
         self._ids = ids
         self._texts = texts
+        # optional section/label column for hierarchical retrieval —
+        # object dtype keeps arbitrary strings equality-groupable
+        self._labels = (
+            None if labels is None else np.asarray(labels, dtype=object)
+        )
         # float32 → float64 is exact, matching the engine's FLOAT→DOUBLE
         # cast before arithmetic. COLUMN-major layout: the bit-exact
         # fold walks one dimension at a time across all rows, so each
@@ -107,6 +122,7 @@ class RamServingIndex:
         id_col: str = "chunk_id",
         text_col: str = "text",
         max_rows: int = 1_000_000,
+        label_col: str | None = None,
     ) -> "RamServingIndex":
         """One bounded Spark job: ``limit(max_rows + 1)`` caps the
         materialization BEFORE it reaches the driver, so an index frame
@@ -119,10 +135,11 @@ class RamServingIndex:
         columnar batches land as numpy views instead of a million
         pickled Row objects — ~30× faster at the 1M-vector decade —
         with the row-collect path kept as the fallback."""
-        capped = chunks.select(id_col, text_col, vec_col).limit(
-            max_rows + 1
+        sel = [id_col, text_col, vec_col] + (
+            [label_col] if label_col else []
         )
-        ids, texts, vectors, n = cls._materialize(capped)
+        capped = chunks.select(*sel).limit(max_rows + 1)
+        ids, texts, vectors, labels, n = cls._materialize(capped)
         if n > max_rows:
             raise ValueError(
                 f"serving index exceeds max_rows={max_rows}; shard the "
@@ -134,26 +151,30 @@ class RamServingIndex:
                 np.empty(0, dtype=np.int64),
                 [],
                 np.empty((0, 0), dtype=np.float64),
+                [] if label_col else None,
             )
-        return cls(ids, texts, vectors)
+        return cls(ids, texts, vectors, labels)
 
     @staticmethod
     def _materialize(capped: DataFrame):
+        has_labels = len(capped.columns) > 3
         try:
             tbl = capped.toArrow()
         except Exception:
             rows = capped.collect()
             if not rows:
-                return None, None, None, 0
+                return None, None, None, None, 0
             ids = np.array([r[0] for r in rows], dtype=np.int64)
             texts = [r[1] for r in rows]
             vectors = np.array([r[2] for r in rows], dtype=np.float64)
-            return ids, texts, vectors, len(rows)
+            labels = [r[3] for r in rows] if has_labels else None
+            return ids, texts, vectors, labels, len(rows)
         n = tbl.num_rows
         if n == 0:
-            return None, None, None, 0
+            return None, None, None, None, 0
         ids = tbl.column(0).to_numpy().astype(np.int64, copy=False)
         texts = tbl.column(1).to_pylist()
+        labels = tbl.column(3).to_pylist() if has_labels else None
         emb = tbl.column(2).combine_chunks()
         if emb.null_count or emb.values.null_count:
             raise ValueError("null embeddings in serving index")
@@ -171,7 +192,7 @@ class RamServingIndex:
                 .astype(np.float64, copy=False)
                 .reshape(n, int(lengths[0]))
             )
-        return ids, texts, vectors, n
+        return ids, texts, vectors, labels, n
 
     def topk_batch(
         self, query_vecs: list[list[float]], k: int = 4
@@ -205,6 +226,22 @@ class RamServingIndex:
         """DESC by score with Spark's full ordering — NaN greatest,
         NULL last — ties by id ascending. ``null_mask`` marks rows
         whose cosine is NULL (zero-norm operand under try_divide)."""
+        order = self._order(scores, null_mask, k)
+        return [
+            ServingHit(
+                int(self._ids[i]),
+                self._texts[i],
+                None if null_mask[i] else float(scores[i]),
+            )
+            for i in order
+        ]
+
+    def _order(
+        self, scores: np.ndarray, null_mask: np.ndarray, k: int
+    ) -> np.ndarray:
+        """Row indices of the top-k under (score DESC with NaN greatest
+        and NULL last, id ASC) — the shared comparator of topk and
+        search_hierarchy."""
         n_rows = scores.shape[0]
         key = np.where(np.isnan(scores), np.inf, scores)
         # NULL rows sort after every non-null key; give them a constant
@@ -224,30 +261,22 @@ class RamServingIndex:
             cand = live[key[live] >= kth]
             sub = np.lexsort((self._ids[cand], -key[cand]))[:k]
             order = cand[sub]
-        return [
-            ServingHit(
-                int(self._ids[i]),
-                self._texts[i],
-                None if null_mask[i] else float(scores[i]),
-            )
-            for i in order
-        ]
+        return order
 
-    def topk(self, query_vec: list[float], k: int = 4) -> list[ServingHit]:
-        """Top-k by cosine(v, q), descending, ties by id ascending —
-        the exact ordering ``topk_similar`` compiles to."""
-        if len(self) == 0 or k <= 0:
-            return []
+    def _score_query(
+        self, query_vec: list[float]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """cosine(v, q) for every index row with cosine_to_literal's
+        exact fold — (scores, null_mask). Per dimension: round the
+        product, then round the running add. multiply(out=) reuses one
+        temp buffer instead of allocating 8 MB per dimension at the
+        1M-row scale; the rounding sequence is unchanged (same two
+        ufunc applications per step)."""
         q = np.asarray(query_vec, dtype=np.float64)
         if q.shape[0] != self._m.shape[1]:
             raise ValueError(
                 f"query dim {q.shape[0]} != index dim {self._m.shape[1]}"
             )
-        # dot(v, q) with cosine_to_literal's exact fold: per dimension,
-        # round the product, then round the running add. multiply(out=)
-        # reuses one temp buffer instead of allocating 8 MB per
-        # dimension at the 1M-row scale; the rounding sequence is
-        # unchanged (same two ufunc applications per step).
         n_rows = self._m.shape[0]
         s = np.zeros(n_rows, dtype=np.float64)
         tmp = np.empty(n_rows, dtype=np.float64)
@@ -265,6 +294,14 @@ class RamServingIndex:
         null_mask = denom == 0.0
         with np.errstate(divide="ignore", invalid="ignore"):
             scores = s / denom
+        return scores, null_mask
+
+    def topk(self, query_vec: list[float], k: int = 4) -> list[ServingHit]:
+        """Top-k by cosine(v, q), descending, ties by id ascending —
+        the exact ordering ``topk_similar`` compiles to."""
+        if len(self) == 0 or k <= 0:
+            return []
+        scores, null_mask = self._score_query(query_vec)
         # ranking: NaN maps to +inf (Spark sorts NaN as GREATEST under
         # descending order), NULL (zero-norm row, try_divide) maps
         # last, then an O(n) threshold prefilter via np.partition —
@@ -273,3 +310,56 @@ class RamServingIndex:
         # candidate set with the same comparator is bit-identical to
         # the full lexsort (150 ms → 7 ms at 1M rows).
         return self._rank(scores, null_mask, k)
+
+    def search_hierarchy(
+        self,
+        query_vec: list[float],
+        phase1_k: int = 3,
+        per_label_k: int = 2,
+    ) -> list[HierarchyHit]:
+        """The E2′ hierarchical composite (K2 → A1 → J2 → K3), served
+        driver-side: global top-``phase1_k`` picks the relevant labels,
+        then every row of those labels re-ranks within its label and
+        the top-``per_label_k`` per label return. BIT-identical rows to
+        the ``e2_hierarchical_search`` DataFrame plan on the same index
+        (pinned by tests/test_serving_ram.py: same comparator — score
+        DESC with NaN greatest and NULL last, id ASC — at both phases,
+        scores from the same exact fold). Output order: labels in
+        first-appearance order of the phase-1 ranking, then rnk — a
+        deterministic total order (the DataFrame plan's row order is
+        whatever the shuffle delivers; comparisons sort first).
+
+        The scan is one score pass + one boolean label mask — there is
+        no per-label re-scan of the matrix, so serving cost stays
+        O(n·d + n + hits·log hits) regardless of label count."""
+        if self._labels is None:
+            raise ValueError(
+                "hierarchical search needs an index built with "
+                "label_col (from_frame(..., label_col='label'))"
+            )
+        if len(self) == 0 or phase1_k <= 0 or per_label_k <= 0:
+            return []
+        scores, null_mask = self._score_query(query_vec)
+        phase1 = self._order(scores, null_mask, phase1_k)
+        # A1 distinct labels, kept in phase-1 rank order for the output
+        seen: dict[object, None] = {}
+        for i in phase1:
+            seen.setdefault(self._labels[i], None)
+        key = np.where(np.isnan(scores), np.inf, scores)
+        key = np.where(null_mask, -np.inf, key)
+        out: list[HierarchyHit] = []
+        for lab in seen:
+            idx = np.nonzero(self._labels == lab)[0]
+            sub = idx[
+                np.lexsort((self._ids[idx], -key[idx], null_mask[idx]))
+            ][:per_label_k]
+            out.extend(
+                HierarchyHit(
+                    lab,
+                    int(self._ids[i]),
+                    None if null_mask[i] else float(scores[i]),
+                    r,
+                )
+                for r, i in enumerate(sub, 1)
+            )
+        return out

@@ -360,3 +360,167 @@ def test_kernel_fold_matches_sequential_reference():
             n = n + v * v
         want = s / (math.sqrt(n) * const_l2_norm(q))
         assert hits[i] == want or (np.isnan(hits[i]) and np.isnan(want))
+
+
+# ---------------------------------------------------------------------------
+# search_hierarchy — the E2′ composite served from RAM (VERDICT r7 task 6)
+
+
+def _hierarchy_plan(scored, phase1_k=3, per_label_k=2):
+    """The e2_hierarchical_search DataFrame composite, parameterized:
+    global top-phase1_k → distinct labels → semi-join → top-per_label_k
+    per label (same plan shape as plans/queries_reference.py)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    phase1 = (
+        scored.orderBy(F.desc("score"), "vec_id")
+        .limit(phase1_k)
+        .select("label")
+        .distinct()
+    )
+    w2 = Window.partitionBy("label").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.join(F.broadcast(phase1), "label", "left_semi")
+        .withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rnk") <= per_label_k)
+        .select("label", "vec_id", "score", "rnk")
+    )
+
+
+def _norm_score(s):
+    # NaN != NaN breaks set equality; scores are otherwise bit-compared
+    return "NaN" if isinstance(s, float) and math.isnan(s) else s
+
+
+def _hits_as_set(hits):
+    return {(h.label, h.chunk_id, _norm_score(h.score), h.rnk) for h in hits}
+
+
+def _rows_as_set(rows):
+    return {(r.label, r.vec_id, _norm_score(r.score), r.rnk) for r in rows}
+
+
+def test_hierarchy_bitexact_vs_e2_plan(spark, sf_dir):
+    """On the embeddings fixture, search_hierarchy must reproduce the
+    oracle-paired e2_hierarchical_search entry row for row."""
+    from ade_agente_documental_empresarial___miner_a_spark.plans.queries_reference import (
+        e2_hierarchical_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = RamServingIndex.from_frame(
+        emb, vec_col="embedding", id_col="vec_id", text_col="label",
+        label_col="label",
+    )
+    qvec = [
+        float(x)
+        for x in emb.where("vec_id = 6").collect()[0]["embedding"]
+    ]
+    got = idx.search_hierarchy(qvec, phase1_k=3, per_label_k=2)
+    want = e2_hierarchical_search(spark, sf_dir).collect()
+    assert _hits_as_set(got) == _rows_as_set(want)
+    assert len(got) == len(want)
+
+
+def test_hierarchy_edge_frames_match_plan(spark):
+    """Adversarial shapes — exact score ties across labels, a zero-norm
+    row (NULL score), a NaN embedding (ranks first), a label reached
+    only via ties — against the parameterized DataFrame composite."""
+    from pyspark.sql import functions as F
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [1.0, 0.0]),       # exact tie with id 1
+        (3, "b", [0.6, 0.8]),
+        (4, "b", [0.0, 0.0]),       # zero-norm: NULL score
+        (5, "c", [float("nan"), 1.0]),  # NaN: ranks first
+        (6, "c", [0.0, 1.0]),
+        (7, "d", [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    qvec = [1.0, 0.0]
+    scored = df.select(
+        "vec_id",
+        "label",
+        cosine_similarity(
+            F.col("embedding"), F.lit(qvec).cast("array<float>")
+        ).alias("score"),
+    )
+    idx = RamServingIndex.from_frame(
+        df, vec_col="embedding", id_col="vec_id", text_col="label",
+        label_col="label",
+    )
+    for p1, pk in ((3, 2), (1, 1), (5, 3), (7, 2)):
+        got = idx.search_hierarchy(qvec, phase1_k=p1, per_label_k=pk)
+        want = _hierarchy_plan(scored, p1, pk).collect()
+        assert _hits_as_set(got) == _rows_as_set(want), (p1, pk)
+
+
+def test_hierarchy_requires_labels_and_handles_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "t", [1.0, 0.0])],
+        "chunk_id long, text string, embedding array<float>",
+    )
+    idx = RamServingIndex.from_frame(df)
+    with pytest.raises(ValueError, match="label_col"):
+        idx.search_hierarchy([1.0, 0.0])
+    empty = RamServingIndex.from_frame(
+        df.where("chunk_id < 0"), label_col="text"
+    )
+    assert empty.search_hierarchy([1.0, 0.0]) == []
+    withlab = RamServingIndex.from_frame(df, label_col="text")
+    assert withlab.search_hierarchy([1.0, 0.0], phase1_k=0) == []
+
+
+def test_hierarchy_property_vs_plan(spark):
+    """Hypothesis: random small frames (random labels, float32 vectors
+    incl. exact duplicates via rounding) — RAM hierarchy == DataFrame
+    composite on every draw."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    comp = st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0, 2.0])
+    row = st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.tuples(comp, comp, comp),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(rows=st.lists(row, min_size=1, max_size=12))
+    def check(rows):
+        data = [
+            (i, lab, list(vec)) for i, (lab, vec) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "vec_id long, label string, embedding array<float>"
+        )
+        qvec = [1.0, 0.5, -0.5]
+        scored = df.select(
+            "vec_id",
+            "label",
+            cosine_similarity(
+                F.col("embedding"), F.lit(qvec).cast("array<float>")
+            ).alias("score"),
+        )
+        idx = RamServingIndex.from_frame(
+            df, vec_col="embedding", id_col="vec_id", text_col="label",
+            label_col="label",
+        )
+        got = idx.search_hierarchy(qvec, phase1_k=3, per_label_k=2)
+        want = _hierarchy_plan(scored, 3, 2).collect()
+        assert _hits_as_set(got) == _rows_as_set(want)
+
+    check()
