@@ -147,6 +147,13 @@ def test_uri_gating_routes_to_connector_not_parquet(
         assert json.load(fh)["inserted"] == 2
     # connector active → nothing lands on the parquet path
     assert not os.path.exists(pq_path)
+    # the sink's timestamp contract holds THROUGH the connector branch:
+    # naive inputs are interpreted in the session tz (UTC here) and the
+    # persisted instant is UTC-normalized — the r6 tz-shift bug class
+    # must not regress on this branch either
+    ts_by_user = {d["user"]: d["ts"] for d in docs}
+    assert ts_by_user["ana"].startswith("2026-01-01 12:00:00")
+    assert ts_by_user["luis"].startswith("2026-01-01 13:00:00")
 
 
 def test_unset_uri_falls_back_to_parquet(spark, tmp_path):

@@ -43,7 +43,7 @@ def test_generation_is_deterministic_per_seed():
 
 
 @pytest.mark.parametrize(
-    "profile", ["random", "edge", "skew", "tiny", "const"]
+    "profile", ["random", "edge", "skew", "tiny", "const", "chunk"]
 )
 def test_generated_schemas_match_fixtures(profile, tmp_path):
     d = str(tmp_path / profile)
@@ -76,6 +76,12 @@ _REGRESSION_CASES = [
     # bitext ratio against an EMPTY paired doc (length 0 denominator)
     # — needs seed 2's rank alignment to pair the empty en/de docs
     ("cur_bitext_ratio_filter", "edge", 2),
+    # chunk profile (r8): the chunker entries VALUE-checked inside
+    # their oracle domain — crafted 120/20-boundary texts incl. the
+    # 119-char-second-word piece-vs-word domain edge the first sweep
+    # caught (a non-first word's piece carries its separator)
+    ("t3b_chunk_long_docs", "chunk", 0),
+    ("stream_incremental_index", "chunk", 0),
 ]
 
 

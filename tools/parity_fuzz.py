@@ -28,6 +28,10 @@ Profiles
            all rows) — zero-variance groups everywhere, so every
            E[x²]−E[x]² / correlation / z-score / entropy expression
            walks its catastrophic-cancellation and 0/0 path.
+- chunk  : document texts adversarial WITHIN the chunker oracles'
+           domain (see _chunker_domain_texts) — the t3/t3b/
+           stream_incremental_index entries get full VALUE checks here
+           (on edge they are domain-exempt, crash-check only).
 
 Every failure is triaged, not auto-judged: a report row says whether row
 counts, schema, or values diverged, and the first differing cell. A
@@ -74,6 +78,56 @@ ORACLE_DOMAIN_VIOLATIONS: dict[str, set[str]] = {
     # rebuild invariant (the `match` column) is what the entry pins
     "stream_incremental_index": {"edge"},
 }
+
+def _chunker_domain_texts(rng, nd: int) -> list[str]:
+    """Adversarial texts INSIDE the chunker oracles' stated domain
+    (single-spaced ASCII words, no newlines/periods, no word >= 120
+    chars, every doc < 460 chars so the 500-char sectioning oracles
+    stay pass-through) that drive t3b's 120/20 greedy word-merge walk
+    onto its boundary cases: exact-120 windows, overlap tails of
+    exactly 19/20/21 chars, max-domain 119-char words the overlap can
+    never carry, and 1-char-word streams where the overlap window
+    spans ~10 pieces. VERDICT r7 task 7: these entries previously ran
+    crash-check-only on the edge profile (whose texts violate the
+    domain); this profile value-checks them."""
+    crafted = [
+        "x" * 119,                                   # max-domain word
+        # pieces carry the attached separator, so non-first words max
+        # out at 118 chars (119 incl. ' '); a 119-char SECOND word is a
+        # 120-char piece = the append-as-is branch, outside the oracle
+        # domain (this generator found that edge on its first run)
+        "x" * 119 + " " + "y" * 118,                 # two: no overlap fits
+        "a" * 60 + " " + "b" * 59,                   # exactly 120: one chunk
+        "a" * 60 + " " + "b" * 60,                   # 121: forced split
+        "w" * 100 + " " + "v" * 19,                  # cum 100,120: one chunk
+        "w" * 100 + " " + "v" * 20,                  # cum 100,121: split,
+                                                     #   100-char tail > 20
+        "q" * 99 + " " + "r" * 20,                   # exactly 120 again
+        "q" * 99 + " " + "r" * 21,                   # 121, tail walk ties
+        ("ab " * 40).strip(),                        # 119 of 2-char words
+        ("a " * 200).strip(),                        # 399 of 1-char words:
+                                                     #   ~10-piece overlaps
+        "q" * 19 + " " + "r" * 20 + " " + "s" * 21
+        + " " + "t" * 20 + " " + "u" * 19,           # 19/20/21 overlap band
+        "z",                                         # 1-char doc
+        "ab",                                        # 2-char doc
+        "m" * 118 + " " + "n",                       # 120 via 118+1
+        "m" * 117 + " " + "n" + " " + "o",           # 121 via tiny tail
+    ]
+    texts = list(crafted[:nd])
+    while len(texts) < nd:
+        # random in-domain docs: words of 1..25 chars up to < 460 total
+        words, total = [], 0
+        for _ in range(int(rng.integers(1, 60))):
+            wl = int(rng.integers(1, 26))
+            if total + wl + (1 if words else 0) > 455:
+                break
+            words.append("w" * wl if rng.random() < 0.3
+                         else _sentence(rng, 1, 1)[:wl] or "k")
+            total += wl + (1 if len(words) > 1 else 0)
+        texts.append(" ".join(words) or "k")
+    return texts
+
 
 EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
 EPOCH_1995 = np.datetime64("1995-01-01T00:00:00", "us")
@@ -138,6 +192,8 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
                        events=4, docs=3, embs=3),
         "const":  dict(cust=60, supp=5, part=60, orders=300, li_k=3,
                        events=400, docs=120, embs=120),
+        "chunk":  dict(cust=60, supp=5, part=60, orders=300, li_k=3,
+                       events=400, docs=48, embs=120),
     }[profile]
     out: dict[str, pa.Table] = {}
 
@@ -291,6 +347,8 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
     else:
         lang_col = [langs[i] for i in rng.integers(0, 5, nd)]
     texts = [_sentence(rng, 20, 60) for _ in range(nd)]
+    if profile == "chunk":
+        texts = _chunker_domain_texts(rng, nd)
     if profile == "edge":
         for i, t in enumerate(EDGE_TEXTS):
             if i < nd:
@@ -374,7 +432,9 @@ def write_sf_dir(tables: dict[str, pa.Table], dirpath: str) -> None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--profiles", default="random,edge,skew,tiny,const")
+    ap.add_argument(
+        "--profiles", default="random,edge,skew,tiny,const,chunk"
+    )
     ap.add_argument("--seeds", default="0")
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
