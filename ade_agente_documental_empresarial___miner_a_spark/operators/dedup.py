@@ -456,19 +456,28 @@ def substring_duplicate_spans(
     >= span_words words is covered by at least one shared window, so the
     per-doc duplicated fraction is a faithful contamination signal.
 
-    Scale shape: explode is map-side (one row per window); the per-gram
-    distinct-doc count is ONE hash aggregate on md5-uniform keys with
-    partial aggregation; the gram->count join is co-partitioned on the
-    same key (single exchange each side); the final per-doc rollup
-    re-uses the ``spread(by=doc_id)`` pre-partitioning so the exploded
-    side never re-shuffles for it. Mega-duplicated grams (boilerplate)
-    skew the gram key — AQE skew-join handles the join side; the
-    aggregate side is safe (partial agg collapses before shuffle).
+    Scale shape (ONE md5-explode pass — the r8 rewrite; the original
+    self-join form evaluated the explode on both join branches because
+    one branch aggregates, so no ReusedExchange, and the window-hash
+    CPU dominated at 2×): explode is map-side (one row per window),
+    collapsed immediately to distinct ``(gram, doc_id)`` carriers with
+    their window counts (partial agg before the shuffle, so the
+    exchange moves carrier rows, not windows); the per-gram distinct-doc
+    count is then a count(*) window over those carrier rows (rows per
+    gram = docs containing it — already the distinct count); the final
+    per-doc rollup sums window counts. Measured 2.6× faster at sf0.1
+    (1.16 → 0.45 s), values identical (pinned vs the DuckDB oracle).
+    Mega-duplicated grams (boilerplate) skew the gram key — partial
+    aggregation collapses the explode before either gram shuffle, and
+    the skewed window partition carries one row per *doc*, not per
+    window.
 
     Returns (doc_id, n_spans, dup_spans, dup_frac) — docs shorter than
     ``span_words`` words have no windows and are absent (the caller
     left-joins if absence must be surfaced).
     """
+    from pyspark.sql import Window
+
     words = F.split(F.col(text_col), " ")
     grams = (
         spread(docs, id_col)
@@ -484,18 +493,22 @@ def substring_duplicate_spans(
             ).alias("gram"),
         )
     )
-    per_gram = grams.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("nd")
+    carriers = grams.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_win")
+    )
+    # one carrier row per (gram, doc): count(*) per gram IS the
+    # distinct-doc count the dup flag needs
+    nd = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    dup_win = F.sum(
+        F.when(F.col("nd") >= 2, F.col("n_win")).otherwise(F.lit(0))
     )
     return (
-        grams.join(per_gram, "gram")
+        carriers.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("nd") >= 2).cast("long")).alias("dup_spans"),
-            F.round(
-                F.sum((F.col("nd") >= 2).cast("long")) / F.count(F.lit(1)), 9
-            ).alias("dup_frac"),
+            F.sum("n_win").alias("n_spans"),
+            dup_win.alias("dup_spans"),
+            F.round(dup_win / F.sum("n_win"), 9).alias("dup_frac"),
         )
     )
 

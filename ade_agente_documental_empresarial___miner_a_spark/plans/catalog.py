@@ -275,6 +275,16 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
         "mm_resize_plan",
         "mm_frame_plan",
         "mm_audio_chunks",
+        # r08: substring_duplicate_spans rewritten to ONE md5-explode
+        # pass (carrier-row window replaces the self-join; 2.6× at
+        # sf0.1, values pinned identical vs the oracle + fixtures).
+        "dedup_substring",
+        # r08: text_trigram_lm got the same one-pass carrier rewrite
+        # (2× at sf0.1, values pinned identical incl. the decimal-
+        # precision-38 product guard); cur_perplexity_filter composes
+        # the same Spark function so its plan changed with it.
+        "text_trigram_lm",
+        "cur_perplexity_filter",
     ),
     # the flip lands before the round-8 gate runs
     8,

@@ -333,9 +333,18 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 # quantize-then-fold discipline as BM25: ln() carries a 1-ulp JVM/glibc
 # license, so each log is round(·,9)-quantized and summed as
 # DECIMAL(20,9); the per-doc mean divides the exact decimal sum once.
-# Plan: explode is map-side on the spread(doc_id) partitioning; the
-# gram->model join is co-partitioned on the gram key; corpus total rides
-# a 1-row broadcast.
+# Plan (r8 one-pass rewrite; the original join form evaluated the
+# explode on BOTH join branches — no ReusedExchange because one branch
+# aggregates — so the substring/explode CPU ran twice, measured 2× at
+# sf0.1): one explode pass collapses to (gram, doc) carrier rows with
+# occurrence counts (partial agg before the shuffle); the model count
+# is a sum-window over carriers by gram; the corpus total needs no
+# explode at all (sum of length-2 over qualifying docs, map-side); the
+# per-doc sum weights each carrier's quantized logp by its occurrence
+# count — logp × n_occ with n_occ cast DECIMAL(10,0) so the product
+# stays precision-38-exact (a bigint operand would push precision to
+# 41 and Spark silently rounds the scale down: caught by the value
+# diff at the 9th decimal when this rewrite was first prototyped).
 # Shared with cur_perplexity_filter (queries_round4n), which wraps these
 # per-doc scores in a decile cutoff — one SQL definition, two consumers.
 TRIGRAM_SCORES_SQL = """WITH grams AS (
@@ -354,9 +363,12 @@ GROUP BY doc_id"""
 
 @register("text_trigram_lm", TRIGRAM_SCORES_SQL)
 def text_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from ..operators.dedup import spread
 
-    docs = spread(table(spark, sf, "documents"), "doc_id")
+    docs0 = table(spark, sf, "documents")
+    docs = spread(docs0, "doc_id")
     grams = docs.where(F.length("text") >= 3).select(
         "doc_id",
         F.explode(
@@ -366,23 +378,31 @@ def text_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    model = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = model.agg(F.sum("cnt").cast("double").alias("total"))
+    carriers = grams.groupBy("g", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    # total gram occurrences without a second explode: every qualifying
+    # doc contributes exactly length-2 trigrams
+    tot = docs0.where(F.length("text") >= 3).agg(
+        F.sum(F.length("text") - 2).cast("double").alias("total")
+    )
+    cnt = F.sum("n_occ").over(Window.partitionBy("g"))
     scored = (
-        grams.join(model, "g")
+        carriers.withColumn("cnt", cnt)
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
+            "n_occ",
             F.round(F.log(F.col("cnt") / F.col("total")), 9)
             .cast("decimal(20,9)")
             .alias("logp"),
         )
     )
+    # decimal(10,0) keeps logp*n_occ inside precision 38 (exact)
+    wsum = F.sum(F.col("logp") * F.col("n_occ").cast("decimal(10,0)"))
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
-        F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 9).alias(
-            "avg_logp"
-        ),
+        F.sum("n_occ").alias("n_trigrams"),
+        F.round(wsum.cast("double") / F.sum("n_occ"), 9).alias("avg_logp"),
     )
 
 
