@@ -565,7 +565,7 @@ def bench_chat_deep_history(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
-def bench_stream_live_10x(spark, scale_dir: str) -> float:
+def bench_stream_live_10x(spark, scale_dir: str, warm: bool = True) -> float:
     """Live Structured Streaming scale leg: the tumbling-window metric
     (stream_tumbling_1h's expressions, certified by the batch oracle
     gate) executed through the REAL stream machinery at 10× events —
@@ -577,7 +577,13 @@ def bench_stream_live_10x(spark, scale_dir: str) -> float:
     2h watermark evicts closed windows between batches, so state rows
     track windows×event_types (~thousands), not input rows (millions).
     Single timed pass: availableNow drains the whole corpus, and a
-    fresh checkpoint per rep would make a best-of-2 identical work."""
+    fresh checkpoint per rep would make a best-of-2 identical work.
+    An UNRECORDED warm pass over a 2k-row slice runs first (same
+    rationale as the sentinel/pandas-UDF warm-ups: the first streaming
+    query of a session pays one-time engine init — state-store
+    provider, incremental planner, ~6-7 s — which r6/r7 recordings
+    absorbed into this leg as apparent drift; steady state re-measured
+    at 3.8-4.2 s across reps, docs/ROUND8.md)."""
     import shutil
     import tempfile
 
@@ -585,11 +591,40 @@ def bench_stream_live_10x(spark, scale_dir: str) -> float:
         tumbling_metrics,
     )
 
-    src_path = os.path.join(scale_dir, "events.parquet")
     schema = (
         "event_id long, ts timestamp, user_id long, "
         "event_type string, value double, props string"
     )
+    src_path = os.path.join(scale_dir, "events.parquet")
+    if warm:
+        # tiny directory source (FileStreamSource rejects single files):
+        # 2k rows sliced from the scale corpus, streamed once, discarded
+        warm_root = tempfile.mkdtemp(prefix="ade_stream10x_warm_")
+        warm_src = os.path.join(warm_root, "events.parquet")
+        try:
+            (
+                spark.read.parquet(src_path)
+                .limit(2000)
+                .coalesce(1)
+                .write.parquet(warm_src)
+            )
+            (
+                tumbling_metrics(
+                    spark.readStream.schema(schema).parquet(warm_src)
+                )
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option(
+                    "checkpointLocation",
+                    os.path.join(warm_root, "ckpt"),
+                )
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            shutil.rmtree(warm_root, ignore_errors=True)
+
     ckpt = tempfile.mkdtemp(prefix="ade_stream10x_ck_")
     try:
         t0 = time.time()
@@ -737,7 +772,9 @@ def main() -> None:
         scale[name] = round(best, 3)
         print(f"# scale10x {name}: {scale[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    scale["stream_live_tumbling"] = bench_stream_live_10x(spark, scale_dir)
+    scale["stream_live_tumbling"] = bench_stream_live_10x(
+        spark, scale_dir
+    )
 
     scale["chat_deep_history"] = bench_chat_deep_history(spark, sf_dir)
     print(
