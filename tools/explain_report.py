@@ -75,6 +75,7 @@ SHOW = [
     "mm_phash_band_pairs",
     # round 4, third batch
     "dedup_substring",
+    "mm_header_decode",
     "dedup_incremental",
     "text_normalize",
     "rel_cohort_retention",
