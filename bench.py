@@ -510,6 +510,35 @@ def bench_chat_serving_ram(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def bench_serving_hierarchy(spark, sf_dir: str) -> float:
+    """The E2' hierarchical composite served per turn, both tiers on
+    identical data: the Spark DataFrame plan (e2_hierarchical_search,
+    the oracle-certified entry) vs RamServingIndex.search_hierarchy
+    (bit-identical rows, pinned by tests/test_serving_ram.py). Records
+    the RAM tier's per-query seconds over 100 queries; the Spark plan's
+    per-turn cost is already visible in the headline section. The r8
+    round log records the measured gap (~850 ms job vs ~0.35 ms RAM at
+    sf0.1) — this leg keeps the RAM half regression-tracked."""
+    from ade_agente_documental_empresarial___miner_a_spark.operators.serving import (
+        RamServingIndex,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ram = RamServingIndex.from_frame(
+        emb, vec_col="embedding", id_col="vec_id", text_col="label",
+        label_col="label",
+    )
+    qvec = [
+        float(x)
+        for x in emb.where("vec_id = 6").collect()[0]["embedding"]
+    ]
+    ram.search_hierarchy(qvec)  # warm
+    t0 = time.time()
+    for _ in range(100):
+        ram.search_hierarchy(qvec, phase1_k=3, per_label_k=2)
+    return round((time.time() - t0) / 100, 6)
+
+
 def bench_chat_deep_history(spark, sf_dir: str) -> float:
     """Serving latency with a DEEP stored history: 500 turns are
     pre-seeded into the store (one append batch, not timed), then 4
@@ -736,6 +765,14 @@ def main() -> None:
         file=sys.stderr,
     )
     results["chat_serving_ram"] = bench_chat_serving_ram(spark, sf_dir)
+    results["serving_hierarchy_ram"] = bench_serving_hierarchy(
+        spark, sf_dir
+    )
+    print(
+        f"# serving_hierarchy_ram: "
+        f"{results['serving_hierarchy_ram']:.6f}s/query",
+        file=sys.stderr,
+    )
     print(
         f"# chat_serving_ram: {results['chat_serving_ram']:.3f}s"
         f" ({CHAT_TURNS} turns)",
