@@ -539,6 +539,31 @@ def bench_serving_hierarchy(spark, sf_dir: str) -> float:
     return round((time.time() - t0) / 100, 6)
 
 
+def bench_serving_hnsw(spark, sf_dir: str) -> float:
+    """HNSW serving tier (operators/hnsw.py — the reference's actual
+    hnswlib-class index, deterministic rebuild per recording, ~2-3 s at
+    sf0.1): per-query seconds over 100 graph walks at ef=200. Recall is
+    pinned by tests/test_hnsw.py; this leg tracks walk latency. Note
+    the honest crossover (docs/ROUND8.md): at sf-bench shard sizes the
+    exact RamServingIndex scan is faster — the graph wins at the
+    1M-per-replica decade where exact costs ~129 ms."""
+    from ade_agente_documental_empresarial___miner_a_spark.operators.hnsw import (
+        HnswIndex,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = HnswIndex.from_frame(emb)
+    qvec = [
+        float(x)
+        for x in emb.where("vec_id = 6").collect()[0]["embedding"]
+    ]
+    idx.search(qvec, k=10, ef=200)  # warm
+    t0 = time.time()
+    for _ in range(100):
+        idx.search(qvec, k=10, ef=200)
+    return round((time.time() - t0) / 100, 6)
+
+
 def bench_chat_deep_history(spark, sf_dir: str) -> float:
     """Serving latency with a DEEP stored history: 500 turns are
     pre-seeded into the store (one append batch, not timed), then 4
@@ -767,6 +792,12 @@ def main() -> None:
     results["chat_serving_ram"] = bench_chat_serving_ram(spark, sf_dir)
     results["serving_hierarchy_ram"] = bench_serving_hierarchy(
         spark, sf_dir
+    )
+    results["serving_hnsw_ram"] = bench_serving_hnsw(spark, sf_dir)
+    print(
+        f"# serving_hnsw_ram: "
+        f"{results['serving_hnsw_ram']:.6f}s/query",
+        file=sys.stderr,
     )
     print(
         f"# serving_hierarchy_ram: "

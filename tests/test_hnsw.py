@@ -1,0 +1,127 @@
+"""HNSW serving-tier index (operators/hnsw.py) — the reference's actual
+client-side ANN (hnswlib via Chroma, micro-infobot/app.py:130),
+re-implemented from the paper with deterministic construction.
+
+Approximate structures can't be oracle-paired (the result depends on
+the graph), so the contract here is MEASURED: recall@k against the
+exact kernel on fixture embeddings, byte-identical graphs across
+builds, the engine's tie/zero-norm ordering discipline, and the same
+bounded-collect guard as RamServingIndex.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ade_agente_documental_empresarial___miner_a_spark.operators.hnsw import (
+    HnswIndex,
+    _level_for,
+)
+
+
+def _exact_topk(V, ids, q, k):
+    n = np.sqrt((V * V).sum(axis=1))
+    qn = np.linalg.norm(q)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sims = np.where(
+            (n > 0) & (qn > 0), (V @ q) / (n * qn), 0.0
+        )
+    order = np.lexsort((ids, -sims))[:k]
+    return [int(ids[i]) for i in order]
+
+
+@pytest.fixture(scope="module")
+def fixture_index(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return ids, V, HnswIndex(ids, V, m=8, ef_construction=64)
+
+
+def test_recall_at_10_vs_exact_on_fixtures(fixture_index):
+    ids, V, idx = fixture_index
+    hits = tot = 0
+    for qi in range(0, min(200, len(ids)), 5):
+        q = V[qi]
+        exact = set(_exact_topk(V, ids, q, 10))
+        approx = {i for i, _ in idx.search(list(q), k=10)}
+        hits += len(exact & approx)
+        tot += 10
+    recall = hits / tot
+    assert recall >= 0.9, f"recall@10 {recall:.3f} below the 0.9 bar"
+
+
+def test_build_is_deterministic(fixture_index):
+    ids, V, idx = fixture_index
+    again = HnswIndex(ids, V, m=8, ef_construction=64)
+    assert idx.graph_signature() == again.graph_signature()
+    q = list(V[7])
+    assert idx.search(q, k=5) == again.search(q, k=5)
+
+
+def test_level_assignment_is_id_pure():
+    # levels derive from md5(id) only — no RNG stream, no insert-order
+    # dependence
+    assert _level_for(123, 8) == _level_for(123, 8)
+    levels = [_level_for(i, 8) for i in range(2000)]
+    assert max(levels) >= 1          # multi-layer graph actually forms
+    assert levels.count(0) > 1000    # geometric decay shape
+
+
+def test_scores_and_ties_follow_engine_discipline():
+    # duplicate vectors force exact score ties: ids ascending
+    ids = np.array([30, 10, 20, 40], dtype=np.int64)
+    V = np.array(
+        [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    )
+    idx = HnswIndex(ids, V, m=4, ef_construction=16)
+    got = idx.search([1.0, 0.0], k=3)
+    assert [i for i, _ in got] == [10, 20, 30]
+    assert all(abs(s - 1.0) < 1e-12 for _, s in got)
+
+
+def test_zero_norm_rows_and_query():
+    ids = np.array([1, 2, 3], dtype=np.int64)
+    V = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    idx = HnswIndex(ids, V, m=4, ef_construction=16)
+    got = idx.search([1.0, 0.0], k=3)
+    # the zero-norm row scores 0 against everything → ranks last here
+    assert got[0][0] == 2
+    assert got[-1][0] in (1, 3)
+    # zero-norm query: all scores 0, ids ascending
+    gotq = idx.search([0.0, 0.0], k=3)
+    assert [s for _, s in gotq] == [0.0, 0.0, 0.0]
+    assert [i for i, _ in gotq] == sorted(i for i, _ in gotq)
+
+
+def test_from_frame_guard_and_empty(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        HnswIndex.from_frame(df, max_rows=9)
+    idx = HnswIndex.from_frame(df, max_rows=10)
+    assert len(idx) == 10
+    empty = HnswIndex.from_frame(df.where("vec_id < 0"))
+    assert len(empty) == 0 and empty.search([1.0, 1.0], k=3) == []
+
+
+def test_search_beats_beam_floor_with_wider_ef(fixture_index):
+    # widening ef must never *lose* true neighbors: recall(ef=200) >=
+    # recall(ef=20) over a probe set
+    ids, V, idx = fixture_index
+
+    def recall(ef):
+        hits = tot = 0
+        for qi in range(0, min(100, len(ids)), 5):
+            q = V[qi]
+            exact = set(_exact_topk(V, ids, q, 10))
+            approx = {i for i, _ in idx.search(list(q), k=10, ef=ef)}
+            hits += len(exact & approx)
+            tot += 10
+        return hits / tot
+
+    assert recall(200) >= recall(20)
