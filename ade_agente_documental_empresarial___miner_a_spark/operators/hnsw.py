@@ -234,8 +234,13 @@ class HnswIndex:
         max_rows: int = 200_000,
     ) -> "HnswIndex":
         """Build from a DataFrame with the same bounded-collect guard as
-        RamServingIndex (fail fast past the per-replica budget)."""
+        RamServingIndex (fail fast past the per-replica budget). Rows
+        are sorted by id AFTER the bounded collect (driver-side, cheap)
+        — insertion order shapes the graph, and a scan's row order is
+        plan-dependent, so without the sort two builds of the same
+        table could disagree."""
         rows = emb.select(id_col, vec_col).limit(max_rows + 1).collect()
+        rows.sort(key=lambda r: r[0])
         if len(rows) > max_rows:
             raise ValueError(
                 f"HNSW shard exceeds max_rows={max_rows}; shard the "

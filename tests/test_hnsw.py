@@ -125,3 +125,16 @@ def test_search_beats_beam_floor_with_wider_ef(fixture_index):
         return hits / tot
 
     assert recall(200) >= recall(20)
+
+
+def test_from_frame_is_scan_order_independent(spark):
+    # insertion order shapes the graph; from_frame must not inherit the
+    # scan's plan-dependent row order
+    rows = [(i, [float((i * 7) % 13), float(i % 5)]) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    a = HnswIndex.from_frame(df)
+    b = HnswIndex.from_frame(df.orderBy(df.vec_id.desc()))
+    assert a.graph_signature() == b.graph_signature()
+    assert a.search([1.0, 1.0], k=5) == b.search([1.0, 1.0], k=5)
