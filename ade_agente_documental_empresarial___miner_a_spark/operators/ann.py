@@ -390,27 +390,50 @@ def ivf_assign_arrow(
     )
     cols = [f.name for f in out_schema.fields]
 
+    dim = C.shape[1]
+
     def assign_batches(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 pdf = pdf.assign(cell=np.empty(0, dtype=np.int64))
                 yield pdf[cols]
                 continue
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            # Degenerate norms (zero vector / zero centroid) produce
-            # 0/0 = NaN here where the HOF path's try_divide produces
-            # NULL. HOF semantics: a NULL score LOSES the struct-max to
-            # any real score, and an all-NULL row falls through to the
-            # LARGEST cid. Masking NaN to -inf reproduces both: -inf
-            # loses to any real score, and an all--inf row argmaxes to
-            # index 0 = the largest cid in this cid-descending scan
-            # (pinned vs ivf_assign in tests/test_ann_arrow.py).
-            with np.errstate(invalid="ignore", divide="ignore"):
-                scores = (v @ C.T) / (
-                    np.sqrt((v * v).sum(axis=1, keepdims=True)) * cnorms
-                )
-            scores = np.where(np.isnan(scores), -np.inf, scores)
-            pdf = pdf.assign(cell=cids[np.argmax(scores, axis=1)])
+            raw = pdf[vec_col].to_numpy()
+            # NULL or length-mismatched embeddings: the HOF path's
+            # zip_with pads with nulls, every product is NULL, every
+            # score is NULL, and the all-NULL struct-max falls through
+            # to the LARGEST cid. Pre-assign that outcome and score
+            # only the well-formed rows (a naive np.stack would raise
+            # on None/ragged input and kill the job the HOF path
+            # tolerates).
+            ok = np.fromiter(
+                (a is not None and len(a) == dim for a in raw),
+                dtype=bool,
+                count=len(raw),
+            )
+            cells = np.full(len(raw), cids[0], dtype=np.int64)
+            if ok.any():
+                v = np.stack(raw[ok]).astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    vnorms = np.sqrt((v * v).sum(axis=1, keepdims=True))
+                    scores = (v @ C.T) / (vnorms * cnorms)
+                # Three HOF-exact cases, handled in order:
+                # (1) denominator == 0 (zero vector / zero centroid):
+                #     try_divide → NULL, which LOSES the struct-max —
+                #     mask to -inf (an all--inf row argmaxes to index 0
+                #     = the largest cid, matching all-NULL fallthrough);
+                # (2) remaining NaN (a non-finite operand with nonzero
+                #     norms): the HOF score is genuinely NaN and Spark
+                #     sorts NaN GREATEST — mask to +inf (+inf ties
+                #     argmax to index 0 = larger cid, matching the
+                #     struct-max's NaN-equal tie rule);
+                # (3) finite scores compare as-is.
+                # Pinned vs ivf_assign in tests/test_ann_arrow.py.
+                denom_zero = (vnorms * cnorms) == 0.0
+                scores = np.where(denom_zero, -np.inf, scores)
+                scores = np.where(np.isnan(scores), np.inf, scores)
+                cells[ok] = cids[np.argmax(scores, axis=1)]
+            pdf = pdf.assign(cell=cells)
             yield pdf[cols]
 
     return emb.mapInPandas(assign_batches, schema=out_schema)

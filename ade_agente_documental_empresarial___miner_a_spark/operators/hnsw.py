@@ -190,13 +190,15 @@ class HnswIndex:
         self, query_vec: list[float], k: int = 10, ef: int | None = None
     ) -> list[tuple[int, float]]:
         """Approximate top-k by cosine: [(id, score)] sorted score desc,
-        ties id asc. ``ef`` defaults to max(4k, ef_construction)."""
+        ties id asc. ``ef`` defaults to max(4k, ef_construction) and is
+        clamped to >= k (hnswlib's rule — a smaller beam than k would
+        silently return fewer than k results)."""
         if self._entry is None or k <= 0:
             return []
         q = np.asarray(query_vec, dtype=np.float64)
         qn = float(np.sqrt(q @ q))
         q = q / qn if qn > 0.0 else q * 0.0
-        ef = ef or max(4 * k, self.ef_construction)
+        ef = max(ef or max(4 * k, self.ef_construction), k)
         ep = self._entry
         for lv in range(self._node_level[self._entry], 0, -1):
             ep = self._greedy_step(q, ep, lv)

@@ -341,10 +341,16 @@ class RamServingIndex:
             return []
         scores, null_mask = self._score_query(query_vec)
         phase1 = self._order(scores, null_mask, phase1_k)
-        # A1 distinct labels, kept in phase-1 rank order for the output
+        # A1 distinct labels, kept in phase-1 rank order for the output.
+        # NULL labels are excluded: the DataFrame composite's left-semi
+        # join on `label` never matches NULL = NULL, so a NULL-label
+        # row in the phase-1 top-k selects nothing and NULL-label rows
+        # can never appear in the output (Python None == None would
+        # otherwise match them here — code-review r8 finding).
         seen: dict[object, None] = {}
         for i in phase1:
-            seen.setdefault(self._labels[i], None)
+            if self._labels[i] is not None:
+                seen.setdefault(self._labels[i], None)
         key = np.where(np.isnan(scores), np.inf, scores)
         key = np.where(null_mask, -np.inf, key)
         out: list[HierarchyHit] = []

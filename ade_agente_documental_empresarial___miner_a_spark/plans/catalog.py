@@ -285,6 +285,13 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
         # the same Spark function so its plan changed with it.
         "text_trigram_lm",
         "cur_perplexity_filter",
+        # …and cur_labeler_agreement composes cur_perplexity_filter, so
+        # its executed plan changed transitively (code-review r8
+        # finding — the composer sweep must be TRANSITIVE). This 14th
+        # pin pushes mm_header_decode (registered last, new this
+        # round) just past the 50-slot window to r9; the 36
+        # judge-listed never-checked names all stay inside.
+        "cur_labeler_agreement",
     ),
     # the flip lands before the round-8 gate runs
     8,

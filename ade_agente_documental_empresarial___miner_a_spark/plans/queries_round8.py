@@ -11,6 +11,11 @@ arithmetic — it never sees the bytes — so a hash match proves the parse
 path recovered exactly the values the headers encode (the tier-3 fake
 would seed from md5(payload bytes) and diverge).
 
+Construction rides the ONE shared producer
+(``multimodal.synth_media_from_docs`` with ``fmt_col``), so the
+md5→parameter arithmetic cannot drift between this entry and the
+mm_resize/frame/audio entries (code-review r8 finding).
+
 Reference anchor: the reference has no media handling at all
 (micro-infobot/app.py is text-only RAG); this is EXT training-data
 surface per the brief, with decode stubs documented in
@@ -19,9 +24,6 @@ sources/multimodal.py.
 
 from __future__ import annotations
 
-import hashlib
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,51 +60,20 @@ SELECT media_id, fmt,
 FROM m""",
 )
 def mm_header_decode(spark: SparkSession, sf: str) -> DataFrame:
-    from ..sources.media_headers import (
-        build_bmp,
-        build_gif,
-        build_jpeg,
-        build_png,
-        build_wav,
+    from ..sources.multimodal import (
+        extract_media_features,
+        synth_media_from_docs,
     )
-    from ..sources.multimodal import MEDIA_SCHEMA, extract_media_features
 
-    builders = {
-        "png": build_png, "gif": build_gif, "bmp": build_bmp,
-        "jpeg": build_jpeg,
-    }
-
-    def synth(batches):
-        for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                h = hashlib.md5(str(row["text"]).encode("utf-8")).digest()
-                fmt = _FMTS[int(row["media_id"]) % 5]
-                if fmt == "wav":
-                    content = build_wav(
-                        1000 + int.from_bytes(h[2:4], "little")
-                    )
-                    kind = "audio"
-                else:
-                    content = builders[fmt](
-                        64 + h[0] % 192, 64 + h[1] % 192
-                    )
-                    kind = "image"
-                out.append(
-                    {"media_id": row["media_id"], "kind": kind,
-                     "content": content}
-                )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in MEDIA_SCHEMA]
-            )
-
-    docs = table(spark, sf, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), "text"
-    ).mapInPandas(synth, MEDIA_SCHEMA)
     fmt = F.element_at(
         F.array(*[F.lit(x) for x in _FMTS]),
         (F.col("media_id") % 5 + 1).cast("int"),
+    )
+    docs = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    media = synth_media_from_docs(
+        docs.withColumn("fmt", fmt), fmt_col="fmt"
     )
     return extract_media_features(media).select(
         "media_id",

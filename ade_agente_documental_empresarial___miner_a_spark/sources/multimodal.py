@@ -141,17 +141,34 @@ def synth_media_from_docs(
     kind_col: str = "kind",
     id_col: str = "media_id",
     text_col: str = "text",
+    fmt_col: str | None = None,
 ) -> DataFrame:
     """Construct GENUINELY-VALID media binaries from document text —
     the fixture-side producer for the tier-2 header parsers.
 
     Parameters derive from md5(text) with the same arithmetic the old
     md5 fake used (and the DuckDB oracles replay): width = 64+h[0]%192,
-    height = 64+h[1]%192, duration_ms = 1000+le16(h[2:4]). kind routes
-    the container: image → BMP, audio → WAV, video → AVI (dims AND
-    duration). Map-only (one Arrow-batched pass, no shuffle); output is
+    height = 64+h[1]%192, duration_ms = 1000+le16(h[2:4]). By default
+    kind routes the container: image → BMP, audio → WAV, video → AVI
+    (dims AND duration). With ``fmt_col``, the named column selects the
+    exact container per row (png/gif/bmp/jpeg → image dims; wav →
+    duration) and kind is derived — the one construction path every
+    consumer shares, so the parameter arithmetic cannot drift between
+    entries. Map-only (one Arrow-batched pass, no shuffle); output is
     (media_id, kind, content) in MEDIA_SCHEMA shape."""
-    from .media_headers import build_avi, build_bmp, build_wav
+    from .media_headers import (
+        build_avi,
+        build_bmp,
+        build_gif,
+        build_jpeg,
+        build_png,
+        build_wav,
+    )
+
+    img_builders = {
+        "png": build_png, "gif": build_gif, "bmp": build_bmp,
+        "jpeg": build_jpeg,
+    }
 
     def run(batches):
         for pdf in batches:
@@ -162,13 +179,22 @@ def synth_media_from_docs(
                 ).digest()
                 w, ht = 64 + h[0] % 192, 64 + h[1] % 192
                 dur = 1000 + int.from_bytes(h[2:4], "little")
-                kind = row[kind_col]
-                if kind == "image":
-                    content = build_bmp(w, ht)
-                elif kind == "audio":
-                    content = build_wav(dur)
+                if fmt_col is not None:
+                    fmt = row[fmt_col]
+                    if fmt == "wav":
+                        kind, content = "audio", build_wav(dur)
+                    elif fmt == "avi":
+                        kind, content = "video", build_avi(w, ht, dur)
+                    else:
+                        kind, content = "image", img_builders[fmt](w, ht)
                 else:
-                    content = build_avi(w, ht, dur)
+                    kind = row[kind_col]
+                    if kind == "image":
+                        content = build_bmp(w, ht)
+                    elif kind == "audio":
+                        content = build_wav(dur)
+                    else:
+                        content = build_avi(w, ht, dur)
                 out.append(
                     {"media_id": row[id_col], "kind": kind,
                      "content": content}
@@ -177,9 +203,10 @@ def synth_media_from_docs(
                 out, columns=[f.name for f in MEDIA_SCHEMA]
             )
 
-    return docs.select(id_col, kind_col, text_col).mapInPandas(
-        run, MEDIA_SCHEMA
+    sel = [id_col, text_col] + (
+        [fmt_col] if fmt_col is not None else [kind_col]
     )
+    return docs.select(*sel).mapInPandas(run, MEDIA_SCHEMA)
 
 
 def resize_plan(

@@ -96,6 +96,42 @@ def test_degenerate_norms_match_hof_null_semantics(spark):
     assert hof == arrow == {10: 2, 11: 1, 12: 2, 13: 2}
 
 
+def test_malformed_and_nonfinite_inputs_match_hof(spark):
+    # the full degenerate matrix the arrow DEFAULT must survive exactly
+    # like the HOF opt-out (code-review r8 findings): NULL embeddings
+    # and ragged lengths (HOF zip_with pads with nulls → all-NULL score
+    # → largest cid; a naive np.stack would kill the job), NaN operands
+    # with nonzero norms (HOF score is genuinely NaN and Spark sorts
+    # NaN GREATEST — distinct from try_divide-NULL, which LOSES), and a
+    # NaN centroid capturing rows via that NaN-greatest rule.
+    nan = float("nan")
+    cents = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [nan, 1.0, 0.0]),   # NaN centroid: NaN score sorts GREATEST
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0]),
+        (12, None),                   # NULL embedding
+        (13, [1.0, 0.0]),             # ragged short
+        (14, [nan, 0.5, 0.0]),        # NaN vector
+        (15, [0.0, 0.0, 0.0]),        # zero-norm vs a NaN centroid
+        (16, [1.0, 0.0, 0.0, 5.0]),   # ragged long
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    hof = {r.vec_id: r.cell for r in ivf_assign(emb, cents=cents).collect()}
+    arrow = {
+        r.vec_id: r.cell
+        for r in ivf_assign_arrow(emb, cents=cents).collect()
+    }
+    assert hof == arrow
+    # the malformed rows fall through to the largest cid, like all-NULL
+    assert hof[12] == 2 and hof[13] == 2 and hof[16] == 2
+
+
 def test_arrow_assign_does_not_mutate_input_schema(spark, sf_dir):
     # StructType.add mutates in place and df.schema is cached on the
     # DataFrame — a naive schema extension corrupts the input's column

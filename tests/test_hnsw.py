@@ -138,3 +138,11 @@ def test_from_frame_is_scan_order_independent(spark):
     b = HnswIndex.from_frame(df.orderBy(df.vec_id.desc()))
     assert a.graph_signature() == b.graph_signature()
     assert a.search([1.0, 1.0], k=5) == b.search([1.0, 1.0], k=5)
+
+
+def test_ef_smaller_than_k_is_clamped(fixture_index):
+    # hnswlib clamps ef = max(ef, k); without the clamp a small explicit
+    # ef silently returns fewer than k results
+    ids, V, idx = fixture_index
+    got = idx.search(list(V[3]), k=10, ef=2)
+    assert len(got) == 10

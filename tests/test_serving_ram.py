@@ -524,3 +524,43 @@ def test_hierarchy_property_vs_plan(spark):
         assert _hits_as_set(got) == _rows_as_set(want)
 
     check()
+
+
+def test_hierarchy_null_labels_match_semi_join_semantics(spark):
+    # a NULL-label row lands in the phase-1 top-k: the DataFrame
+    # composite's left-semi join never matches NULL = NULL, so that
+    # selection contributes nothing and NULL-label rows never appear in
+    # the output — the RAM tier must reproduce that, not Python's
+    # None == None (code-review r8 finding)
+    from pyspark.sql import functions as F
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    rows = [
+        (1, None, [1.0, 0.0]),    # best score, NULL label
+        (2, None, [0.9, 0.1]),
+        (3, "b", [0.6, 0.8]),
+        (4, "b", [0.5, 0.5]),
+        (5, "c", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    qvec = [1.0, 0.0]
+    scored = df.select(
+        "vec_id",
+        "label",
+        cosine_similarity(
+            F.col("embedding"), F.lit(qvec).cast("array<float>")
+        ).alias("score"),
+    )
+    idx = RamServingIndex.from_frame(
+        df, vec_col="embedding", id_col="vec_id", text_col="label",
+        label_col="label",
+    )
+    got = idx.search_hierarchy(qvec, phase1_k=3, per_label_k=2)
+    want = _hierarchy_plan(scored, 3, 2).collect()
+    assert _hits_as_set(got) == _rows_as_set(want)
+    assert all(h.label is not None for h in got)
