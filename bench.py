@@ -543,10 +543,11 @@ def bench_serving_hnsw(spark, sf_dir: str) -> float:
     """HNSW serving tier (operators/hnsw.py — the reference's actual
     hnswlib-class index, deterministic rebuild per recording, ~2-3 s at
     sf0.1): per-query seconds over 100 graph walks at ef=200. Recall is
-    pinned by tests/test_hnsw.py; this leg tracks walk latency. Note
-    the honest crossover (docs/ROUND8.md): at sf-bench shard sizes the
-    exact RamServingIndex scan is faster — the graph wins at the
-    1M-per-replica decade where exact costs ~129 ms."""
+    pinned by tests/test_hnsw.py; this leg tracks walk latency. The
+    1M-decade measurement (docs/ROUND8.md §9b) REFUTED the extrapolated
+    crossover for this pure-Python build at m=8: exact scans stay the
+    serving default at every measured shard size; this index is the
+    algorithmic-parity artifact with measured recall at <=100k shards."""
     from ade_agente_documental_empresarial___miner_a_spark.operators.hnsw import (
         HnswIndex,
     )
