@@ -187,3 +187,24 @@ def test_decode_stub_false_still_raises_into_error_rows(spark):
     row = extract_media_features(media, decode_stub=False).collect()[0]
     assert row.error is not None and "NotImplementedError" in row.error
     assert row.width is None and row.features is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    fmt=st.sampled_from(sorted(_IMG_BUILDERS) + ["wav", "avi"]),
+    w=st.integers(min_value=1, max_value=4096),
+    h=st.integers(min_value=1, max_value=4096),
+    dur=st.integers(min_value=0, max_value=10**7),
+)
+def test_every_truncation_prefix_degrades_not_crashes(fmt, w, h, dur):
+    # a stream cut mid-header is the classic parser crash class: every
+    # prefix of a valid file must sniff to None or a dict, never raise
+    if fmt == "wav":
+        data = build_wav(dur)
+    elif fmt == "avi":
+        data = build_avi(w, h, dur)
+    else:
+        data = _IMG_BUILDERS[fmt](w, h)
+    for cut in range(len(data) + 1):
+        out = sniff(data[:cut])
+        assert out is None or isinstance(out, dict)
