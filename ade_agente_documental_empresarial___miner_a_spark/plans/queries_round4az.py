@@ -122,7 +122,9 @@ scored AS (
   JOIN uni un ON un.w2 = b.w2
   CROSS JOIN tot t)
 SELECT doc_id, count(*) AS n_bigrams,
-       round(CAST(sum(logp) AS DOUBLE) / count(*), 9) AS avg_logp
+       CAST(CASE WHEN sum(logp) < 0 THEN -1 ELSE 1 END
+            * ((2 * CAST(abs(sum(logp)) * 1000000000 AS HUGEINT) + count(*))
+               // (2 * count(*))) AS DOUBLE) / 1e9 AS avg_logp
 FROM scored GROUP BY doc_id""",
 )
 def text_bigram_backoff_lm(spark: SparkSession, sf: str) -> DataFrame:
@@ -162,9 +164,18 @@ def text_bigram_backoff_lm(spark: SparkSession, sf: str) -> DataFrame:
             .alias("logp"),
         )
     )
+    # integer-exact HALF_UP mean — see text_trigram_lm for the full
+    # rationale (round(double,9) is not cross-engine stable at half
+    # boundaries; parity_fuzz chunk/s2 caught exactly that here)
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 9).alias(
-            "avg_logp"
-        ),
+        (
+            F.expr(
+                "CAST(CASE WHEN sum(logp) < 0 THEN -1 ELSE 1 END"
+                " * ((2 * CAST(abs(sum(logp)) * 1000000000 AS"
+                " DECIMAL(38,0)) + count(1)) div (2 * count(1)))"
+                " AS DOUBLE)"
+            )
+            / F.lit(1e9)
+        ).alias("avg_logp"),
     )

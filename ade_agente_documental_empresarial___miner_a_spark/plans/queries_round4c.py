@@ -355,7 +355,9 @@ TRIGRAM_SCORES_SQL = """WITH grams AS (
 model AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
 tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM model)
 SELECT doc_id, count(*) AS n_trigrams,
-       round(CAST(sum(logp) AS DOUBLE) / count(*), 9) AS avg_logp
+       CAST(CASE WHEN sum(logp) < 0 THEN -1 ELSE 1 END
+            * ((2 * CAST(abs(sum(logp)) * 1000000000 AS HUGEINT) + count(*))
+               // (2 * count(*))) AS DOUBLE) / 1e9 AS avg_logp
 FROM (SELECT doc_id, CAST(round(ln(cnt / total), 9) AS DECIMAL(20,9)) AS logp
       FROM grams JOIN model USING (g) CROSS JOIN tot)
 GROUP BY doc_id"""
@@ -398,11 +400,29 @@ def text_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
             .alias("logp"),
         )
     )
-    # decimal(10,0) keeps logp*n_occ inside precision 38 (exact)
-    wsum = F.sum(F.col("logp") * F.col("n_occ").cast("decimal(10,0)"))
+    # The mean is rounded HALF_UP on the EXACT RATIONAL, in integer
+    # arithmetic both engines perform identically: sum(logp) carries
+    # exactly 9 decimals, so sum*1e9 is an exact integer (decimal
+    # precision reduction on the product is loss-free because the value
+    # is integral), and sign*((2|u|+n) div (2n)) is the HALF_UP
+    # quotient. round(double, 9) was NOT cross-engine stable here:
+    # Spark rounds the exact binary double while DuckDB multiplies by
+    # 1e9 first and rounds the inflated product — at a half boundary
+    # (caught by parity_fuzz chunk/s2 on the bigram sibling) the two
+    # disagree by 1e-9. decimal(10,0) keeps logp*n_occ inside
+    # precision 38 (exact).
     return scored.groupBy("doc_id").agg(
         F.sum("n_occ").alias("n_trigrams"),
-        F.round(wsum.cast("double") / F.sum("n_occ"), 9).alias("avg_logp"),
+        (
+            F.expr(
+                "CAST(CASE WHEN sum(logp * CAST(n_occ AS DECIMAL(10,0)))"
+                " < 0 THEN -1 ELSE 1 END"
+                " * ((2 * CAST(abs(sum(logp * CAST(n_occ AS"
+                " DECIMAL(10,0)))) * 1000000000 AS DECIMAL(38,0))"
+                " + sum(n_occ)) div (2 * sum(n_occ))) AS DOUBLE)"
+            )
+            / F.lit(1e9)
+        ).alias("avg_logp"),
     )
 
 

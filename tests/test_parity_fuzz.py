@@ -82,6 +82,12 @@ _REGRESSION_CASES = [
     # caught (a non-first word's piece carries its separator)
     ("t3b_chunk_long_docs", "chunk", 0),
     ("stream_incremental_index", "chunk", 0),
+    # r8: a mean landing EXACTLY on a round(·,9) half boundary —
+    # Spark rounds the exact binary double, DuckDB multiplies by 1e9
+    # first and rounds the inflated product, and they split by 1e-9.
+    # Fixed by the integer-exact HALF_UP mean in both LM entries; this
+    # seed regenerates the boundary sum.
+    ("text_bigram_backoff_lm", "chunk", 2),
 ]
 
 
