@@ -1,0 +1,80 @@
+"""Cross-engine-exact arithmetic idioms.
+
+``round(CAST(sum AS DOUBLE) / count, d)`` is NOT a cross-engine-stable
+way to state a rounded mean (docs/ROUND8.md §12): Spark rounds the
+decimal rendering of the quotient double (java ``BigDecimal.valueOf``,
+HALF_UP) while DuckDB multiplies the quotient by 10^d first and rounds
+the inflated product double — whenever the exact rational sits within an
+ulp of a half at the rounding digit the two engines split by 10^-d.
+Found live by the round-8 chunk-profile fuzz on ``text_bigram_backoff_lm``
+and fixed there (commit 883ca2b); this module is the shared form of that
+fix, used by every ``mean rounded to d digits`` site in the catalog.
+
+The stable restatement: compute the HALF_UP rounding of the EXACT
+RATIONAL in integer arithmetic both engines perform identically. When
+``sum`` carries exactly ``d`` decimals (a DECIMAL(p,d) fold) or is an
+integer, ``u = sum * 10^d`` is an exact integer, and
+
+    halfup(u / n) = sign(u) * ((2*|u| + n) div (2*n))
+
+is the HALF_UP quotient (floor division on a non-negative numerator, so
+floor == trunc and both engines agree). The final ``/ 10^d`` divides
+identical exact integers and is correctly rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _mul_pow10_spark(sum_sql: str, digits: int, integral_sum: bool) -> str:
+    """``u = |sum| * 10^digits`` as an exact DECIMAL(38,0) in Spark SQL.
+
+    Decimal sums multiply first (decimal arithmetic is exact; the
+    precision reduction to scale 0 is loss-free because the product is
+    integral). Integer sums cast FIRST — a LONG multiply by 10^9 would
+    overflow for |sum| > ~9.2e9 at 100 TB group sizes.
+    """
+    if integral_sum:
+        return f"CAST(abs({sum_sql}) AS DECIMAL(38,0)) * {10 ** digits}"
+    return f"CAST(abs({sum_sql}) * {10 ** digits} AS DECIMAL(38,0))"
+
+
+def halfup_mean(
+    sum_sql: str, count_sql: str, digits: int, integral_sum: bool = False
+) -> Column:
+    """Spark Column: mean ``sum/count`` rounded HALF_UP at ``digits``,
+    integer-exact (cross-engine stable at half boundaries).
+
+    ``sum_sql`` must be an aggregate SQL expression whose value either is
+    integral (``integral_sum=True``) or carries exactly ``digits``
+    decimals (a DECIMAL(p, digits) fold). ``count_sql`` must be a
+    positive integral aggregate.
+    """
+    u = _mul_pow10_spark(sum_sql, digits, integral_sum)
+    return (
+        F.expr(
+            f"CAST(CASE WHEN {sum_sql} < 0 THEN -1 ELSE 1 END"
+            f" * ((2 * {u} + {count_sql}) div (2 * {count_sql}))"
+            " AS DOUBLE)"
+        )
+        / F.lit(float(10 ** digits))
+    )
+
+
+def halfup_mean_duck(
+    sum_sql: str, count_sql: str, digits: int, integral_sum: bool = False
+) -> str:
+    """The DuckDB-side statement of :func:`halfup_mean` (same exact
+    integers; HUGEINT carries the widened product, ``//`` floors the
+    non-negative numerator)."""
+    if integral_sum:
+        u = f"CAST(abs({sum_sql}) AS HUGEINT) * {10 ** digits}"
+    else:
+        u = f"CAST(abs({sum_sql}) * {10 ** digits} AS HUGEINT)"
+    return (
+        f"CAST(CASE WHEN {sum_sql} < 0 THEN -1 ELSE 1 END"
+        f" * ((2 * {u} + {count_sql}) // (2 * {count_sql}))"
+        f" AS DOUBLE) / 1e{digits}"
+    )

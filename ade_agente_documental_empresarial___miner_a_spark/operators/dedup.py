@@ -498,17 +498,26 @@ def substring_duplicate_spans(
     )
     # one carrier row per (gram, doc): count(*) per gram IS the
     # distinct-doc count the dup flag needs
+    from ..functions.exactmath import halfup_mean
+
     nd = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    dup_sql = "sum(CASE WHEN nd >= 2 THEN n_win ELSE 0 END)"
     dup_win = F.sum(
         F.when(F.col("nd") >= 2, F.col("n_win")).otherwise(F.lit(0))
     )
+    # dup_frac is a round(sum/count) mean -> integer-exact HALF_UP
+    # (ROUND8 §12: round(double, 9) splits at half boundaries; at
+    # n_spans = 5120 with an adversarial dup count the exact rational
+    # lands within an ulp of a half — tests/test_half_boundary.py)
     return (
         carriers.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.sum("n_win").alias("n_spans"),
             dup_win.alias("dup_spans"),
-            F.round(dup_win / F.sum("n_win"), 9).alias("dup_frac"),
+            halfup_mean(dup_sql, "sum(n_win)", 9, integral_sum=True).alias(
+                "dup_frac"
+            ),
         )
     )
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_mean, halfup_mean_duck
 from .catalog import events_table, register, table
 
 
@@ -117,6 +118,15 @@ _SENT_SPIKE_SQL = (
     "' spark ', '! Spark ')"
 )
 
+# avg words/sentence is a round(sum/count) mean — stated integer-exact
+# on both engines (ROUND8 §12: round(double, 9) splits at half
+# boundaries; at n_sentences = 5120 with an adversarial word total the
+# exact rational lands within an ulp of a half — pinned in
+# tests/test_half_boundary.py)
+_AVG_WORDS_DUCK = halfup_mean_duck(
+    "sum(n_words)", "count(*)", 9, integral_sum=True
+)
+
 
 @register(
     "text_sentence_stats",
@@ -132,8 +142,7 @@ words AS (
   SELECT doc_id, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_words
   FROM sents)
 SELECT doc_id, count(*) AS n_sentences,
-       round(CAST(sum(n_words) AS DOUBLE) / count(*), 9)
-         AS avg_sentence_words,
+       {_AVG_WORDS_DUCK} AS avg_sentence_words,
        CAST(max(n_words) AS BIGINT) AS longest_sentence_words
 FROM words GROUP BY doc_id""",
 )
@@ -154,8 +163,8 @@ def text_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
     return words.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sentences"),
-        F.round(
-            F.sum("n_words").cast("double") / F.count(F.lit(1)), 9
-        ).alias("avg_sentence_words"),
+        halfup_mean("sum(n_words)", "count(1)", 9, integral_sum=True).alias(
+            "avg_sentence_words"
+        ),
         F.max("n_words").cast("long").alias("longest_sentence_words"),
     )

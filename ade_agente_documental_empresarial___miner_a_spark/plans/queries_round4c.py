@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_mean_duck
 from ..operators.dedup import incremental_dedup, substring_duplicate_spans
 from .catalog import DUCK_EVENTS, events_table, register, table
 
@@ -30,7 +31,7 @@ from .catalog import DUCK_EVENTS, events_table, register, table
 # the spread(doc_id) partitioning (no re-shuffle of the exploded side).
 @register(
     "dedup_substring",
-    """WITH words AS (
+    f"""WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 grams AS (
   SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gram
@@ -40,7 +41,8 @@ gd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram)
 SELECT g.doc_id,
        count(*) AS n_spans,
        CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
-       round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / count(*), 9)
+       {halfup_mean_duck("sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)",
+                         "count(*)", 9, integral_sum=True)}
          AS dup_frac
 FROM grams g JOIN gd USING (gram)
 GROUP BY g.doc_id""",

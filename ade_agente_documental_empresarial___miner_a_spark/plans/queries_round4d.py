@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.exactmath import halfup_mean, halfup_mean_duck
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 
@@ -162,7 +163,7 @@ p AS (
 SELECT CAST(phase AS BIGINT) AS phase,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       round(CAST(sum(quality_q) AS DOUBLE) / count(*), 9) AS avg_quality
+       {halfup_mean_duck("sum(quality_q)", "count(*)", 9)} AS avg_quality
 FROM p GROUP BY phase"""
 
 
@@ -187,12 +188,13 @@ def cur_curriculum_phases(spark: SparkSession, sf: str) -> DataFrame:
         F.round("quality", 9).cast("decimal(20,9)").alias("quality_q"),
         "phase",
     )
+    # quality_q carries exactly 9 decimals, so the phase mean is stated
+    # as the integer-exact HALF_UP quotient (ROUND8 §12 — round(double,9)
+    # is not cross-engine stable at half boundaries)
     return p.groupBy(F.col("phase").cast("long").alias("phase")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.round(
-            F.sum("quality_q").cast("double") / F.count(F.lit(1)), 9
-        ).alias("avg_quality"),
+        halfup_mean("sum(quality_q)", "count(1)", 9).alias("avg_quality"),
     )
 
 

@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_mean, halfup_mean_duck
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 
@@ -175,7 +176,7 @@ def s16_compaction(spark: SparkSession, sf: str) -> DataFrame:
 # unchanged.
 @register(
     "cur_winsorize",
-    """WITH bounds AS (
+    f"""WITH bounds AS (
   SELECT lang,
          quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
          quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
@@ -186,7 +187,7 @@ clipped AS (
               AS DECIMAL(18,6)) AS v
   FROM documents d JOIN bounds USING (lang))
 SELECT lang, count(*) AS n_docs,
-       round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS winsorized_mean
+       {halfup_mean_duck("sum(v)", "count(*)", 6)} AS winsorized_mean
 FROM clipped GROUP BY lang""",
 )
 def cur_winsorize(spark: SparkSession, sf: str) -> DataFrame:
@@ -203,9 +204,9 @@ def cur_winsorize(spark: SparkSession, sf: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("v"),
     )
+    # v carries exactly 6 decimals -> integer-exact HALF_UP mean
+    # (ROUND8 §12: round(double, 6) splits at half boundaries)
     return clipped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
-            "winsorized_mean"
-        ),
+        halfup_mean("sum(v)", "count(1)", 6).alias("winsorized_mean"),
     )
