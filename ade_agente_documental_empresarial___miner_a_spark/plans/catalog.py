@@ -295,6 +295,21 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
     ),
     # the flip lands before the round-8 gate runs
     8,
+) | dict.fromkeys(
+    (
+        # r09: the four residual round(sum/count) half-boundary sites
+        # (VERDICT r8 task 1 + the code-review dup_frac finding)
+        # migrated to the shared integer-exact HALF_UP quotient
+        # (functions/exactmath.py). Values identical on fixtures and
+        # each has a constructed-boundary pin in
+        # tests/test_half_boundary.py, but the executed agg changed.
+        "text_sentence_stats",
+        "cur_curriculum_phases",
+        "cur_winsorize",
+        "dedup_substring",
+    ),
+    # the migration lands before the round-9 gate runs
+    9,
 )
 
 
@@ -329,6 +344,11 @@ _RECHECK: frozenset[str] = _active_rechecks(
 _PRIORITY = tuple(
     n
     for n in (
+        # r09: the ONLY catalog entry with no driver record (registered
+        # last in r8, window position 50 trade — ROUND8.md §1; judge
+        # parity green). First slot so CORRECTNESS_r09 closes the full
+        # 285/285 catalog certification.
+        "mm_header_decode",
         "emb_label_centroids",   # r04 RED: raw array output → exploded rows
         "rel_grouping_sets",     # r04 RED: decimal hash → exact string surface
         "sim_ivf_recall",
