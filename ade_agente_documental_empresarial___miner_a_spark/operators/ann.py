@@ -423,16 +423,22 @@ def ivf_assign_arrow(
                 #     mask to -inf (an all--inf row argmaxes to index 0
                 #     = the largest cid, matching all-NULL fallthrough);
                 # (2) remaining NaN (a non-finite operand with nonzero
-                #     norms): the HOF score is genuinely NaN and Spark
-                #     sorts NaN GREATEST — mask to +inf (+inf ties
-                #     argmax to index 0 = larger cid, matching the
-                #     struct-max's NaN-equal tie rule);
+                #     norms): Spark's total order puts NaN ABOVE
+                #     Infinity, so NaN wins even against a genuine +inf
+                #     score (|v·c| overflow) — rows with any NaN take
+                #     the FIRST NaN column (NaN-equal ties go to index
+                #     0, the struct-max tie rule), never a +inf one;
                 # (3) finite scores compare as-is.
                 # Pinned vs ivf_assign in tests/test_ann_arrow.py.
                 denom_zero = (vnorms * cnorms) == 0.0
                 scores = np.where(denom_zero, -np.inf, scores)
-                scores = np.where(np.isnan(scores), np.inf, scores)
-                cells[ok] = cids[np.argmax(scores, axis=1)]
+                nan = np.isnan(scores)
+                pick = np.where(
+                    nan.any(axis=1),
+                    nan.argmax(axis=1),
+                    np.where(nan, -np.inf, scores).argmax(axis=1),
+                )
+                cells[ok] = cids[pick]
             pdf = pdf.assign(cell=cells)
             yield pdf[cols]
 

@@ -247,19 +247,29 @@ class RamServingIndex:
         # NULL rows sort after every non-null key; give them a constant
         # key so their mutual order falls through to id ascending.
         key = np.where(null_mask, -np.inf, key)
+        # Spark's total order puts NaN strictly ABOVE +Infinity, so a
+        # NaN score must beat even a genuine +inf (|v·q| overflow) —
+        # the +inf mask alone would conflate them (code-review r8). An
+        # explicit tier flag (0 = NaN, sorts first) carries the
+        # distinction through every sort below.
+        nan_tier = np.where(~null_mask & np.isnan(scores), 0, 1).astype(
+            np.int8
+        )
         nulls_as_hits = int(null_mask.sum()) and k > (
             n_rows - int(null_mask.sum())
         )
         if k >= n_rows or nulls_as_hits:
             # small or null-reaching cut: full lexsort, primary
-            # null-flag (nulls last), then key desc, then id asc
-            order = np.lexsort((self._ids, -key, null_mask))[:k]
+            # null-flag (nulls last), then NaN tier, key desc, id asc
+            order = np.lexsort((self._ids, -key, nan_tier, null_mask))[:k]
         else:
             live = np.nonzero(~null_mask)[0]
             lk = key[live]
             kth = np.partition(lk, lk.shape[0] - k)[lk.shape[0] - k]
             cand = live[key[live] >= kth]
-            sub = np.lexsort((self._ids[cand], -key[cand]))[:k]
+            sub = np.lexsort(
+                (self._ids[cand], -key[cand], nan_tier[cand])
+            )[:k]
             order = cand[sub]
         return order
 
@@ -353,11 +363,22 @@ class RamServingIndex:
                 seen.setdefault(self._labels[i], None)
         key = np.where(np.isnan(scores), np.inf, scores)
         key = np.where(null_mask, -np.inf, key)
+        # same NaN-above-+inf tier as _order (code-review r8)
+        nan_tier = np.where(~null_mask & np.isnan(scores), 0, 1).astype(
+            np.int8
+        )
         out: list[HierarchyHit] = []
         for lab in seen:
             idx = np.nonzero(self._labels == lab)[0]
             sub = idx[
-                np.lexsort((self._ids[idx], -key[idx], null_mask[idx]))
+                np.lexsort(
+                    (
+                        self._ids[idx],
+                        -key[idx],
+                        nan_tier[idx],
+                        null_mask[idx],
+                    )
+                )
             ][:per_label_k]
             out.extend(
                 HierarchyHit(

@@ -52,7 +52,8 @@ weekly AS (
               AS BIGINT) AS n_resurrected,
          count(*) AS n_active
   FROM classed GROUP BY week)
-SELECT w.week, w.n_new, w.n_retained, w.n_resurrected, w.n_active,
+SELECT CAST(w.week AS TIMESTAMP) AS week,
+       w.n_new, w.n_retained, w.n_resurrected, w.n_active,
        CAST(coalesce(p.n_active, 0) - w.n_retained AS BIGINT)
          AS n_churned_from_prev
 FROM weekly w LEFT JOIN weekly p ON p.week = w.week - 7""",
@@ -91,7 +92,11 @@ def rel_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p.week") == F.date_sub(F.col("w.week"), 7),
         "left",
     ).select(
-        F.col("w.week").alias("week"),
+        # DATE surfaces as datetime.date objects through Spark->pandas
+        # but datetime64 through DuckDB->pandas (gate-mimic
+        # date-vs-timestamp hazard class) — the output column is pinned
+        # to TIMESTAMP on both engines (UTC session, so midnight UTC)
+        F.col("w.week").cast("timestamp").alias("week"),
         F.col("w.n_new").alias("n_new"),
         F.col("w.n_retained").alias("n_retained"),
         F.col("w.n_resurrected").alias("n_resurrected"),

@@ -42,7 +42,7 @@ per AS (
          count(DISTINCT user_id) AS n_active,
          CAST(sum(vd) AS DECIMAL(20,6)) AS period_value
   FROM act GROUP BY cohort, age_weeks)
-SELECT cohort, age_weeks, n_active,
+SELECT CAST(cohort AS TIMESTAMP) AS cohort, age_weeks, n_active,
        CAST(period_value AS DOUBLE) AS period_value,
        CAST(sum(period_value) OVER (
          PARTITION BY cohort ORDER BY age_weeks
@@ -76,7 +76,9 @@ def rel_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     return per.select(
-        "cohort",
+        # output pinned to TIMESTAMP on both engines (gate-mimic
+        # date-vs-timestamp hazard class; UTC session -> midnight UTC)
+        F.col("cohort").cast("timestamp").alias("cohort"),
         "age_weeks",
         "n_active",
         F.col("period_value").cast("double").alias("period_value"),

@@ -45,7 +45,8 @@ pick AS (
   SELECT d AS change_day, s, n_days,
          row_number() OVER (ORDER BY abs(s) DESC, d) AS rn
   FROM cusum)
-SELECT p.change_day, CAST(p.n_days AS BIGINT) AS n_days,
+SELECT CAST(p.change_day AS TIMESTAMP) AS change_day,
+       CAST(p.n_days AS BIGINT) AS n_days,
        round(abs(p.s), 6) AS cusum_magnitude,
        round((SELECT avg(CAST(x AS DOUBLE)) FROM daily
               WHERE d <= p.change_day), 6) AS mean_before,
@@ -104,7 +105,9 @@ def rel_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         pick.crossJoin(F.broadcast(before))
         .crossJoin(F.broadcast(after))
         .select(
-            "change_day",
+            # output pinned to TIMESTAMP on both engines (gate-mimic
+            # date-vs-timestamp hazard class; UTC -> midnight UTC)
+            F.col("change_day").cast("timestamp").alias("change_day"),
             F.col("n_days").cast("long").alias("n_days"),
             F.round(F.abs("s"), 6).alias("cusum_magnitude"),
             F.round("mean_before", 6).alias("mean_before"),

@@ -90,8 +90,26 @@ def extract_media_features(
             rows = []
             for _, row in pdf.iterrows():
                 data = row[content_col]
-                data = bytes(data) if data is not None else b""
                 kind = row["kind"]
+                if data is None:
+                    # NULL content propagates as NULL facts (SQL
+                    # semantics: f(NULL) = NULL, matching the oracles'
+                    # md5(NULL)/sha256(NULL) = NULL) — not an error row
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "kind": kind,
+                            "n_bytes": None,
+                            "sha": None,
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                            "features": None,
+                            "error": None,
+                        }
+                    )
+                    continue
+                data = bytes(data)
                 rec = {
                     "media_id": row["media_id"],
                     "kind": kind,
@@ -155,7 +173,11 @@ def synth_media_from_docs(
     duration) and kind is derived — the one construction path every
     consumer shares, so the parameter arithmetic cannot drift between
     entries. Map-only (one Arrow-batched pass, no shuffle); output is
-    (media_id, kind, content) in MEDIA_SCHEMA shape."""
+    (media_id, kind, content) in MEDIA_SCHEMA shape.
+
+    NULL text produces NULL content (the oracles compute md5(NULL) =
+    NULL); an unrecognized ``fmt_col`` value raises ValueError with the
+    known set instead of a bare KeyError mid-job."""
     from .media_headers import (
         build_avi,
         build_bmp,
@@ -170,31 +192,52 @@ def synth_media_from_docs(
         "jpeg": build_jpeg,
     }
 
+    known_fmts = set(img_builders) | {"wav", "avi"}
+
     def run(batches):
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                h = hashlib.md5(
-                    str(row[text_col]).encode("utf-8")
-                ).digest()
+                text = row[text_col]
+                if fmt_col is not None:
+                    fmt = row[fmt_col]
+                    if fmt not in known_fmts:
+                        raise ValueError(
+                            f"unknown media format {fmt!r}; expected one"
+                            f" of {sorted(known_fmts)}"
+                        )
+                    kind = (
+                        "audio" if fmt == "wav"
+                        else "video" if fmt == "avi"
+                        else "image"
+                    )
+                else:
+                    kind = row[kind_col]
+                if text is None:
+                    # NULL text -> NULL media (the oracles compute
+                    # md5(NULL) = NULL; building md5('None') media here
+                    # would silently diverge for NULL-text documents)
+                    out.append(
+                        {"media_id": row[id_col], "kind": kind,
+                         "content": None}
+                    )
+                    continue
+                h = hashlib.md5(str(text).encode("utf-8")).digest()
                 w, ht = 64 + h[0] % 192, 64 + h[1] % 192
                 dur = 1000 + int.from_bytes(h[2:4], "little")
                 if fmt_col is not None:
-                    fmt = row[fmt_col]
                     if fmt == "wav":
-                        kind, content = "audio", build_wav(dur)
-                    elif fmt == "avi":
-                        kind, content = "video", build_avi(w, ht, dur)
-                    else:
-                        kind, content = "image", img_builders[fmt](w, ht)
-                else:
-                    kind = row[kind_col]
-                    if kind == "image":
-                        content = build_bmp(w, ht)
-                    elif kind == "audio":
                         content = build_wav(dur)
-                    else:
+                    elif fmt == "avi":
                         content = build_avi(w, ht, dur)
+                    else:
+                        content = img_builders[fmt](w, ht)
+                elif kind == "image":
+                    content = build_bmp(w, ht)
+                elif kind == "audio":
+                    content = build_wav(dur)
+                else:
+                    content = build_avi(w, ht, dur)
                 out.append(
                     {"media_id": row[id_col], "kind": kind,
                      "content": content}

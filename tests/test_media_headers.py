@@ -208,3 +208,64 @@ def test_every_truncation_prefix_degrades_not_crashes(fmt, w, h, dur):
     for cut in range(len(data) + 1):
         out = sniff(data[:cut])
         assert out is None or isinstance(out, dict)
+
+
+def test_null_text_propagates_null_media(spark, tmp_path):
+    # code-review r8: str(None) used to build valid md5('None') media
+    # while the paired oracles compute md5(NULL) = NULL — a NULL-text
+    # doc must flow through the FULL entry as NULL dims on both
+    # engines. Replays mm_header_decode's compare on a crafted table.
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tests.test_half_boundary import _docs_table, _sf_dir_with_docs
+    from tools.parity import compare, duck_conn
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        catalog,
+    )
+
+    docs = _docs_table(
+        [(1, "alpha beta gamma", "en"), (3, "delta epsilon", "en")]
+    )
+    # doc 2: NULL text (pyarrow: swap the text column with a null slot)
+    import pyarrow as pa
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha beta gamma", None, "delta eps"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["pin"] * 3),
+            "n_chars": pa.array([16, 0, 9], pa.int64()),
+        }
+    )
+    sf = _sf_dir_with_docs(tmp_path, docs)
+    con = duck_conn(sf)
+    try:
+        df = catalog.queries()["mm_header_decode"](spark, sf)
+        ok, *_ = compare(
+            "mm_header_decode[null-text]",
+            df,
+            con,
+            catalog.oracle_sql()["mm_header_decode"],
+        )
+        rows = {r.media_id: r for r in df.collect()}
+    finally:
+        con.close()
+    assert ok
+    assert rows[2].width is None and rows[2].duration_ms is None
+    assert rows[1].width is not None  # non-null rows unaffected
+
+
+def test_unknown_fmt_raises_valueerror(spark):
+    from ade_agente_documental_empresarial___miner_a_spark.sources.multimodal import (
+        synth_media_from_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text", "tiff")],
+        "media_id long, text string, fmt string",
+    )
+    with pytest.raises(Exception) as ei:
+        synth_media_from_docs(docs, fmt_col="fmt").collect()
+    assert "unknown media format" in str(ei.value)

@@ -564,3 +564,28 @@ def test_hierarchy_null_labels_match_semi_join_semantics(spark):
     want = _hierarchy_plan(scored, 3, 2).collect()
     assert _hits_as_set(got) == _rows_as_set(want)
     assert all(h.label is not None for h in got)
+
+
+def test_order_puts_nan_above_genuine_inf():
+    """Spark's total order ranks NaN ABOVE +Infinity; the +inf mask in
+    the RAM comparator used to conflate a NaN score with a genuine
+    +inf one (code-review r8). +inf is actually unreachable through
+    _score_query (Cauchy-Schwarz: |v||q| >= |v.q|, so the denominator
+    overflows first and the score goes NaN, never +inf), so this pins
+    the comparator DIRECTLY: the NaN row must win even when a +inf row
+    carries a smaller id."""
+    import numpy as np
+
+    from ade_agente_documental_empresarial___miner_a_spark.operators.serving import (  # noqa: E501
+        RamServingIndex,
+    )
+
+    idx = RamServingIndex.__new__(RamServingIndex)
+    idx._ids = np.array([1, 2, 3], dtype=np.int64)
+    scores = np.array([np.inf, np.nan, 1.0])
+    null_mask = np.array([False, False, False])
+    # full-sort path (k >= n_rows): row indices — NaN row first, then
+    # the +inf row, then the finite one
+    assert list(idx._order(scores, null_mask, 3)) == [1, 0, 2]
+    # partition path (k < n_rows)
+    assert list(idx._order(scores, null_mask, 2)) == [1, 0]
