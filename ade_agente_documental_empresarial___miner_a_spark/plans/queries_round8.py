@@ -82,3 +82,70 @@ def mm_header_decode(spark: SparkSession, sf: str) -> DataFrame:
         "height",
         "duration_ms",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_pixel_stats (r9) — certifies the tier-2 PAYLOAD decoders the same
+# way mm_header_decode certifies the header parsers: every document
+# becomes a real uncompressed payload (even doc_id → tiny 24bpp BMP
+# pixel array, odd → 8-bit PCM WAV samples; one base value + one spike
+# at an md5-derived position), the query decodes the bytes
+# (media_headers.bmp_pixel_stats / wav_pcm_stats — stride padding and
+# RIFF chunk walk included), and the oracle predicts the per-channel
+# (sum, min, max) from the md5 construction arithmetic alone. The
+# stats are integers, so the match is exact; a decoder that misread
+# the stride, the pixel offset, or the data chunk would diverge on
+# the first doc.
+
+
+def _byte(k: int) -> str:
+    """md5-hex byte k (0-based) as an integer SQL expression."""
+    return f"({_hexval(2 * k + 1)} * 16 + {_hexval(2 * k + 2)})"
+
+
+_PIXEL_STATS_SQL = f"""WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         md5(text) AS h
+  FROM documents),
+p AS (
+  SELECT media_id, kind,
+         CASE WHEN kind = 'image'
+              THEN (4 + {_byte(0)} % 13) * (4 + {_byte(1)} % 13)
+              ELSE 64 + ({_byte(0)} + 256 * {_byte(1)}) % 960 END AS n,
+         {_byte(2)} AS v2, {_byte(3)} AS v3, {_byte(4)} AS v4,
+         {_byte(5)} AS v5, {_byte(6)} AS v6, {_byte(7)} AS v7
+  FROM m)
+SELECT media_id, kind, CAST(n AS BIGINT) AS n_units,
+       CAST(CASE WHEN kind = 'image' THEN v2 * (n - 1) + v5
+                 ELSE v2 * (n - 1) + v3 END AS BIGINT) AS c0_sum,
+       CAST(CASE WHEN kind = 'image' THEN least(v2, v5)
+                 ELSE least(v2, v3) END AS BIGINT) AS c0_min,
+       CAST(CASE WHEN kind = 'image' THEN greatest(v2, v5)
+                 ELSE greatest(v2, v3) END AS BIGINT) AS c0_max,
+       CAST(CASE WHEN kind = 'image' THEN v3 * (n - 1) + v6 END
+            AS BIGINT) AS c1_sum,
+       CAST(CASE WHEN kind = 'image' THEN least(v3, v6) END
+            AS BIGINT) AS c1_min,
+       CAST(CASE WHEN kind = 'image' THEN greatest(v3, v6) END
+            AS BIGINT) AS c1_max,
+       CAST(CASE WHEN kind = 'image' THEN v4 * (n - 1) + v7 END
+            AS BIGINT) AS c2_sum,
+       CAST(CASE WHEN kind = 'image' THEN least(v4, v7) END
+            AS BIGINT) AS c2_min,
+       CAST(CASE WHEN kind = 'image' THEN greatest(v4, v7) END
+            AS BIGINT) AS c2_max
+FROM p"""
+
+
+@register("mm_pixel_stats", _PIXEL_STATS_SQL)
+def mm_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.multimodal import (
+        extract_payload_stats,
+        synth_stats_media_from_docs,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    return extract_payload_stats(synth_stats_media_from_docs(docs))

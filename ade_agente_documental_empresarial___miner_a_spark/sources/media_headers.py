@@ -33,14 +33,33 @@ import zlib
 # builders
 
 
-def build_bmp(width: int, height: int) -> bytes:
-    """54-byte BMP (BITMAPINFOHEADER, 24bpp) header; pixel array omitted."""
+def build_bmp(
+    width: int, height: int, pixels: bytes | None = None
+) -> bytes:
+    """54-byte BMP (BITMAPINFOHEADER, 24bpp) header; with ``pixels``
+    (flat BGR byte triples, width*height*3 bytes, storage row order) a
+    REAL pixel array follows, each row padded to the spec's 4-byte
+    stride — decodable by :func:`bmp_pixel_stats` without Pillow."""
+    stride = (width * 3 + 3) // 4 * 4
+    img_size = stride * abs(height) if pixels is not None else 0
     header = struct.pack(
-        "<2sIHHI", b"BM", 54, 0, 0, 54
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
     ) + struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0,
     )
-    return header
+    if pixels is None:
+        return header
+    if len(pixels) != width * abs(height) * 3:
+        raise ValueError(
+            f"pixel payload {len(pixels)} != {width}x{abs(height)}x3"
+        )
+    pad = b"\x00" * (stride - width * 3)
+    rows = (
+        pixels[r * width * 3 : (r + 1) * width * 3] + pad
+        for r in range(abs(height))
+    )
+    return header + b"".join(rows)
 
 
 def build_png(width: int, height: int) -> bytes:
@@ -76,12 +95,18 @@ def build_jpeg(width: int, height: int) -> bytes:
     )
 
 
-def build_wav(duration_ms: int) -> bytes:
+def build_wav(duration_ms: int, samples: bytes | None = None) -> bytes:
     """44-byte WAV header, PCM 8-bit mono at 1000 Hz (byte rate 1000, so
-    the declared data size in bytes IS the duration in ms); sample bytes
-    omitted — duration comes from the declared size, as any header
-    sniffer reads it."""
+    the declared data size in bytes IS the duration in ms); by default
+    sample bytes are omitted — duration comes from the declared size, as
+    any header sniffer reads it. With ``samples`` (must be exactly
+    ``duration_ms`` bytes, one unsigned 8-bit sample per ms) a REAL PCM
+    payload follows — decodable by :func:`wav_pcm_stats`."""
     data_size = int(duration_ms)
+    if samples is not None and len(samples) != data_size:
+        raise ValueError(
+            f"sample payload {len(samples)} != duration {data_size}"
+        )
     return (
         b"RIFF"
         + struct.pack("<I", 36 + data_size)
@@ -90,6 +115,7 @@ def build_wav(duration_ms: int) -> bytes:
         + struct.pack("<IHHIIHH", 16, 1, 1, 1000, 1000, 1, 8)
         + b"data"
         + struct.pack("<I", data_size)
+        + (samples or b"")
     )
 
 
@@ -240,3 +266,80 @@ def sniff(data: bytes) -> dict | None:
         if out is not None:
             return out
     return None
+
+
+# ---------------------------------------------------------------------------
+# payload decoders — tier 2 for the UNCOMPRESSED formats (r9): a 24bpp
+# BMP pixel array and 8-bit PCM WAV samples are plain byte arithmetic,
+# no Pillow/librosa needed. Same degrade contract as the header
+# parsers: malformed/truncated input returns None, never raises.
+
+
+def bmp_pixel_stats(data: bytes) -> dict | None:
+    """Decode a 24bpp uncompressed BMP's REAL pixel array: per-channel
+    (sum, min, max) over every pixel, padding bytes excluded.
+
+    Reads the pixel-array offset from the file header and honours the
+    4-byte row stride and bottom-up/top-down height sign — the facts a
+    naive 'slice after the header' fake would get wrong. Returns
+    {n_pixels, c0/c1/c2 (BGR) sum/min/max} or None (not a BMP, not
+    24bpp, compressed, or the array is truncated)."""
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    px_off = struct.unpack("<I", data[10:14])[0]
+    w, h = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    n_rows = abs(h)
+    if bpp != 24 or compression != 0 or w <= 0 or n_rows == 0:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    if px_off + stride * n_rows > len(data):
+        return None  # truncated pixel array -> degrade
+    arr = np.frombuffer(
+        data, dtype=np.uint8, count=stride * n_rows, offset=px_off
+    ).reshape(n_rows, stride)[:, : w * 3]
+    px = arr.reshape(-1, 3).astype(np.int64)
+    sums = px.sum(axis=0)
+    mins = px.min(axis=0)
+    maxs = px.max(axis=0)
+    return {
+        "n_units": int(w) * n_rows,
+        "c0_sum": int(sums[0]), "c0_min": int(mins[0]), "c0_max": int(maxs[0]),
+        "c1_sum": int(sums[1]), "c1_min": int(mins[1]), "c1_max": int(maxs[1]),
+        "c2_sum": int(sums[2]), "c2_min": int(mins[2]), "c2_max": int(maxs[2]),
+    }
+
+
+def wav_pcm_stats(data: bytes) -> dict | None:
+    """Decode an 8-bit mono PCM WAV's REAL sample bytes: (sum, min,
+    max) over every sample actually present. Walks the RIFF chunks to
+    the data payload; requires PCM (format 1), 8 bits, mono. Returns
+    {n_units, c0 sum/min/max} or None (wrong codec/layout, or the
+    declared data chunk carries no bytes to decode)."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    fmt_ok = False
+    samples = None
+    for cid, size, payload in _riff_chunks(data, 12):
+        if cid == b"fmt " and len(payload) >= 16:
+            audio_fmt, n_ch = struct.unpack("<HH", payload[0:4])
+            bits = struct.unpack("<H", payload[14:16])[0]
+            fmt_ok = audio_fmt == 1 and n_ch == 1 and bits == 8
+        elif cid == b"data":
+            # PRESENT bytes (min of declared and available): stats are
+            # about the samples we can actually decode
+            samples = payload[: min(size, len(payload))]
+    if not fmt_ok or not samples:
+        return None
+    arr = np.frombuffer(samples, dtype=np.uint8).astype(np.int64)
+    return {
+        "n_units": int(arr.shape[0]),
+        "c0_sum": int(arr.sum()),
+        "c0_min": int(arr.min()),
+        "c0_max": int(arr.max()),
+    }

@@ -18,8 +18,15 @@ extract tiers in ``extract.py``):
 - tier 3 — deterministic md5-seeded fake dims/duration for payloads no
   parser claims (the old stub, now the degrade path).
 
-The FEATURE vector itself stays md5-fake at every tier — pixel/sample
-decode genuinely needs the tier-1 libraries.
+The FEATURE vector itself stays md5-fake at every tier — a LEARNED
+embedding genuinely needs the tier-1 libraries. Raw pixel/sample
+STATISTICS do not: for the uncompressed formats (24bpp BMP, 8-bit PCM
+WAV) the payload is plain byte arithmetic, so since round 9
+``extract_payload_stats`` decodes REAL pixel arrays / PCM samples
+(``media_headers.bmp_pixel_stats`` / ``wav_pcm_stats``) built by
+``synth_stats_media_from_docs`` — certified end-to-end by the
+``mm_pixel_stats`` oracle pair. Compressed formats (PNG/GIF/JPEG/AVI
+frames) remain tier-1 territory.
 """
 
 from __future__ import annotations
@@ -323,4 +330,119 @@ def frame_sample_plan(
             ),
         )
         .select("media_id", "frame_ts_ms")
+    )
+
+
+PAYLOAD_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_units", LongType()),   # pixels | pcm samples
+        # channel stats: BGR for 24bpp BMP; c0 only for mono PCM
+        StructField("c0_sum", LongType()),
+        StructField("c0_min", LongType()),
+        StructField("c0_max", LongType()),
+        StructField("c1_sum", LongType()),
+        StructField("c1_min", LongType()),
+        StructField("c1_max", LongType()),
+        StructField("c2_sum", LongType()),
+        StructField("c2_min", LongType()),
+        StructField("c2_max", LongType()),
+    ]
+)
+
+
+def synth_stats_media_from_docs(
+    docs: DataFrame,
+    id_col: str = "media_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Small REAL-payload media for the tier-2 payload decoders: even
+    ids become a tiny 24bpp BMP (4..16 px per side) whose pixel array
+    is one md5-derived base BGR colour with ONE spike pixel at an
+    md5-derived position; odd ids become an 8-bit PCM WAV (64..1023
+    samples) with one spike sample. All parameters derive from
+    md5(text) bytes (b0.. below), so a SQL oracle can predict the
+    channel statistics without seeing the bytes while the Spark side
+    must genuinely decode the array:
+
+    - image: w=4+b0%13, h=4+b1%13, base=(b2,b3,b4), spike=(b5,b6,b7)
+      at pixel (b8+256*b9) % (w*h)
+    - audio: n=64+(b0+256*b1)%960, base=b2, spike=b3 at sample
+      (b4+256*b5) % n
+
+    NULL text -> NULL content (md5(NULL) = NULL on the oracle side).
+    Map-only, Arrow-batched, MEDIA_SCHEMA output."""
+    from .media_headers import build_bmp, build_wav
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                mid = int(row[id_col])
+                kind = "image" if mid % 2 == 0 else "audio"
+                text = row[text_col]
+                if text is None:
+                    out.append(
+                        {"media_id": mid, "kind": kind, "content": None}
+                    )
+                    continue
+                h = hashlib.md5(str(text).encode("utf-8")).digest()
+                if kind == "image":
+                    w, ht = 4 + h[0] % 13, 4 + h[1] % 13
+                    n = w * ht
+                    px = bytearray(bytes(h[2:5]) * n)
+                    p = (h[8] + 256 * h[9]) % n
+                    px[3 * p : 3 * p + 3] = h[5:8]
+                    content = build_bmp(w, ht, bytes(px))
+                else:
+                    n = 64 + (h[0] + 256 * h[1]) % 960
+                    smp = bytearray([h[2]]) * n
+                    smp[(h[4] + 256 * h[5]) % n] = h[3]
+                    content = build_wav(n, bytes(smp))
+                out.append(
+                    {"media_id": mid, "kind": kind, "content": content}
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_SCHEMA]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def extract_payload_stats(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Tier-2 REAL payload decode for the uncompressed formats: per-
+    channel (sum, min, max) over every 24bpp BMP pixel / 8-bit PCM WAV
+    sample actually present. NULL content and undecodable payloads
+    (compressed formats, truncation, foreign codecs) yield NULL stats —
+    the degrade contract of the header tier. Map-only, Arrow-batched."""
+    from .media_headers import bmp_pixel_stats, wav_pcm_stats
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = row[content_col]
+                rec = {
+                    "media_id": row["media_id"],
+                    "kind": row["kind"],
+                    "n_units": None,
+                    "c0_sum": None, "c0_min": None, "c0_max": None,
+                    "c1_sum": None, "c1_min": None, "c1_max": None,
+                    "c2_sum": None, "c2_min": None, "c2_max": None,
+                }
+                if data is not None:
+                    data = bytes(data)
+                    stats = bmp_pixel_stats(data) or wav_pcm_stats(data)
+                    if stats is not None:
+                        rec.update(stats)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAYLOAD_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "kind", content_col).mapInPandas(
+        run, PAYLOAD_STATS_SCHEMA
     )

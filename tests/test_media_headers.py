@@ -269,3 +269,119 @@ def test_unknown_fmt_raises_valueerror(spark):
     with pytest.raises(Exception) as ei:
         synth_media_from_docs(docs, fmt_col="fmt").collect()
     assert "unknown media format" in str(ei.value)
+
+
+# --- r9: tier-2 PAYLOAD decoders (real pixel arrays / PCM samples) ---
+
+
+def test_bmp_pixel_stats_roundtrip_with_stride_padding():
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        bmp_pixel_stats,
+        build_bmp,
+    )
+
+    # width 3 -> 9-byte rows padded to 12: a decoder that slices the
+    # array naively would swallow padding zeros into the stats
+    px = bytes([200] * 9 + [10, 250, 7] + [200] * 6)  # 2 rows of 3 px
+    data = build_bmp(3, 2, px)
+    s = bmp_pixel_stats(data)
+    assert s["n_units"] == 6
+    assert (s["c0_sum"], s["c0_min"], s["c0_max"]) == (
+        5 * 200 + 10, 10, 200
+    )
+    assert (s["c1_sum"], s["c1_min"], s["c1_max"]) == (
+        5 * 200 + 250, 200, 250
+    )
+    assert (s["c2_sum"], s["c2_min"], s["c2_max"]) == (5 * 200 + 7, 7, 200)
+
+
+def test_wav_pcm_stats_roundtrip():
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        build_wav,
+        wav_pcm_stats,
+    )
+
+    s = wav_pcm_stats(build_wav(4, bytes([0, 128, 255, 1])))
+    assert s == {"n_units": 4, "c0_sum": 384, "c0_min": 0, "c0_max": 255}
+
+
+def test_payload_stats_degrade_paths():
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        bmp_pixel_stats,
+        build_bmp,
+        build_png,
+        build_wav,
+        wav_pcm_stats,
+    )
+
+    # header-only files (no payload) and compressed formats degrade
+    assert bmp_pixel_stats(build_bmp(4, 4)) is None
+    assert wav_pcm_stats(build_wav(100)) is None
+    assert bmp_pixel_stats(build_png(4, 4)) is None
+    # truncated pixel array degrades (declared 2 rows, bytes for 1)
+    full = build_bmp(4, 2, bytes(range(24)))
+    assert bmp_pixel_stats(full[: 54 + 12]) is None
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=255),
+)
+def test_payload_decoder_prefixes_never_raise(w, h, seed):
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        bmp_pixel_stats,
+        build_bmp,
+        build_wav,
+        wav_pcm_stats,
+    )
+
+    px = bytes((seed + i) % 256 for i in range(w * h * 3))
+    data = build_bmp(w, h, px)
+    for cut in range(0, len(data) + 1, max(1, len(data) // 37)):
+        out = bmp_pixel_stats(data[:cut])
+        assert out is None or isinstance(out, dict)
+    wav = build_wav(w * h, bytes((seed + i) % 256 for i in range(w * h)))
+    for cut in range(0, len(wav) + 1, max(1, len(wav) // 37)):
+        out = wav_pcm_stats(wav[:cut])
+        assert out is None or isinstance(out, dict)
+
+
+def test_mm_pixel_stats_null_text(spark, tmp_path):
+    # NULL text -> NULL stats row on BOTH engines through the full entry
+    import pyarrow as pa
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tests.test_half_boundary import _sf_dir_with_docs
+    from tools.parity import compare, duck_conn
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        catalog,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([2, 3], pa.int64()),
+            "text": pa.array(["alpha beta", None]),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["pin"] * 2),
+            "n_chars": pa.array([10, 0], pa.int64()),
+        }
+    )
+    sf = _sf_dir_with_docs(tmp_path, docs)
+    con = duck_conn(sf)
+    try:
+        df = catalog.queries()["mm_pixel_stats"](spark, sf)
+        ok, *_ = compare(
+            "mm_pixel_stats[null-text]",
+            df,
+            con,
+            catalog.oracle_sql()["mm_pixel_stats"],
+        )
+        rows = {r.media_id: r for r in df.collect()}
+    finally:
+        con.close()
+    assert ok
+    assert rows[3].n_units is None and rows[3].c0_sum is None
+    assert rows[2].n_units is not None and rows[2].c1_max is not None
