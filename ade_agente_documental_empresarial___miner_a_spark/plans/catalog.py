@@ -307,6 +307,21 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
         "cur_curriculum_phases",
         "cur_winsorize",
         "dedup_substring",
+        # r09: the media construction/extraction path changed for every
+        # composer — synth_media_from_docs gained the NULL-text and
+        # unknown-fmt contracts, extract_media_features the NULL-content
+        # propagation, and resize_plan the LONG cast that survives lying
+        # 2^31-1 headers under ANSI (media-profile fuzz catch). Values
+        # identical on fixtures; executed plans changed.
+        "mm_resize_plan",
+        "mm_frame_plan",
+        "mm_audio_chunks",
+        # r09: date-typed output columns recast to TIMESTAMP on both
+        # engines (gate-mimic class retirement) — the r8 green records
+        # predate the schema change.
+        "rel_cohort_ltv",
+        "rel_cusum_changepoint",
+        "rel_growth_accounting",
     ),
     # the migration lands before the round-9 gate runs
     9,

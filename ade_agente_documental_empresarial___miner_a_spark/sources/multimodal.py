@@ -269,8 +269,11 @@ def resize_plan(
     out_h) downstream. Floor semantics match PIL's thumbnail contract."""
     features = extract_media_features(media)
     g = F.greatest(F.col("width"), F.col("height")).cast("double")
-    out_w = F.floor(F.col("width") * target / g).cast("int")
-    out_h = F.floor(F.col("height") * target / g).cast("int")
+    # LONG intermediate: a lying header can declare width = 2^31-1 and
+    # int*224 overflows (ANSI mode kills the job — media-profile fuzz
+    # catch, r9); the result still fits int because out <= target
+    out_w = F.floor(F.col("width").cast("long") * target / g).cast("int")
+    out_h = F.floor(F.col("height").cast("long") * target / g).cast("int")
     return (
         features.where(F.col("kind").isin("image", "video"))
         .select(

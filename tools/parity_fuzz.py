@@ -51,6 +51,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import struct
 import sys
 import tempfile
 import zlib
@@ -71,12 +72,15 @@ from tools.parity import TABLES, duck_conn, compare  # noqa: E402
 # the Spark side crash-only (the splitter itself is separately
 # robustness-tested on EDGE_TEXTS) instead of comparing values.
 ORACLE_DOMAIN_VIOLATIONS: dict[str, set[str]] = {
-    "t3_chunk_pipeline": {"edge"},
-    "t3b_chunk_long_docs": {"edge"},
+    # boundary-profile docs are >= 460 chars (the 5120-sentence and
+    # 5127-word carriers), outside the sectioning pass-through domain
+    # the chunk oracles assume — crash-check only there
+    "t3_chunk_pipeline": {"edge", "boundary"},
+    "t3b_chunk_long_docs": {"edge", "boundary"},
     # same chunker domain: its oracle states chunk counts/length sums
     # via the closed-form section walk; the Spark-side append-delta ≡
     # rebuild invariant (the `match` column) is what the entry pins
-    "stream_incremental_index": {"edge"},
+    "stream_incremental_index": {"edge", "boundary"},
 }
 
 def _chunker_domain_texts(rng, nd: int) -> list[str]:
@@ -127,6 +131,59 @@ def _chunker_domain_texts(rng, nd: int) -> list[str]:
             total += wl + (1 if len(words) > 1 else 0)
         texts.append(" ".join(words) or "k")
     return texts
+
+
+def _boundary_docs(rng) -> tuple[list[str], list[str]]:
+    """Documents for the ``boundary`` profile: group sizes and sums that
+    put round(sum/count, d) means exactly ON a rounding-digit half —
+    the ROUND8 §12 bug class the r9 migration made integer-exact. A
+    revert of any migrated entry splits by 10^-d here (the divergent
+    members of each family were real-engine-verified; every exact-half
+    input distinguishes HALF_UP-exact code from double-rounding code).
+
+    Blocks (langs isolate the group-keyed entries):
+    - xs: ONE doc that text_sentence_stats splits into 5120 sentences
+      with an ODD word total (10241 + 2k) — 5120 = 2^10·5 is the
+      minimal count whose integer-sum mean can land on a digit-9 half.
+    - xd: a 5127-word doc + a (48+2k)-word contiguous copy — an odd
+      dup-window count over n_spans = 5120 for dedup_substring.
+    - xb: 96 docs whose n_chars multiset drives cur_winsorize to
+      lo = 40+c (p05 tie), hi = 51.25+c (p95 gap 1) and a clipped sum
+      on the digit-6 half; a constant shift c preserves the residue.
+    - xc: the 40-doc curriculum quality lattice (texture here — its
+      exact 10-doc-phase boundary only holds standalone and is pinned
+      in tests/test_half_boundary.py).
+    """
+    texts: list[str] = []
+    langs: list[str] = []
+    # xs — sentence-stats boundary doc
+    k = int(rng.integers(0, 200))
+    texts.append(
+        "x" + " table x" * 5118 + " table x y y" + " y" * (2 * k)
+    )
+    langs.append("xs")
+    # xd — dedup_substring boundary pair
+    a_words = [f"w{i:04d}" for i in range(5127)]
+    run = 48 + 2 * int(rng.integers(0, 100))
+    start = int(rng.integers(0, 5127 - run))
+    texts.append(" ".join(a_words))
+    texts.append(" ".join(a_words[start : start + run]))
+    langs.extend(["xd", "xd"])
+    # xb — winsorize boundary block (96 docs, shift-invariant residue)
+    c = int(rng.integers(0, 500))
+    n_chars = (
+        [39 + c] * 4 + [40 + c] * 2 + [50 + c] * 29
+        + [51 + c] * 56 + [52 + c] * 5
+    )
+    texts.extend("z" * v for v in n_chars)
+    langs.extend(["xb"] * 96)
+    # xc — curriculum lattice texture
+    for cc in (13, 14, 15, 16, 17, 18, 27, 34, 35, 36):
+        texts.append("b" * (cc - 12) + " c d e f g h")
+        langs.append("xc")
+    texts.extend(["the of to the of to the"] * 30)
+    langs.extend(["xc"] * 30)
+    return texts, langs
 
 
 EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
@@ -194,6 +251,9 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
                        events=400, docs=120, embs=120),
         "chunk":  dict(cust=60, supp=5, part=60, orders=300, li_k=3,
                        events=400, docs=48, embs=120),
+        # docs are fully replaced by the crafted boundary blocks below
+        "boundary": dict(cust=3, supp=2, part=3, orders=4, li_k=2,
+                         events=4, docs=0, embs=3),
     }[profile]
     out: dict[str, pa.Table] = {}
 
@@ -349,6 +409,9 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
     texts = [_sentence(rng, 20, 60) for _ in range(nd)]
     if profile == "chunk":
         texts = _chunker_domain_texts(rng, nd)
+    if profile == "boundary":
+        texts, lang_col = _boundary_docs(rng)
+        nd = len(texts)
     if profile == "edge":
         for i, t in enumerate(EDGE_TEXTS):
             if i < nd:
@@ -430,10 +493,117 @@ def write_sf_dir(tables: dict[str, pa.Table], dirpath: str) -> None:
         pq.write_table(tables[name], os.path.join(dirpath, f"{name}.parquet"))
 
 
+def gen_media_rows(seed: int) -> list[tuple[int, str, bytes | None]]:
+    """Adversarial (media_id, kind, content) rows for the ``media``
+    profile: valid builds of every container, every-length truncations
+    of one instance each, garbage, empties, NULLs, huge declared dims,
+    wrong-codec WAVs and compressed/8bpp BMP headers — the byte shapes
+    a 100 TB media lake actually contains. No oracle can see the bytes,
+    so the profile is a crash/degrade check over the FULL Spark
+    operators (mapInPandas plumbing included), not just the parsers."""
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (  # noqa: E501
+        build_avi, build_bmp, build_gif, build_jpeg, build_png, build_wav,
+    )
+
+    rng = _rng(seed, "media")
+    rows: list[tuple[int, str, bytes | None]] = []
+    mid = 0
+
+    def add(kind: str, content: bytes | None):
+        nonlocal mid
+        rows.append((mid, kind, content))
+        mid += 1
+
+    w, h = int(rng.integers(1, 300)), int(rng.integers(1, 300))
+    dur = int(rng.integers(0, 10**6))
+    valids = [
+        ("image", build_png(w, h)), ("image", build_gif(w, h)),
+        ("image", build_bmp(w, h)), ("image", build_jpeg(w, h)),
+        ("audio", build_wav(dur)), ("video", build_avi(w, h, dur)),
+        ("image", build_bmp(3, 2, bytes(rng.integers(0, 256, 18,
+                                                     dtype=np.uint8)))),
+        ("audio", build_wav(5, bytes(rng.integers(0, 256, 5,
+                                                  dtype=np.uint8)))),
+    ]
+    for kind, data in valids:
+        add(kind, data)
+        for cut in range(len(data)):          # every truncation prefix
+            add(kind, data[:cut])
+    add("image", None)                         # NULL content
+    add("audio", b"")                          # empty
+    add("video", bytes(rng.integers(0, 256, 64, dtype=np.uint8)))  # garbage
+    add("image", b"BM" + bytes(rng.integers(0, 256, 80, dtype=np.uint8)))
+    # huge declared dims (headers lie; nothing may allocate from them)
+    add("image", build_png(2**31 - 1, 2**31 - 1))
+    add("video", build_avi(10**6, 10**6, 2**31 - 1))
+    # wrong codec / layout: 16-bit stereo WAV, 8bpp + compressed BMPs
+    wav16 = bytearray(build_wav(8, bytes(8)))
+    wav16[20:24] = struct.pack("<HH", 1, 2)   # stereo
+    wav16[34:36] = struct.pack("<H", 16)      # 16-bit
+    add("audio", bytes(wav16))
+    bmp8 = bytearray(build_bmp(4, 4))
+    bmp8[28:30] = struct.pack("<H", 8)
+    add("image", bytes(bmp8))
+    bmpc = bytearray(build_bmp(4, 4))
+    bmpc[30:34] = struct.pack("<I", 1)        # BI_RLE8 compression
+    add("image", bytes(bmpc))
+    return rows
+
+
+def run_media_profile(spark, seed: int) -> tuple[dict, list[str]]:
+    """Drive every media operator over gen_media_rows: each must return
+    (not raise), and valid rows must keep their decoded facts."""
+    from ade_agente_documental_empresarial___miner_a_spark.sources.multimodal import (  # noqa: E501
+        audio_chunk_plan, extract_media_features, extract_payload_stats,
+        frame_sample_plan, resize_plan,
+    )
+
+    rows = gen_media_rows(seed)
+    media = spark.createDataFrame(
+        [(i, k, bytearray(c) if c is not None else None)
+         for i, k, c in rows],
+        "media_id long, kind string, content binary",
+    )
+    results: dict = {}
+    failures: list[str] = []
+    ops = {
+        "extract_media_features": lambda: extract_media_features(media),
+        "extract_payload_stats": lambda: extract_payload_stats(media),
+        "resize_plan": lambda: resize_plan(media),
+        "frame_sample_plan": lambda: frame_sample_plan(media),
+        "audio_chunk_plan": lambda: audio_chunk_plan(media),
+    }
+    for name, op in ops.items():
+        try:
+            out = op().collect()
+            results[name] = {"status": "ok", "rows": len(out)}
+        except Exception as exc:  # noqa: BLE001 — triage, don't die
+            msg = str(exc).splitlines()[0][:300]
+            results[name] = {"status": "ERR", "err": msg}
+            failures.append(f"media/s{seed}:{name} (ERR)")
+    # decoded-fact spot check: the first valid rows must parse for real
+    try:
+        feats = {
+            r.media_id: r
+            for r in extract_media_features(media).collect()
+        }
+        ok_first = feats[0].width is not None and feats[0].error is None
+        results["valid_rows_decode"] = {"status": "ok" if ok_first
+                                        else "FAIL"}
+        if not ok_first:
+            failures.append(f"media/s{seed}:valid_rows_decode")
+    except Exception as exc:  # noqa: BLE001
+        results["valid_rows_decode"] = {
+            "status": "ERR", "err": str(exc).splitlines()[0][:300]}
+        failures.append(f"media/s{seed}:valid_rows_decode (ERR)")
+    return results, failures
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--profiles", default="random,edge,skew,tiny,const,chunk"
+        "--profiles", default="random,edge,skew,tiny,const,chunk,"
+                              "boundary,media"
     )
     ap.add_argument("--seeds", default="0")
     ap.add_argument("--only", nargs="*", default=None)
@@ -459,6 +629,18 @@ def main() -> int:
     for profile in args.profiles.split(","):
         for seed in (int(s) for s in args.seeds.split(",")):
             tag = f"{profile}/s{seed}"
+            if profile == "media":
+                rows, media_failures = run_media_profile(spark, seed)
+                report["profiles"][tag] = rows
+                ok_here = sum(
+                    1 for v in rows.values() if v["status"] == "ok"
+                )
+                n_ok += ok_here
+                n_err += len(media_failures)
+                failures.extend(media_failures)
+                print(f"MED {tag}: {ok_here} ops ok, "
+                      f"{len(media_failures)} failed")
+                continue
             tmp = tempfile.mkdtemp(prefix=f"fuzz_{profile}_s{seed}_")
             write_sf_dir(gen_tables(profile, seed), tmp)
             rows: dict = {}
