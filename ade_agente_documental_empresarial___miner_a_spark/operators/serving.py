@@ -390,3 +390,51 @@ class RamServingIndex:
                 for r, i in enumerate(sub, 1)
             )
         return out
+
+
+class HnswServingIndex(RamServingIndex):
+    """RamServingIndex whose ``topk`` routes through a deterministic
+    HNSW graph (operators/hnsw.py) instead of the exact scan.
+
+    APPROXIMATE tier: hits are the graph's beam-search results (recall
+    0.978 @2k, 0.885–0.92 @50k clustered shards at m=8 — docs/ROUND8.md
+    §9), NOT bit-identical to the exact scan, and scores are the
+    graph's normalized-double cosines. The measured guidance
+    (docs/MIGRATION.md §3a): the exact scan is the default at EVERY
+    shard size (0.35–2 ms/query up to 1M rows); pick HNSW only for
+    latency-critical ≤100k clustered shards where ~0.9 recall is
+    acceptable; use the IVF/int8 persisted index for bigger corpora.
+    Build cost is the graph insert (~O(n·ef) sims); rows are sorted by
+    id before insertion so two builds of the same frame agree
+    byte-for-byte (graph_signature pins this).
+    """
+
+    def __init__(self, ids, texts, vectors, labels=None, m: int = 8,
+                 ef_construction: int = 64) -> None:
+        order = np.argsort(ids, kind="stable")
+        ids = np.asarray(ids)[order]
+        texts = [texts[i] for i in order]
+        vectors = np.ascontiguousarray(np.asarray(vectors)[order])
+        labels = None if labels is None else [labels[i] for i in order]
+        super().__init__(ids, texts, vectors, labels)
+        from .hnsw import HnswIndex
+
+        self._text_by_id = dict(zip(self._ids.tolist(), self._texts))
+        self._hnsw = HnswIndex(
+            self._ids,
+            np.ascontiguousarray(self._m, dtype=np.float64),
+            m=m,
+            ef_construction=ef_construction,
+        )
+
+    def topk(
+        self, query_vec: list[float], k: int = 4, ef: int | None = None
+    ) -> list[ServingHit]:
+        return [
+            ServingHit(int(i), self._text_by_id[int(i)], float(s))
+            for i, s in self._hnsw.search(query_vec, k=k, ef=ef)
+        ]
+
+    @property
+    def graph_signature(self) -> str:
+        return self._hnsw.graph_signature()

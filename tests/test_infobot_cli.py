@@ -74,3 +74,51 @@ def test_repl_reads_stdin(spark, sf_dir, monkeypatch, capsys):
     rc = cli.main(["--sf-dir", sf_dir], spark=spark)
     assert rc == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_index_kind_hnsw_serves_a_turn(spark, sf_dir, tmp_path, capsys):
+    # --index-kind hnsw routes retrieval through the deterministic HNSW
+    # graph (MIGRATION.md §3a guidance); the turn must complete and
+    # announce the tier. Same build, approximate hits — on this tiny
+    # fixture the graph search is exact-recall so the answer is
+    # non-empty like the exact tier's.
+    cli = _cli()
+    rc = cli.main(
+        [
+            "--sf-dir",
+            sf_dir,
+            "--user",
+            "cli-hnsw",
+            "--index-kind",
+            "hnsw",
+            "--ask",
+            "pregunta de humo sobre clientes",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr()
+    assert out.out.strip()
+    assert "hnsw)" in out.err
+
+
+def test_hnsw_serving_index_matches_exact_on_tiny_frame(spark, sf_dir):
+    # recall sanity at fixture scale: graph top-1 == exact top-1
+    from ade_agente_documental_empresarial___miner_a_spark.operators.serving import (
+        HnswServingIndex,
+        RamServingIndex,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
+        build_chunks,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    chunks = build_chunks(docs)
+    exact = RamServingIndex.from_frame(chunks)
+    hnsw = HnswServingIndex.from_frame(chunks)
+    assert len(exact) == len(hnsw)
+    q = [0.1] * 64
+    e_top = exact.topk(q, k=1)[0]
+    h_top = hnsw.topk(q, k=1)[0]
+    assert e_top.chunk_id == h_top.chunk_id
+    assert h_top.text == e_top.text

@@ -73,6 +73,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--ask", help="one-shot question (else: REPL)")
     p.add_argument(
+        "--index-kind",
+        choices=("exact", "hnsw"),
+        default="exact",
+        help="serving tier: exact RAM scan (default — fastest AND "
+        "bit-identical at every shard size measured) or an HNSW graph "
+        "(approximate, ~0.9 recall on <=100k clustered shards; see "
+        "docs/MIGRATION.md section 3a for the measured guidance)",
+    )
+    p.add_argument(
         "--max-index-rows",
         type=int,
         default=1_000_000,
@@ -90,6 +99,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark.sparkContext.setLogLevel("ERROR")
 
     from ade_agente_documental_empresarial___miner_a_spark.operators.serving import (
+        HnswServingIndex,
         RamServingIndex,
     )
     from ade_agente_documental_empresarial___miner_a_spark.plans.chat import (
@@ -97,10 +107,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
 
     chunks = _build_or_load_chunks(spark, args)
-    ram = RamServingIndex.from_frame(chunks, max_rows=args.max_index_rows)
+    index_cls = (
+        HnswServingIndex if args.index_kind == "hnsw" else RamServingIndex
+    )
+    ram = index_cls.from_frame(chunks, max_rows=args.max_index_rows)
     print(
         f"# index ready: {len(ram)} chunks"
-        f" ({ram.nbytes / 1e6:.1f} MB resident)",
+        f" ({ram.nbytes / 1e6:.1f} MB resident, {args.index_kind})",
         file=sys.stderr,
     )
     sess = ChatSession(
