@@ -88,6 +88,14 @@ _REGRESSION_CASES = [
     # Fixed by the integer-exact HALF_UP mean in both LM entries; this
     # seed regenerates the boundary sum.
     ("text_bigram_backoff_lm", "chunk", 2),
+    # r9: the boundary profile drives the four migrated
+    # round(sum/count) sites onto exact halves by construction
+    # (tests/test_half_boundary.py holds the divergence-verified static
+    # pins; these re-run the same class through the seeded generator)
+    ("text_sentence_stats", "boundary", 0),
+    ("dedup_substring", "boundary", 0),
+    ("cur_winsorize", "boundary", 0),
+    ("cur_curriculum_phases", "boundary", 0),
 ]
 
 
@@ -167,3 +175,61 @@ def test_fuzz_regression_case(
         entry_mod.oracle_sql()[name],
     )
     assert ok, f"{name} diverged from the oracle on {profile} data"
+
+
+def test_boundary_profile_shapes(tmp_path):
+    """The boundary docs must actually sit ON rounding-digit halves —
+    assert the shapes directly via DuckDB so generator drift is a loud
+    failure, not a silently-depinned class (same discipline as
+    test_pinned_seed_shapes)."""
+    d = str(tmp_path / "boundary")
+    write_sf_dir(gen_tables("boundary", 0), d)
+    con = duck_conn(d)
+    try:
+        # xs doc: 5120 sentences, odd word total
+        n_sent, n_words = con.execute(
+            """WITH s AS (
+              SELECT unnest(string_split_regex(
+                REPLACE(REPLACE(text, ' table ', '. Table '),
+                        ' spark ', '! Spark '), '[.!?] ')) AS x
+              FROM documents WHERE lang = 'xs')
+            SELECT count(*),
+                   CAST(sum(len(string_split(x, ' '))) AS BIGINT)
+            FROM s WHERE length(x) > 0"""
+        ).fetchone()
+        assert n_sent == 5120 and n_words % 2 == 1
+        # xd pair: odd duplicated-window count over 5120 spans
+        n_spans, run_words = con.execute(
+            """SELECT
+              (SELECT len(string_split(text, ' ')) - 7 FROM documents
+               WHERE lang = 'xd' ORDER BY doc_id LIMIT 1),
+              (SELECT len(string_split(text, ' ')) FROM documents
+               WHERE lang = 'xd' ORDER BY doc_id DESC LIMIT 1)"""
+        ).fetchone()
+        assert n_spans == 5120 and (run_words - 7) % 2 == 1
+        # xb block: clipped sum ends exactly on the digit-6 half
+        frac = con.execute(
+            """WITH b AS (
+              SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.05) lo,
+                     quantile_cont(CAST(n_chars AS DOUBLE), 0.95) hi
+              FROM documents WHERE lang = 'xb')
+            SELECT CAST(sum(least(greatest(CAST(n_chars AS DOUBLE), lo),
+                                  hi)) * 1000000 AS HUGEINT)
+                   % (SELECT count(*) FROM documents WHERE lang = 'xb')
+            FROM documents, b WHERE lang = 'xb'"""
+        ).fetchone()[0]
+        assert frac == 48, "xb clipped sum left the 2u ≡ n (mod 2n) residue"
+    finally:
+        con.close()
+
+
+def test_media_profile_runs_green(spark):
+    """The media profile (truncations/garbage/NULLs/lying headers
+    through the full Spark media operators) must pass for seed 0 — its
+    first run caught the resize_plan int-overflow job-killer."""
+    from tools.parity_fuzz import run_media_profile
+
+    results, failures = run_media_profile(spark, 0)
+    assert not failures, failures
+    assert results["extract_media_features"]["status"] == "ok"
+    assert results["extract_payload_stats"]["status"] == "ok"
