@@ -78,3 +78,68 @@ def halfup_mean_duck(
         f" * ((2 * {u} + {count_sql}) // (2 * {count_sql}))"
         f" AS DOUBLE) / 1e{digits}"
     )
+
+
+def _ratio_exprs(
+    num_sql: str,
+    den_sql: str,
+    digits: int,
+    num_decimals: int,
+    den_decimals: int,
+    wide_int: str,
+    intdiv: str,
+) -> str:
+    """Shared body of :func:`halfup_ratio` — the engine differences are
+    only the wide integer type and the integer-division operator."""
+    shift = digits - num_decimals + den_decimals
+    if shift < 0:
+        raise ValueError(
+            "digits - num_decimals + den_decimals must be >= 0"
+        )
+    n_int = f"CAST(abs({num_sql}) * {10 ** num_decimals} AS {wide_int})"
+    d_int = f"CAST(abs({den_sql}) * {10 ** den_decimals} AS {wide_int})"
+    sign = (
+        f"(CASE WHEN {num_sql} < 0 THEN -1 ELSE 1 END"
+        f" * CASE WHEN {den_sql} < 0 THEN -1 ELSE 1 END)"
+    )
+    return (
+        f"CASE WHEN {den_sql} IS NULL OR {num_sql} IS NULL"
+        f" OR {den_sql} = 0 THEN NULL ELSE"
+        f" CAST({sign} * ((2 * {n_int} * {10 ** shift} + {d_int})"
+        f" {intdiv} (2 * {d_int})) AS DOUBLE) / 1e{digits} END"
+    )
+
+
+def halfup_ratio(
+    num_sql: str,
+    den_sql: str,
+    digits: int,
+    num_decimals: int = 0,
+    den_decimals: int = 0,
+) -> Column:
+    """Spark Column: ``num/den`` rounded HALF_UP at ``digits``,
+    integer-exact, NULL on a zero or NULL denominator (the
+    ``try_divide`` contract). ``num``/``den`` must carry exactly
+    ``num_decimals``/``den_decimals`` decimals (DECIMAL folds or
+    integers); :func:`halfup_mean` is the ``den_decimals=0``,
+    positive-count special case."""
+    return F.expr(
+        _ratio_exprs(
+            num_sql, den_sql, digits, num_decimals, den_decimals,
+            "DECIMAL(38,0)", "div",
+        )
+    )
+
+
+def halfup_ratio_duck(
+    num_sql: str,
+    den_sql: str,
+    digits: int,
+    num_decimals: int = 0,
+    den_decimals: int = 0,
+) -> str:
+    """The DuckDB-side statement of :func:`halfup_ratio`."""
+    return _ratio_exprs(
+        num_sql, den_sql, digits, num_decimals, den_decimals,
+        "HUGEINT", "//",
+    )

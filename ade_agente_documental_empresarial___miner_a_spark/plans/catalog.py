@@ -322,6 +322,15 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
         "rel_cohort_ltv",
         "rel_cusum_changepoint",
         "rel_growth_accounting",
+        # r09 batch 2: the systematic catalog audit found five MORE
+        # sites of the half-boundary idiom the r8 inventory missed
+        # (grep for round(CAST(sum / round over exact operands) — all
+        # migrated to halfup_mean / the generalized halfup_ratio:
+        "emb_dim_stats",
+        "text_ngram_novelty",
+        "rel_incremental_mv",
+        "rel_multitouch_attribution",
+        "cur_mix_entropy",
     ),
     # the migration lands before the round-9 gate runs
     9,

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_mean, halfup_mean_duck
 from .catalog import events_table, register, table
 
 _DUCK_EV = (
@@ -133,7 +134,7 @@ def rel_nearest_event_join(spark: SparkSession, sf: str) -> DataFrame:
 # integers once.
 @register(
     "text_ngram_novelty",
-    """WITH grams AS (
+    f"""WITH grams AS (
   SELECT DISTINCT doc_id, substr(text, i, 3) AS g
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, length(text) - 2)) AS i
@@ -143,8 +144,8 @@ SELECT doc_id,
        count(*) AS n_distinct_grams,
        CAST(sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_unique_grams,
-       round(CAST(sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END)
-                  AS DOUBLE) / count(*), 9) AS novelty
+       {halfup_mean_duck("sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END)",
+                         "count(*)", 9, integral_sum=True)} AS novelty
 FROM grams JOIN df USING (g)
 GROUP BY doc_id""",
 )
@@ -165,17 +166,18 @@ def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     )
     df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("doc_freq"))
     joined = grams.join(df, "g")
+    # novelty is a round(sum/count) ratio of exact integers —
+    # integer-exact HALF_UP (ROUND8 §12 class; r9 audit catch)
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_distinct_grams"),
         F.sum(F.when(F.col("doc_freq") == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_unique_grams"),
-        F.round(
-            F.sum(
-                F.when(F.col("doc_freq") == 1, 1).otherwise(0)
-            ).cast("double")
-            / F.count(F.lit(1)),
+        halfup_mean(
+            "sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END)",
+            "count(1)",
             9,
+            integral_sum=True,
         ).alias("novelty"),
     )
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 
 
@@ -89,7 +90,7 @@ def rel_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
 # contributes evenly, values near 0 mean one source dominates.
 @register(
     "cur_mix_entropy",
-    """WITH c AS (
+    f"""WITH c AS (
   SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
   FROM documents GROUP BY lang, source),
 t AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS total,
@@ -103,8 +104,11 @@ terms AS (
 SELECT lang,
        CAST(max(n_sources) AS BIGINT) AS n_sources,
        round(CAST(sum(h_term) AS DOUBLE), 9) AS entropy_nats,
-       round(CAST(sum(h_term) AS DOUBLE)
-             / round(ln(CAST(max(n_sources) AS DOUBLE)), 9), 9)
+       {halfup_ratio_duck(
+           "sum(h_term)",
+           "CAST(round(ln(CAST(max(n_sources) AS DOUBLE)), 9)"
+           " AS DECIMAL(20,9))",
+           9, 9, 9)}
          AS entropy_normalized,
        round(max(p), 9) AS max_source_share
 FROM terms GROUP BY lang""",
@@ -130,16 +134,19 @@ def cur_mix_entropy(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("h_term").cast("double"), 9).alias(
             "entropy_nats"
         ),
-        # try_divide: a language with ONE source has log(1)=0 in the
-        # denominator — normalized entropy is undefined (NULL), same
-        # as the oracle's x/0 → NULL, instead of aborting the job
-        F.round(
-            F.try_divide(
-                F.sum("h_term").cast("double"),
-                F.round(
-                    F.log(F.max("n_sources").cast("double")), 9
-                ),
-            ),
+        # a language with ONE source has log(1)=0 in the denominator —
+        # normalized entropy is undefined (NULL, the try_divide
+        # contract, stated inside halfup_ratio). The quotient itself is
+        # the integer-exact HALF_UP of two 9-decimal values (ROUND8 §12
+        # class; r9 audit catch): casting the round(ln,9) double to
+        # DECIMAL(20,9) is loss-free on both engines because the double
+        # sits within ~1e-25 of a 9-dp decimal, far from any midpoint.
+        halfup_ratio(
+            "sum(h_term)",
+            "CAST(round(ln(CAST(max(n_sources) AS DOUBLE)), 9)"
+            " AS DECIMAL(20,9))",
+            9,
+            9,
             9,
         ).alias("entropy_normalized"),
         F.round(F.max("p"), 9).alias("max_source_share"),

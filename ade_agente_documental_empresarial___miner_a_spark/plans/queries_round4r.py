@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_mean, halfup_mean_duck
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 _MV_SPLIT = "2024-01-20"
@@ -41,8 +42,8 @@ _MV_SPLIT = "2024-01-20"
 SELECT event_type,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-             / count(*), 9) AS avg_value
+       {halfup_mean_duck("sum(CAST(value AS DECIMAL(18,6)))",
+                         "count(*)", 9)} AS avg_value
 FROM ev GROUP BY event_type""",
 )
 def rel_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
@@ -82,13 +83,13 @@ def rel_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("s"),
         )
     )
+    # avg_value is a round(sum/count) mean over an exact-decimal fold —
+    # integer-exact HALF_UP (ROUND8 §12 class; r9 audit catch)
     return merged.select(
         "event_type",
         "n_events",
         F.col("s").cast("double").alias("total_value"),
-        F.round(
-            F.col("s").cast("double") / F.col("n_events"), 9
-        ).alias("avg_value"),
+        halfup_mean("s", "n_events", 9).alias("avg_value"),
     )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_mean, halfup_mean_duck
 from .catalog import events_table, register, table
 
 _DUCK_EV = (
@@ -52,7 +53,7 @@ j AS (
    AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR),
 credits AS (
   SELECT view_id,
-         CAST(round(CAST(pv AS DOUBLE) / n_touch, 9) AS DECIMAL(20,9))
+         CAST({halfup_mean_duck("pv", "n_touch", 9)} AS DECIMAL(20,9))
            AS credit
   FROM j)
 SELECT view_id, count(*) AS n_conversions,
@@ -83,9 +84,11 @@ def rel_multitouch_attribution(spark: SparkSession, sf: str) -> DataFrame:
         "n_touch",
         F.count(F.lit(1)).over(Window.partitionBy("purchase_id")),
     )
+    # the 1/n share is a round(value/count) quotient — integer-exact
+    # HALF_UP before the decimal fold (ROUND8 §12 class; r9 audit catch)
     credits = j.select(
         "view_id",
-        F.round(F.col("pv").cast("double") / F.col("n_touch"), 9)
+        halfup_mean("pv", "n_touch", 9)
         .cast("decimal(20,9)")
         .alias("credit"),
     )
@@ -106,13 +109,14 @@ def rel_multitouch_attribution(spark: SparkSession, sf: str) -> DataFrame:
 # one final double).
 @register(
     "emb_dim_stats",
-    """WITH ex AS (
+    f"""WITH ex AS (
   SELECT unnest(generate_series(1, len(embedding))) - 1 AS pos,
          unnest(embedding) AS x
   FROM embeddings)
 SELECT CAST(pos AS INT) AS dim, count(*) AS n,
-       round(CAST(sum(CAST(round(CAST(x AS DOUBLE), 9)
-                           AS DECIMAL(20,9))) AS DOUBLE) / count(*), 9)
+       {halfup_mean_duck(
+           "sum(CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(20,9)))",
+           "count(*)", 9)}
          AS dim_mean,
        round(sqrt(greatest(
          CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
@@ -133,17 +137,20 @@ def emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("decimal(25,9)")
     sums = ex.groupBy(F.col("pos").cast("int").alias("dim")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(xd).cast("double").alias("s1"),
+        F.sum(xd).alias("s1d"),
         F.sum(x2d).cast("double").alias("s2"),
     )
-    mean = F.col("s1") / F.col("n")
+    # dim_mean is a round(sum/count) mean over an exact-decimal fold —
+    # integer-exact HALF_UP (ROUND8 §12 class; r9 audit catch). dim_std
+    # stays double math: the sqrt/pow path has no exact restatement.
+    mean = F.col("s1d").cast("double") / F.col("n")
     var = F.greatest(
         F.col("s2") / F.col("n") - F.pow(mean, 2), F.lit(0.0)
     )
     return sums.select(
         "dim",
         "n",
-        F.round(mean, 9).alias("dim_mean"),
+        halfup_mean("s1d", "n", 9).alias("dim_mean"),
         F.round(F.sqrt(var), 9).alias("dim_std"),
     )
 

@@ -227,3 +227,37 @@ def test_old_idiom_diverges_new_agrees(spark, u, n, d):
     ).fetchone()[0]
     con.close()
     assert new_s == new_d == truth
+
+
+def test_halfup_ratio_matches_ground_truth(spark):
+    """The generalized decimal/decimal ratio (cur_mix_entropy's
+    entropy_normalized shape): exact HALF_UP on both engines, NULL on a
+    zero denominator (the try_divide contract)."""
+    import duckdb
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.exactmath import (  # noqa: E501
+        halfup_ratio,
+        halfup_ratio_duck,
+    )
+
+    con = duckdb.connect()
+    cases = [
+        ("1.000000003", "2.000000000", _halfup(1000000003, 2000000000, 9)),
+        # exact half at digit 9: 3/2e9 scaled -> .5 -> HALF_UP up
+        ("0.000000003", "2.000000000", 2e-09),
+        ("-0.000000003", "2.000000000", -2e-09),
+        ("1.5", "0", None),
+    ]
+    for num, den, want in cases:
+        n_sql = f"CAST('{num}' AS DECIMAL(20,9))"
+        d_sql = f"CAST('{den}' AS DECIMAL(20,9))"
+        got_s = (
+            spark.range(1)
+            .select(halfup_ratio(n_sql, d_sql, 9, 9, 9).alias("r"))
+            .collect()[0][0]
+        )
+        got_d = con.execute(
+            "SELECT " + halfup_ratio_duck(n_sql, d_sql, 9, 9, 9)
+        ).fetchone()[0]
+        assert got_s == got_d == want, (num, den, got_s, got_d, want)
+    con.close()
