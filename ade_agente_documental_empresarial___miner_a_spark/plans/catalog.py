@@ -331,6 +331,21 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
         "rel_incremental_mv",
         "rel_multitouch_attribution",
         "cur_mix_entropy",
+        # r09 batch 3: the ratio-shaped siblings (round of an exact
+        # int/int or decimal ratio), completing the class catalog-wide —
+        # including pagerank's per-iteration recurrence (d=12) and the
+        # Bresenham/mixture sampling rates whose last digit feeds
+        # floor() selection:
+        "rel_event_transitions",
+        "text_set_similarity_battery",
+        "rel_try_arithmetic",
+        "graph_reciprocity",
+        "cur_bitext_ratio_filter",
+        "rel_hhi_concentration",
+        "sim_ivf_ndcg",
+        "cur_bresenham_sample",
+        "cur_mixture_weights",
+        "graph_pagerank",
     ),
     # the migration lands before the round-9 gate runs
     9,

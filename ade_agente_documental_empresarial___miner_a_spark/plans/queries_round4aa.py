@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
 from .catalog import events_table, register, table
 
 _DUCK_EV = (
@@ -45,7 +46,7 @@ bi AS (
 tot AS (
   SELECT prev_type, sum(n) AS row_total FROM bi GROUP BY prev_type)
 SELECT bi.prev_type, bi.next_type, CAST(bi.n AS BIGINT) AS n_transitions,
-       round(CAST(bi.n AS DOUBLE) / CAST(tot.row_total AS DOUBLE), 9)
+       {halfup_ratio_duck("bi.n", "tot.row_total", 9)}
          AS p_transition
 FROM bi JOIN tot ON tot.prev_type = bi.prev_type""",
 )
@@ -66,10 +67,8 @@ def rel_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
         "prev_type",
         "next_type",
         F.col("n").cast("long").alias("n_transitions"),
-        F.round(
-            F.col("n").cast("double") / F.col("row_total").cast("double"),
-            9,
-        ).alias("p_transition"),
+        # integer-exact HALF_UP ratio (ROUND8 §12 class; r9 audit)
+        halfup_ratio("n", "row_total", 9).alias("p_transition"),
     )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 
 _PAIR_CAP = 25
@@ -44,10 +45,10 @@ pairs AS (
          CAST(len(b.ws) AS BIGINT) AS n_b
   FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, n_inter,
-       round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 9)
+       {halfup_ratio_duck("n_inter", "n_a + n_b - n_inter", 9)}
          AS jaccard,
-       round(2.0 * n_inter / (n_a + n_b), 9) AS dice,
-       round(CAST(n_inter AS DOUBLE) / least(n_a, n_b), 9)
+       {halfup_ratio_duck("2 * n_inter", "n_a + n_b", 9)} AS dice,
+       {halfup_ratio_duck("n_inter", "least(n_a, n_b)", 9)}
          AS overlap_coef
 FROM pairs""",
 )
@@ -83,23 +84,18 @@ def text_set_similarity_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.size("wa").cast("long").alias("n_a"),
         F.size("wb").cast("long").alias("n_b"),
     )
+    # integer-exact HALF_UP ratios (ROUND8 §12 class; r9 audit)
     return pairs.select(
         "doc_a",
         "doc_b",
         "n_inter",
-        F.round(
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-            9,
-        ).alias("jaccard"),
-        F.round(
-            2.0 * F.col("n_inter") / (F.col("n_a") + F.col("n_b")), 9
-        ).alias("dice"),
-        F.round(
-            F.col("n_inter").cast("double")
-            / F.least("n_a", "n_b"),
-            9,
-        ).alias("overlap_coef"),
+        halfup_ratio("n_inter", "n_a + n_b - n_inter", 9).alias(
+            "jaccard"
+        ),
+        halfup_ratio("2 * n_inter", "n_a + n_b", 9).alias("dice"),
+        halfup_ratio("n_inter", "least(n_a, n_b)", 9).alias(
+            "overlap_coef"
+        ),
     )
 
 

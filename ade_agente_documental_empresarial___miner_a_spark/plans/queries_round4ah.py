@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 from .queries_round4l import _EDGES_SQL
 
@@ -32,17 +33,20 @@ from .queries_round4l import _EDGES_SQL
 # keeps the floor comparisons bit-identical.
 @register(
     "cur_bresenham_sample",
-    """WITH avail AS (
+    f"""WITH avail AS (
   SELECT lang,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang),
 tot AS (
   SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
-         CAST(count(*) AS DOUBLE) AS n_langs
+         CAST(count(*) AS DOUBLE) AS n_langs,
+         CAST(sum(n_tokens) AS BIGINT) AS ti,
+         CAST(count(*) AS BIGINT) AS li
   FROM avail),
 rates AS (
   SELECT lang,
-         round(least(1.0, (total / n_langs) / n_tokens), 6) AS rate
+         least(1.0, {halfup_ratio_duck("ti", "li * n_tokens", 6)})
+           AS rate
   FROM avail CROSS JOIN tot),
 ranked AS (
   SELECT d.doc_id, d.lang, r.rate,
@@ -68,15 +72,17 @@ def cur_bresenham_sample(spark: SparkSession, sf: str) -> DataFrame:
     tot = avail.agg(
         F.sum("n_tokens").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("n_langs"),
+        F.sum("n_tokens").alias("ti"),
+        F.count(F.lit(1)).alias("li"),
     )
+    # integer-exact HALF_UP rate (ROUND8 §12 class; r9 audit) — the
+    # rate feeds floor() selection, so its last digit must be
+    # cross-engine exact; least(1, halfup(x)) == halfup(least(1, x))
+    # because halfup is monotone and fixes 1.0
     rates = avail.crossJoin(F.broadcast(tot)).select(
         "lang",
-        F.round(
-            F.least(
-                F.lit(1.0),
-                (F.col("total") / F.col("n_langs")) / F.col("n_tokens"),
-            ),
-            6,
+        F.least(
+            F.lit(1.0), halfup_ratio("ti", "li * n_tokens", 6)
         ).alias("rate"),
     )
     ranked = docs.join(F.broadcast(rates), "lang").withColumn(
@@ -111,8 +117,8 @@ recip AS (
   FROM dir a JOIN dir b ON b.src = a.dst AND b.dst = a.src)
 SELECT (SELECT count(*) FROM dir) AS n_directed_edges,
        (SELECT count(*) FROM recip) AS n_reciprocated,
-       round(CAST((SELECT count(*) FROM recip) AS DOUBLE)
-             / (SELECT count(*) FROM dir), 9) AS reciprocity
+       {halfup_ratio_duck("(SELECT count(*) FROM recip)",
+                           "(SELECT count(*) FROM dir)", 9)} AS reciprocity
 """,
 )
 def graph_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
@@ -142,8 +148,7 @@ def graph_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("n").alias("n_directed_edges"),
             F.col("nr").alias("n_reciprocated"),
-            F.round(
-                F.col("nr").cast("double") / F.col("n"), 9
-            ).alias("reciprocity"),
+            # integer-exact HALF_UP ratio (ROUND8 §12 class; r9 audit)
+            halfup_ratio("nr", "n", 9).alias("reciprocity"),
         )
     )

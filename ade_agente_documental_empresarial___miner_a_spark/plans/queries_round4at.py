@@ -14,6 +14,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 from .queries_round4e import _EVAL_K, _EVAL_NPROBE
 
@@ -78,7 +79,9 @@ terms AS (
 SELECT q.qid,
        CAST(count(t.term) AS BIGINT) AS n_graded,
        round(CAST(coalesce(sum(t.term), 0) AS DOUBLE), 9) AS dcg,
-       round(CAST(coalesce(sum(t.term), 0) AS DOUBLE) / {_IDCG}, 9)
+       {halfup_ratio_duck(
+           "coalesce(sum(t.term), CAST(0 AS DECIMAL(20,9)))",
+           f"CAST('{_IDCG:.9f}' AS DECIMAL(20,9))", 9, 9, 9)}
          AS ndcg
 FROM queries q LEFT JOIN terms t ON t.qid = q.qid
 GROUP BY q.qid"""
@@ -161,9 +164,13 @@ def sim_ivf_ndcg(spark: SparkSession, sf: str) -> DataFrame:
             F.round(
                 F.coalesce(F.sum("term"), F.lit(0)).cast("double"), 9
             ).alias("dcg"),
-            F.round(
-                F.coalesce(F.sum("term"), F.lit(0)).cast("double")
-                / F.lit(_IDCG),
+            # integer-exact HALF_UP ratio of the 9-dp decimal fold
+            # over the 9-dp IDCG constant (ROUND8 §12 class; r9 audit)
+            halfup_ratio(
+                "coalesce(sum(term), CAST(0 AS DECIMAL(20,9)))",
+                f"CAST('{_IDCG:.9f}' AS DECIMAL(20,9))",
+                9,
+                9,
                 9,
             ).alias("ndcg"),
         )

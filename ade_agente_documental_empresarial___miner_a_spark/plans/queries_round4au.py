@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 
 # (lower bound, rate) — each band taxes the slice above its bound up
@@ -98,7 +99,7 @@ def tiered_fee_py(v: float) -> float:
 # rank window per language, one join on the rank, map-only math.
 @register(
     "cur_bitext_ratio_filter",
-    """WITH en AS (
+    f"""WITH en AS (
   SELECT row_number() OVER (ORDER BY doc_id) AS rnk,
          doc_id AS en_id, length(text) AS en_len
   FROM documents WHERE lang = 'en'),
@@ -109,7 +110,7 @@ de AS (
 SELECT en_id, de_id,
        CAST(en_len AS BIGINT) AS en_len,
        CAST(de_len AS BIGINT) AS de_len,
-       round(CAST(en_len AS DOUBLE) / de_len, 9) AS len_ratio,
+       {halfup_ratio_duck("en_len", "de_len", 9)} AS len_ratio,
        CAST(en_len AS DOUBLE) / de_len BETWEEN 0.5 AND 2.0 AS keep
 FROM en JOIN de USING (rnk)""",
 )
@@ -141,6 +142,8 @@ def cur_bitext_ratio_filter(spark: SparkSession, sf: str) -> DataFrame:
         "de_id",
         F.col("en_len").cast("long").alias("en_len"),
         F.col("de_len").cast("long").alias("de_len"),
-        F.round(ratio, 9).alias("len_ratio"),
+        # integer-exact HALF_UP ratio; NULL on de_len = 0 keeps the
+        # r7 try_divide contract (ROUND8 §12 class; r9 audit)
+        halfup_ratio("en_len", "de_len", 9).alias("len_ratio"),
         ratio.between(0.5, 2.0).alias("keep"),
     )

@@ -27,7 +27,7 @@ from .catalog import register, table
 # of suppliers" reading.
 @register(
     "rel_hhi_concentration",
-    """WITH rev AS (
+    f"""WITH rev AS (
   SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
          CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
               AS DECIMAL(24,2)) AS r
@@ -45,7 +45,7 @@ shares AS (
 SELECT nationkey,
        count(*) AS n_suppliers,
        round(CAST(sum(sh2) AS DOUBLE), 9) AS hhi,
-       round(1.0 / CAST(sum(sh2) AS DOUBLE), 9) AS n_effective
+       {halfup_ratio_duck("1", "sum(sh2)", 9, 0, 9)} AS n_effective
 FROM shares GROUP BY nationkey""",
 )
 def rel_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
@@ -76,9 +76,9 @@ def rel_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
     return shares.groupBy("nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.round(F.sum("sh2").cast("double"), 9).alias("hhi"),
-        F.round(1.0 / F.sum("sh2").cast("double"), 9).alias(
-            "n_effective"
-        ),
+        # integer-exact HALF_UP ratio over the 9-dp decimal fold
+        # (ROUND8 §12 class; r9 audit)
+        halfup_ratio("1", "sum(sh2)", 9, 0, 9).alias("n_effective"),
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exactmath import halfup_mean_duck
+from ..functions.exactmath import halfup_mean_duck, halfup_ratio, halfup_ratio_duck
 from ..operators.dedup import incremental_dedup, substring_duplicate_spans
 from .catalog import DUCK_EVENTS, events_table, register, table
 
@@ -243,23 +243,33 @@ def _pagerank_sql() -> str:
   JOIN supplier s ON l.l_suppkey = s.s_suppkey),
 deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
 nodes AS (SELECT n_nationkey AS node FROM nation),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n, 12) AS pr
-       FROM nodes CROSS JOIN nn)"""
+nn AS (SELECT CAST(count(*) AS BIGINT) AS ni FROM nodes),
+r0 AS (SELECT node, {r0} AS pr
+       FROM nodes CROSS JOIN nn)""".format(
+            r0=halfup_ratio_duck("1", "ni", 12)
+        )
     ]
+    # every per-iteration rounding is integer-exact HALF_UP on the
+    # exact rational (ROUND8 §12 class; r9 audit): the contribution is
+    # a 12-dp/integer ratio, and the damped combine 0.15/n + 0.85*csum
+    # equals (3*10^12 + 17*S*n) / (20*n*10^12) with S = csum*10^12 an
+    # exact integer — both engines compute the identical integers.
+    damp = ("CAST((2 * (3000000000000 + 17 *"
+            " CAST(coalesce(csum, 0) * 1000000000000 AS HUGEINT)"
+            " * ni) + 20 * ni) // (40 * ni) AS DOUBLE) / 1e12")
     for i in range(1, _PR_ITERS + 1):
+        contrib = halfup_ratio_duck(
+            "CAST(r.pr AS DECIMAL(26,12))", "d.outdeg", 12, 12, 0
+        )
         parts.append(
             f"""c{i} AS (
   SELECT e.dst AS node,
-         CAST(round(r.pr / d.outdeg, 12) AS DECIMAL(22,12)) AS c
+         CAST({contrib} AS DECIMAL(22,12)) AS c
   FROM r{i - 1} r JOIN edges e ON r.node = e.src JOIN deg d ON e.src = d.src),
 s{i} AS (SELECT node, sum(c) AS csum FROM c{i} GROUP BY node),
 r{i} AS (
   SELECT nodes.node,
-         round(CAST(0.15 AS DOUBLE) / nn.n
-               + CAST(0.85 AS DOUBLE)
-                 * coalesce(CAST(csum AS DOUBLE), CAST(0 AS DOUBLE)),
-               12) AS pr
+         {damp} AS pr
   FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node CROSS JOIN nn)"""
         )
     return (
@@ -289,17 +299,25 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = nation.select(F.col("n_nationkey").alias("node"))
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("ni"))
+    # integer-exact HALF_UP at every rounding point (see _pagerank_sql)
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", F.round(F.lit(1.0) / F.col("n"), 12).alias("pr")
+        "node", halfup_ratio("1", "ni", 12).alias("pr")
     )
+    damp = F.expr(
+        "CAST((2 * (3000000000000 + 17 *"
+        " CAST(coalesce(csum, 0) * 1000000000000 AS DECIMAL(38,0))"
+        " * ni) + 20 * ni) div (40 * ni) AS DOUBLE)"
+    ) / F.lit(1e12)
     for _ in range(_PR_ITERS):
         contribs = (
             ranks.join(edges, ranks["node"] == edges["src"])
             .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.round(F.col("pr") / F.col("outdeg"), 12)
+                halfup_ratio(
+                    "CAST(pr AS DECIMAL(26,12))", "outdeg", 12, 12, 0
+                )
                 .cast("decimal(22,12)")
                 .alias("c"),
             )
@@ -308,15 +326,7 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         ranks = (
             nodes.join(summed, "node", "left")
             .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                F.round(
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85)
-                    * F.coalesce(F.col("csum").cast("double"), F.lit(0.0)),
-                    12,
-                ).alias("pr"),
-            )
+            .select("node", damp.alias("pr"))
         )
     return ranks.join(
         F.broadcast(nation), ranks["node"] == F.col("n_nationkey")

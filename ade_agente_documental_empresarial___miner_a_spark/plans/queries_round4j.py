@@ -12,6 +12,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 
 
@@ -391,15 +392,16 @@ def rel_collation_ci(spark: SparkSession, sf: str) -> DataFrame:
 # a real all-NULL division per group); valid ratio alongside.
 @register(
     "rel_try_arithmetic",
-    """SELECT l_returnflag,
+    f"""SELECT l_returnflag,
        count(*) AS n,
        CASE WHEN sum(CASE WHEN l_quantity > 100 THEN 1 ELSE 0 END) = 0
             THEN NULL
             ELSE CAST(count(*) AS DOUBLE)
                  / sum(CASE WHEN l_quantity > 100 THEN 1 ELSE 0 END)
        END AS per_jumbo,
-       round(CAST(count(*) AS DOUBLE)
-             / sum(CASE WHEN l_quantity <= 50 THEN 1 ELSE 0 END), 9)
+       {halfup_ratio_duck(
+           "count(*)",
+           "sum(CASE WHEN l_quantity <= 50 THEN 1 ELSE 0 END)", 9)}
          AS per_normal,
        TRY_CAST('not-a-number' AS BIGINT) AS bad_parse,
        TRY_CAST('42' AS BIGINT) AS good_parse
@@ -423,9 +425,10 @@ def rel_try_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
         F.try_divide(F.col("n").cast("double"), F.col("jumbo")).alias(
             "per_jumbo"
         ),
-        F.round(
-            F.try_divide(F.col("n").cast("double"), F.col("normal")), 9
-        ).alias("per_normal"),
+        # integer-exact HALF_UP ratio; NULL on a zero denominator =
+        # the try_divide contract (ROUND8 §12 class; r9 audit — this
+        # also retires the latent oracle-inf-vs-NULL mismatch)
+        halfup_ratio("n", "normal", 9).alias("per_normal"),
         F.lit("not-a-number").try_cast("bigint").alias("bad_parse"),
         F.lit("42").try_cast("bigint").alias("good_parse"),
     )

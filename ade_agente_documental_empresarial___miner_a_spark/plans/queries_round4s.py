@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 
 _DUCK_EV = (
@@ -151,16 +152,18 @@ def cur_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
 # doubles, computed in one identical expression on both engines.
 @register(
     "cur_mixture_weights",
-    """WITH avail AS (
+    f"""WITH avail AS (
   SELECT lang,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang),
 tot AS (
   SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
-         CAST(count(*) AS DOUBLE) AS n_langs
+         CAST(count(*) AS DOUBLE) AS n_langs,
+         CAST(sum(n_tokens) AS BIGINT) AS ti,
+         CAST(count(*) AS BIGINT) AS li
   FROM avail)
 SELECT lang, n_tokens,
-       round(least(1.0, (total / n_langs) / n_tokens), 9)
+       least(1.0, {halfup_ratio_duck("ti", "li * n_tokens", 9)})
          AS sampling_rate,
        CAST(floor(n_tokens * least(1.0, (total / n_langs) / n_tokens))
             AS BIGINT) AS expected_tokens
@@ -176,6 +179,8 @@ def cur_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     tot = avail.agg(
         F.sum("n_tokens").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("n_langs"),
+        F.sum("n_tokens").alias("ti"),
+        F.count(F.lit(1)).alias("li"),
     )
     rate = F.least(
         F.lit(1.0), (F.col("total") / F.col("n_langs")) / F.col("n_tokens")
@@ -183,7 +188,10 @@ def cur_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     return avail.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_tokens",
-        F.round(rate, 9).alias("sampling_rate"),
+        # integer-exact HALF_UP rate (ROUND8 §12 class; r9 audit)
+        F.least(
+            F.lit(1.0), halfup_ratio("ti", "li * n_tokens", 9)
+        ).alias("sampling_rate"),
         F.floor(F.col("n_tokens") * rate).cast("long").alias(
             "expected_tokens"
         ),
