@@ -1,5 +1,10 @@
 """Regression pins for the round(sum/count) half-boundary bug class
-(docs/ROUND8.md §12, migrated catalog-wide in round 9).
+(docs/ROUND8.md §12, migrated catalog-wide in round 9 — the four named
+sites below get constructed-boundary entry pins; the fifteen
+ratio-shaped siblings found by the r9 audit share the same
+halfup_mean/halfup_ratio helpers, which the literal cases here and
+test_halfup_ratio_matches_ground_truth pin against exact-rational
+ground truth).
 
 ``round(CAST(sum AS DOUBLE)/count, d)`` splits between Spark and DuckDB
 whenever the exact rational mean sits on (or within an ulp of) a half at
