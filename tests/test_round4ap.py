@@ -28,13 +28,19 @@ def test_growth_accounting_literal(spark, monkeypatch):
         "event_type", "value",
     )
     monkeypatch.setattr(q, "events_table", lambda _s, _sf: ev)
+    # week is TIMESTAMP since r9 (gate-mimic date-class retirement):
+    # midnight UTC, so keying on the date part keeps the literals
     got = {
-        str(r.week): (
+        str(r.week.date()): (
             r.n_new, r.n_retained, r.n_resurrected, r.n_active,
             r.n_churned_from_prev,
         )
         for r in q.rel_growth_accounting(spark, SF).collect()
     }
+    assert all(
+        r.week.time().isoformat() == "00:00:00"
+        for r in q.rel_growth_accounting(spark, SF).collect()
+    )
     assert got["2024-01-01"] == (3, 0, 0, 3, 0)
     assert got["2024-01-08"] == (0, 1, 0, 1, 2)  # users 2 and 3 churned
     assert got["2024-01-15"] == (0, 1, 1, 2, 0)

@@ -24,7 +24,9 @@ def test_cusum_finds_injected_shift(spark, monkeypatch):
     )
     monkeypatch.setattr(q, "events_table", lambda _s, _sf: ev)
     r = q.rel_cusum_changepoint(spark, SF).collect()[0]
-    assert str(r.change_day) == "2024-01-10"
+    # change_day is TIMESTAMP since r9 (gate-mimic date-class
+    # retirement): midnight UTC of the changepoint day
+    assert str(r.change_day) == "2024-01-10 00:00:00"
     assert abs(r.mean_before - 10.0) < 1e-6
     assert abs(r.mean_after - 30.0) < 1e-6
     assert r.cusum_magnitude > 0
