@@ -340,10 +340,19 @@ def expectations(
     """
     t = F.col(text_col)
     if rules is None:
+        # NULL rule (edge-fuzz NULL-text catch, r9), stated identically
+        # in the cur_expectations oracle: text_nonempty and
+        # lang_supported treat NULL as a VIOLATION (absent data cannot
+        # pass a presence/allowlist gate); n_chars_consistent treats a
+        # NULL comparison as vacuously consistent (the NULL text is
+        # already reported by text_nonempty — double-counting the same
+        # root cause would be noise).
         rules = {
             "doc_id_present": F.col("doc_id").isNotNull(),
             "text_nonempty": t.isNotNull() & (F.length(t) > 0),
-            "n_chars_consistent": F.col("n_chars") == F.length(t),
+            "n_chars_consistent": ~F.coalesce(
+                F.col("n_chars") != F.length(t), F.lit(False)
+            ),
             # supported-language gate: the fixture's zh slice is the
             # deliberate quarantine population for a Latin-script-only
             # downstream stage

@@ -346,6 +346,15 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
         "cur_bresenham_sample",
         "cur_mixture_weights",
         "graph_pagerank",
+        # r09: NULL-text edge-fuzz catches (the generator now plants a
+        # NULL text): explicit NULLS FIRST window/ntile order, NULL-doc
+        # exclusion in the pair block, and per-rule NULL semantics in
+        # the expectations gate — all four were REAL cross-engine
+        # divergences on NULL-text data.
+        "cur_expectations",
+        "cur_psi_sources",
+        "rel_quantile_normalize",
+        # text_set_similarity_battery already queued above (halfup)
     ),
     # the migration lands before the round-9 gate runs
     9,

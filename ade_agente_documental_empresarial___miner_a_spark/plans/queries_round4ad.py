@@ -37,7 +37,7 @@ _PAIR_CAP = 25
     f"""WITH w AS (
   SELECT doc_id, lang,
          list_distinct(string_split(text, ' ')) AS ws
-  FROM documents WHERE doc_id < {_PAIR_CAP}),
+  FROM documents WHERE doc_id < {_PAIR_CAP} AND text IS NOT NULL),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_inter,
@@ -53,8 +53,11 @@ SELECT doc_a, doc_b, n_inter,
 FROM pairs""",
 )
 def text_set_similarity_battery(spark: SparkSession, sf: str) -> DataFrame:
+    # NULL-text docs are excluded on BOTH engines: DuckDB's
+    # list_intersect(NULL, x) yields 0 while Spark's array_intersect
+    # propagates NULL (edge-fuzz NULL-text catch, r9)
     docs = table(spark, sf, "documents").where(
-        F.col("doc_id") < _PAIR_CAP
+        (F.col("doc_id") < _PAIR_CAP) & F.col("text").isNotNull()
     )
     w = docs.select(
         "doc_id",

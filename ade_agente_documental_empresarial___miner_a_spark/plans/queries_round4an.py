@@ -86,7 +86,8 @@ _PSI_BINS = 10
 @register(
     "cur_psi_sources",
     f"""WITH edges AS (
-  SELECT ntile({_PSI_BINS}) OVER (ORDER BY n_chars, doc_id) AS bin,
+  SELECT ntile({_PSI_BINS}) OVER (
+           ORDER BY n_chars NULLS FIRST, doc_id) AS bin,
          doc_id, source
   FROM documents),
 corp AS (

@@ -144,7 +144,8 @@ def rel_full_outer_family(spark: SparkSession, sf: str) -> DataFrame:
          CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END
            AS v_text,
          CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END AS v_chars,
-         CASE WHEN lang NOT IN ('en','es','fr','de') THEN 1 ELSE 0 END
+         CASE WHEN lang IS NULL
+                OR lang NOT IN ('en','es','fr','de') THEN 1 ELSE 0 END
            AS v_lang
   FROM documents)
 SELECT 'doc_id_present' AS rule, CAST(sum(v_doc_id) AS BIGINT) AS n

@@ -95,7 +95,7 @@ def emb_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """WITH r AS (
   SELECT doc_id, source, n_chars,
          row_number() OVER (PARTITION BY source
-                            ORDER BY n_chars, doc_id) AS rn,
+                            ORDER BY n_chars NULLS FIRST, doc_id) AS rn,
          count(*) OVER (PARTITION BY source) AS n
   FROM documents)
 SELECT doc_id, source,
@@ -105,7 +105,11 @@ FROM r""",
 )
 def rel_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    # explicit NULLS FIRST — Spark's asc default, DuckDB's is
+    # NULLS LAST (edge-fuzz NULL-text catch, r9)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc_nulls_first(), "doc_id"
+    )
     cw = Window.partitionBy("source")
     r = docs.select(
         "doc_id",

@@ -149,3 +149,93 @@ def mm_pixel_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), "text"
     )
     return extract_payload_stats(synth_stats_media_from_docs(docs))
+
+
+# ---------------------------------------------------------------------------
+# mm_media_quality_gate (r9) — the curation gate for media payloads,
+# composing the REAL tier-2 payload decode: per media row the dynamic
+# range (max channel spread), the mean level of channel 0, and the
+# clipping flag (any channel pinned at 0 or 255) decide keep/drop —
+# the multimodal analogue of cur_quality_gate (flat or clipped pixels/
+# samples are the classic dead-image/dead-audio signals a training
+# mix filters first). The oracle predicts every fact from the md5
+# construction arithmetic; the Spark side must decode the bytes.
+# The mean is stated with the integer-exact HALF_UP quotient.
+_GATE_MIN_RANGE = 16
+
+
+def _gate_sql() -> str:
+    from ..functions.exactmath import halfup_mean_duck
+
+    mean0 = halfup_mean_duck("c0_sum", "n", 9, integral_sum=True)
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         md5(text) AS h
+  FROM documents),
+p AS (
+  SELECT media_id, kind,
+         CASE WHEN kind = 'image'
+              THEN (4 + {_byte(0)} % 13) * (4 + {_byte(1)} % 13)
+              ELSE 64 + ({_byte(0)} + 256 * {_byte(1)}) % 960 END AS n,
+         {_byte(2)} AS v2, {_byte(3)} AS v3, {_byte(4)} AS v4,
+         {_byte(5)} AS v5, {_byte(6)} AS v6, {_byte(7)} AS v7
+  FROM m),
+f AS (
+  SELECT media_id, kind, n,
+         CASE WHEN kind = 'image' THEN v2 * (n - 1) + v5
+              ELSE v2 * (n - 1) + v3 END AS c0_sum,
+         CASE WHEN kind = 'image'
+              THEN greatest(abs(v2 - v5), abs(v3 - v6), abs(v4 - v7))
+              ELSE abs(v2 - v3) END AS dyn_range,
+         CASE WHEN kind = 'image'
+              THEN least(v2, v5) = 0 OR greatest(v2, v5) = 255
+                OR least(v3, v6) = 0 OR greatest(v3, v6) = 255
+                OR least(v4, v7) = 0 OR greatest(v4, v7) = 255
+              ELSE least(v2, v3) = 0 OR greatest(v2, v3) = 255
+         END AS clipped
+  FROM p)
+SELECT media_id, kind,
+       CAST(dyn_range AS BIGINT) AS dyn_range,
+       {mean0} AS c0_mean,
+       clipped,
+       (dyn_range >= {_GATE_MIN_RANGE} AND NOT clipped) AS keep
+FROM f"""
+
+
+@register("mm_media_quality_gate", _gate_sql())
+def mm_media_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.exactmath import halfup_mean
+    from ..sources.multimodal import (
+        extract_payload_stats,
+        synth_stats_media_from_docs,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    stats = extract_payload_stats(synth_stats_media_from_docs(docs))
+    rng = F.when(
+        F.col("kind") == "image",
+        F.greatest(
+            F.col("c0_max") - F.col("c0_min"),
+            F.col("c1_max") - F.col("c1_min"),
+            F.col("c2_max") - F.col("c2_min"),
+        ),
+    ).otherwise(F.col("c0_max") - F.col("c0_min"))
+    clipped = F.when(
+        F.col("kind") == "image",
+        (F.col("c0_min") == 0) | (F.col("c0_max") == 255)
+        | (F.col("c1_min") == 0) | (F.col("c1_max") == 255)
+        | (F.col("c2_min") == 0) | (F.col("c2_max") == 255),
+    ).otherwise((F.col("c0_min") == 0) | (F.col("c0_max") == 255))
+    return stats.select(
+        "media_id",
+        "kind",
+        rng.cast("long").alias("dyn_range"),
+        halfup_mean("c0_sum", "n_units", 9, integral_sum=True).alias(
+            "c0_mean"
+        ),
+        clipped.alias("clipped"),
+        ((rng >= _GATE_MIN_RANGE) & ~clipped).alias("keep"),
+    )

@@ -96,6 +96,16 @@ _REGRESSION_CASES = [
     ("dedup_substring", "boundary", 0),
     ("cur_winsorize", "boundary", 0),
     ("cur_curriculum_phases", "boundary", 0),
+    # r9: the edge profile now plants a NULL text (code-review finding)
+    # — these four were REAL cross-engine divergences on it: DuckDB
+    # NULLS-LAST window/ntile order vs Spark NULLS FIRST (quantile,
+    # psi), DuckDB list_intersect(NULL) = 0-length vs Spark NULL
+    # (similarity pairs), and engine-split NULL rule semantics in the
+    # expectations gate
+    ("rel_quantile_normalize", "edge", 0),
+    ("cur_psi_sources", "edge", 0),
+    ("text_set_similarity_battery", "edge", 0),
+    ("cur_expectations", "edge", 0),
 ]
 
 
@@ -233,3 +243,19 @@ def test_media_profile_runs_green(spark):
     assert not failures, failures
     assert results["extract_media_features"]["status"] == "ok"
     assert results["extract_payload_stats"]["status"] == "ok"
+
+
+def test_edge_profile_has_null_text(tmp_path):
+    """The NULL-text pins above only re-trigger their class if edge/s0
+    still plants a NULL text row — assert the shape directly."""
+    d = str(tmp_path / "nulltext")
+    write_sf_dir(gen_tables("edge", 0), d)
+    con = duck_conn(d)
+    try:
+        n_null, n_null_chars = con.execute(
+            "SELECT count(*) FILTER (text IS NULL),"
+            " count(*) FILTER (n_chars IS NULL) FROM documents"
+        ).fetchone()
+    finally:
+        con.close()
+    assert n_null >= 1 and n_null_chars >= 1

@@ -421,12 +421,19 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
             texts[len(EDGE_TEXTS)] = dup          # exact duplicates
             texts[len(EDGE_TEXTS) + 1] = dup
             texts[len(EDGE_TEXTS) + 2] = dup + " tail"  # near-duplicate
+        if nd > len(EDGE_TEXTS) + 4:
+            # NULL text (r9, code-review finding): every f(text) must
+            # propagate NULL identically on both engines — md5(NULL),
+            # length(NULL), split(NULL) all appear across the catalog
+            texts[len(EDGE_TEXTS) + 4] = None
     out["documents"] = pa.table(
         {"doc_id": pa.array(range(nd), pa.int64()),
          "text": texts,
          "lang": lang_col,
          "source": [f"src{int(s)}" for s in rng.integers(0, 20, nd)],
-         "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+         "n_chars": pa.array(
+             [len(t) if t is not None else None for t in texts],
+             pa.int64())})
 
     # embeddings (dim 64, fixture value range ±0.5)
     rng = _rng(seed, profile + "embeddings")
