@@ -266,3 +266,48 @@ def test_halfup_ratio_matches_ground_truth(spark):
         ).fetchone()[0]
         assert got_s == got_d == want, (num, den, got_s, got_d, want)
     con.close()
+
+
+def test_halfup_randomized_sweep_vs_fraction(spark):
+    """200 seeded random (u, n, d) cases per helper shape — including
+    forced exact halves — batched as ONE query per engine and compared
+    to Fraction ground truth. Catches any drift in the div/HUGEINT
+    arithmetic across the precision range the catalog uses."""
+    import random
+
+    import duckdb
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.exactmath import (  # noqa: E501
+        halfup_mean,
+        halfup_mean_duck,
+    )
+
+    rng = random.Random(9)
+    cases = []
+    for i in range(200):
+        d = rng.choice([6, 9, 12])
+        n = rng.randint(1, 10**6)
+        if i % 3 == 0:
+            # force an exact half: u ≡ n/2 (mod n), n even
+            n += n % 2
+            u = rng.randrange(0, 10 ** (d + 3)) * n + n // 2
+        else:
+            u = rng.randrange(-(10 ** (d + 4)), 10 ** (d + 4))
+        cases.append((u, n, d))
+
+    sels_s, sels_d, truths = [], [], []
+    for j, (u, n, d) in enumerate(cases):
+        lit = str(Decimal(u).scaleb(-d))
+        s_sql = f"CAST('{lit}' AS DECIMAL(38,{d}))"
+        sels_s.append(halfup_mean(s_sql, str(n), d).alias(f"r{j}"))
+        sels_d.append(
+            halfup_mean_duck(s_sql, str(n), d) + f" AS r{j}"
+        )
+        truths.append(_halfup(u, n * 10**d, d))
+
+    got_s = spark.range(1).select(*sels_s).collect()[0]
+    con = duckdb.connect()
+    got_d = con.execute("SELECT " + ", ".join(sels_d)).fetchone()
+    con.close()
+    for j, want in enumerate(truths):
+        assert got_s[f"r{j}"] == got_d[j] == want, (cases[j], want)
