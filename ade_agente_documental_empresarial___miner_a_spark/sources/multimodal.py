@@ -18,15 +18,17 @@ extract tiers in ``extract.py``):
 - tier 3 — deterministic md5-seeded fake dims/duration for payloads no
   parser claims (the old stub, now the degrade path).
 
-The FEATURE vector itself stays md5-fake at every tier — a LEARNED
-embedding genuinely needs the tier-1 libraries. Raw pixel/sample
-STATISTICS do not: for the uncompressed formats (24bpp BMP, 8-bit PCM
-WAV) the payload is plain byte arithmetic, so since round 9
-``extract_payload_stats`` decodes REAL pixel arrays / PCM samples
-(``media_headers.bmp_pixel_stats`` / ``wav_pcm_stats``) built by
-``synth_stats_media_from_docs`` — certified end-to-end by the
-``mm_pixel_stats`` oracle pair. Compressed formats (PNG/GIF/JPEG/AVI
-frames) remain tier-1 territory.
+A LEARNED feature embedding genuinely needs the tier-1 libraries and
+stays absent. Raw pixel/sample ARITHMETIC does not: for the
+uncompressed formats (24bpp BMP, 8-bit PCM WAV) the payload is plain
+byte math, so since round 9 ``extract_payload_stats`` decodes REAL
+pixel arrays / PCM samples (``media_headers.bmp_pixel_stats`` /
+``wav_pcm_stats``) built by ``synth_stats_media_from_docs`` —
+certified end-to-end by the ``mm_pixel_stats`` oracle pair — and
+``extract_media_features`` emits a REAL payload-derived 8-dim
+descriptor (``_real_features``: channel means/ranges + log-size) for
+decodable payloads, falling back to the md5 fake only for compressed
+formats (PNG/GIF/JPEG/AVI frames — tier-1 territory).
 """
 
 from __future__ import annotations
@@ -78,6 +80,49 @@ def _fake_features(data: bytes, dim: int = 8) -> list[float]:
     vec = (rng.astype(np.float64) / 2**32) - 0.5
     n = float(np.linalg.norm(vec))
     return [float(x) for x in (vec / n if n else vec).astype(np.float32)]
+
+
+def _real_features(data: bytes) -> list[float] | None:
+    """Tier-2 REAL 8-dim descriptor for decodable (uncompressed)
+    payloads — per-channel mean and dynamic range over the decoded
+    pixel/sample bytes plus a log-size term and a kind flag, L2-
+    normalized like the fake so downstream cosine math is unchanged.
+    Not a learned embedding (tier 1 stays absent), but every number
+    derives from the REAL payload bytes. None = not decodable (the
+    caller falls back to the md5 fake)."""
+    from .media_headers import bmp_pixel_stats, wav_pcm_stats
+
+    s = bmp_pixel_stats(data)
+    if s is not None:
+        n = s["n_units"]
+        vec = [
+            s["c0_sum"] / (255.0 * n),
+            s["c1_sum"] / (255.0 * n),
+            s["c2_sum"] / (255.0 * n),
+            (s["c0_max"] - s["c0_min"]) / 255.0,
+            (s["c1_max"] - s["c1_min"]) / 255.0,
+            (s["c2_max"] - s["c2_min"]) / 255.0,
+            min(1.0, np.log10(n + 1.0) / 8.0),
+            1.0,  # image flag
+        ]
+    else:
+        s = wav_pcm_stats(data)
+        if s is None:
+            return None
+        n = s["n_units"]
+        vec = [
+            s["c0_sum"] / (255.0 * n),
+            0.0,
+            0.0,
+            (s["c0_max"] - s["c0_min"]) / 255.0,
+            0.0,
+            0.0,
+            min(1.0, np.log10(n + 1.0) / 8.0),
+            -1.0,  # audio flag
+        ]
+    v = np.asarray(vec, dtype=np.float64)
+    norm = float(np.linalg.norm(v))
+    return [float(x) for x in (v / norm if norm else v).astype(np.float32)]
 
 
 def extract_media_features(
@@ -149,7 +194,14 @@ def extract_media_features(
                             rec["duration_ms"] = 1000 + int.from_bytes(
                                 h[2:4], "little"
                             )
-                    rec["features"] = _fake_features(data, dim)
+                    # tier 2 first: a REAL payload-derived descriptor
+                    # for uncompressed formats (dim 8 only — the
+                    # descriptor is fixed-width); md5 fake otherwise
+                    real = _real_features(data) if dim == 8 else None
+                    rec["features"] = (
+                        real if real is not None
+                        else _fake_features(data, dim)
+                    )
                 except Exception as e:  # noqa: BLE001
                     rec["error"] = f"{type(e).__name__}: {e}"
                 rows.append(rec)

@@ -385,3 +385,50 @@ def test_mm_pixel_stats_null_text(spark, tmp_path):
     assert ok
     assert rows[3].n_units is None and rows[3].c0_sum is None
     assert rows[2].n_units is not None and rows[2].c1_max is not None
+
+
+def test_real_features_for_decodable_payloads(spark):
+    # a decodable BMP payload yields a REAL descriptor: channel means
+    # and ranges hand-computable from the pixel bytes (NOT the md5
+    # fake); compressed/opaque payloads keep the fake
+    import math
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.multimodal import (
+        _fake_features,
+        extract_media_features,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        build_bmp,
+        build_png,
+        build_wav,
+    )
+
+    px = bytes([10, 20, 30] * 5 + [210, 220, 230])  # 3x2, one bright px
+    bmp = build_bmp(3, 2, px)
+    wav = build_wav(4, bytes([0, 100, 100, 200]))
+    png = build_png(5, 5)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp)),
+            (2, "audio", bytearray(wav)),
+            (3, "image", bytearray(png)),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in extract_media_features(media).collect()}
+    f1 = rows[1].features
+    # hand-computed: mean_c0 = (5*10+210)/(6*255), ranges = 200/255,
+    # log term, flag 1.0 — then L2-normalized
+    raw = [
+        (5 * 10 + 210) / (6 * 255.0),
+        (5 * 20 + 220) / (6 * 255.0),
+        (5 * 30 + 230) / (6 * 255.0),
+        200 / 255.0, 200 / 255.0, 200 / 255.0,
+        min(1.0, math.log10(7.0) / 8.0),
+        1.0,
+    ]
+    n = math.sqrt(sum(x * x for x in raw))
+    want = [x / n for x in raw]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(f1, want))
+    assert rows[2].features[-1] < 0  # audio flag
+    assert rows[3].features == _fake_features(bytes(png))  # compressed
