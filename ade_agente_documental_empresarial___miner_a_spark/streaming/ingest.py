@@ -12,6 +12,7 @@ safe per-micro-batch (a document never spans files).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -59,6 +60,40 @@ def incremental_index(
 
     return (
         docs_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_media_stats(
+    docs_stream: DataFrame,
+    stats_path: str,
+    checkpoint_path: str,
+):
+    """Start the incremental MEDIA pipeline (r9): each micro-batch of
+    new documents becomes real uncompressed payloads
+    (``synth_stats_media_from_docs``) whose pixel/sample bytes are
+    decoded Arrow-batched (``extract_payload_stats``) and appended to
+    the stats table. Decode is map-only, so streaming it costs exactly
+    the batch plan per micro-batch — the stream ≡ batch equality is
+    pinned by tests/test_streaming.py. Returns the StreamingQuery."""
+    from ..sources.multimodal import (
+        extract_payload_stats,
+        synth_stats_media_from_docs,
+    )
+
+    def decode(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.select(
+            F.col("doc_id").alias("media_id"), "text"
+        )
+        stats = extract_payload_stats(synth_stats_media_from_docs(docs))
+        stats.write.mode("append").parquet(stats_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(decode)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

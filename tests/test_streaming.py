@@ -855,3 +855,60 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
             spark.conf.set(key, prev)
     batch = {tuple(r) for r in tumbling_metrics(ev).collect()}
     assert streamed == batch and len(batch) > 100
+
+
+def test_streaming_media_decode_matches_batch(spark, tmp_path):
+    """The r9 payload decode (mapInPandas over real BMP/WAV bytes) must
+    be bit-identical when run inside Structured Streaming micro-batches
+    — foreachBatch + availableNow over 3 JSON arrival files vs the
+    one-shot batch plan on the same documents."""
+    import json as _json
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.multimodal import (
+        extract_payload_stats,
+        synth_stats_media_from_docs,
+    )
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.ingest import (
+        incremental_media_stats,
+        stream_documents,
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"media doc {i} payload text",
+         "lang": "en", "source": "s"}
+        for i in range(30)
+    ]
+    for b in range(3):  # three arrival files = three micro-batches
+        with open(src / f"batch{b}.json", "w") as fh:
+            for r in rows[b * 10 : (b + 1) * 10]:
+                fh.write(_json.dumps(r) + "\n")
+
+    stats_path = str(tmp_path / "stats")
+    q = incremental_media_stats(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        stats_path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.media_id: r
+        for r in spark.read.parquet(stats_path).collect()
+    }
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows],
+        "media_id long, text string",
+    )
+    want = {
+        r.media_id: r
+        for r in extract_payload_stats(
+            synth_stats_media_from_docs(docs)
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) == 30
+    for mid in want:
+        assert tuple(got[mid]) == tuple(want[mid]), mid
+    # decode genuinely ran in the stream: real channel stats present
+    assert any(g.n_units and g.n_units > 0 for g in got.values())
