@@ -358,6 +358,21 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
     ),
     # the migration lands before the round-9 gate runs
     9,
+) | dict.fromkeys(
+    (
+        # r10: the payload-decode chain changed for every composer —
+        # extract_payload_stats now tries png_pixel_stats between the
+        # BMP and WAV decoders, bmp_pixel_stats gained the px_off>=54
+        # malformed-offset guard (ADVICE r9), and _real_features (under
+        # extract_media_features) now emits REAL descriptors for PNG
+        # payloads too. Values identical on fixtures; executed plans
+        # changed.
+        "mm_pixel_stats",
+        "mm_media_quality_gate",
+        "mm_header_decode",
+    ),
+    # the change lands before the round-10 gate runs
+    10,
 )
 
 
@@ -420,10 +435,17 @@ def driver_ordered(mapping: dict) -> dict:
     never-checked names); (2) names with NO recorded green — new work
     must land inside the driver's ~50-entry CORRECTNESS window at least
     once (each is parity-green locally in the meantime); (3)
-    recorded-green last. When the catalog outgrows the window, the cut
-    lands in tier 2/3, and tier-2 names cut off this round lead the next
-    round's window. _PRIORITY names (if present in the mapping) lead
-    everything."""
+    recorded-green last, ORDERED STALEST-CERTIFICATION-FIRST (r10 —
+    VERDICT r9 task 5): with zero never-checked entries left, the
+    window's spare slots should re-verify the entries whose only driver
+    record is oldest (many date from r02-r03 while the code under them
+    has been refactored since), so certifications rotate instead of the
+    same early-registered names recycling. Names only in the
+    _STATIC_GREEN fallback (no CORRECTNESS file round) sort first; ties
+    keep registration order (stable sort). When the catalog outgrows
+    the window, the cut lands in tier 2/3, and tier-2 names cut off
+    this round lead the next round's window. _PRIORITY names (if
+    present in the mapping) lead everything."""
     prio = {k: mapping[k] for k in _PRIORITY if k in mapping}
     recheck = {
         k: v
@@ -446,12 +468,14 @@ def driver_ordered(mapping: dict) -> dict:
         for k, v in mapping.items()
         if k not in _DRIVER_GREEN and k not in prio and k not in red
     }
-    back = {
-        k: v
-        for k, v in mapping.items()
+    back_names = [
+        k
+        for k in mapping
         if k not in prio and k not in never and k not in recheck
         and k not in red
-    }
+    ]
+    back_names.sort(key=lambda k: _VERDICT_ROUNDS.get(k, 0))
+    back = {k: mapping[k] for k in back_names}
     return {**prio, **recheck, **red, **never, **back}
 
 
@@ -530,6 +554,7 @@ def _load():
     from . import queries_round4ay  # noqa: F401
     from . import queries_round4az  # noqa: F401
     from . import queries_round8  # noqa: F401
+    from . import queries_round10  # noqa: F401
 
     _LOADED = True
 

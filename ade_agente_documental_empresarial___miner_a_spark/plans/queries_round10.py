@@ -1,0 +1,78 @@
+"""Round-10 entries — real PNG pixel decode (VERDICT r9 task 4).
+
+``mm_png_stats`` certifies the stdlib PNG payload decoder
+(``media_headers.png_pixel_stats`` — chunk walk, zlib inflate,
+per-scanline unfilter across all five PNG filter types) the same
+construction-proof way r9's ``mm_pixel_stats`` certified the
+uncompressed BMP/WAV decoders: every document becomes a REAL
+compressed PNG (base RGB colour + one spike pixel, scanlines
+forward-filtered by ``row % 5``), the query inflates and unfilters
+the actual IDAT bytes, and the DuckDB oracle predicts the integer
+channel statistics from the md5(text) construction arithmetic alone —
+it never sees the bytes. A decoder that skipped the inflate, botched
+any of the Sub/Up/Average/Paeth unfilters, or fell back to the
+md5-fake tier would hash-diverge on the first document.
+
+This moves PNG out of the tier-1 stub territory (the container has no
+Pillow, but PNG's compression is stdlib zlib); md5-fake decode is now
+confined to JPEG/GIF/compressed-audio + learned feature vectors.
+
+Reference anchor: the reference (micro-infobot/app.py) has no media
+handling; EXT training-data surface per the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register, table
+
+_HEXPOS = "'0123456789abcdef'"
+
+
+def _hexval(pos: int) -> str:
+    return f"(strpos({_HEXPOS}, substr(h, {pos}, 1)) - 1)"
+
+
+def _byte(k: int) -> str:
+    """md5-hex byte k (0-based) as an integer SQL expression."""
+    return f"({_hexval(2 * k + 1)} * 16 + {_hexval(2 * k + 2)})"
+
+
+# w = 4 + b0 % 13, h = 5 + b1 % 12 (>= 5 rows: every image carries all
+# five filter types); base RGB = (b2, b3, b4), spike = (b5, b6, b7).
+_PNG_STATS_SQL = f"""WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+p AS (
+  SELECT media_id,
+         (4 + {_byte(0)} % 13) * (5 + {_byte(1)} % 12) AS n,
+         {_byte(2)} AS v2, {_byte(3)} AS v3, {_byte(4)} AS v4,
+         {_byte(5)} AS v5, {_byte(6)} AS v6, {_byte(7)} AS v7
+  FROM m)
+SELECT media_id, CAST(n AS BIGINT) AS n_units,
+       CAST(v2 * (n - 1) + v5 AS BIGINT) AS c0_sum,
+       CAST(least(v2, v5) AS BIGINT) AS c0_min,
+       CAST(greatest(v2, v5) AS BIGINT) AS c0_max,
+       CAST(v3 * (n - 1) + v6 AS BIGINT) AS c1_sum,
+       CAST(least(v3, v6) AS BIGINT) AS c1_min,
+       CAST(greatest(v3, v6) AS BIGINT) AS c1_max,
+       CAST(v4 * (n - 1) + v7 AS BIGINT) AS c2_sum,
+       CAST(least(v4, v7) AS BIGINT) AS c2_min,
+       CAST(greatest(v4, v7) AS BIGINT) AS c2_max
+FROM p"""
+
+
+@register("mm_png_stats", _PNG_STATS_SQL)
+def mm_png_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.multimodal import (
+        extract_payload_stats,
+        synth_png_media_from_docs,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    return extract_payload_stats(
+        synth_png_media_from_docs(docs)
+    ).drop("kind")

@@ -62,15 +62,84 @@ def build_bmp(
     return header + b"".join(rows)
 
 
-def build_png(width: int, height: int) -> bytes:
-    """PNG signature + IHDR chunk (real CRC); IDAT/IEND omitted."""
-    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
-    chunk = b"IHDR" + ihdr
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    body = ctype + payload
     return (
-        b"\x89PNG\r\n\x1a\n"
-        + struct.pack(">I", len(ihdr))
-        + chunk
-        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        struct.pack(">I", len(payload))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (spec §9.4) — shared by the filter
+    (builder) and unfilter (decoder) directions."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def build_png(
+    width: int, height: int, pixels: bytes | None = None
+) -> bytes:
+    """PNG signature + IHDR chunk (real CRC); IDAT/IEND omitted unless
+    ``pixels`` is given (flat RGB byte triples, width*height*3 bytes,
+    top-down row order) — then a REAL zlib-compressed IDAT follows,
+    with each scanline FORWARD-FILTERED by filter type ``row % 5``
+    (None/Sub/Up/Average/Paeth in turn), so a decoder that skips the
+    unfilter step — or gets any of the five filters wrong — cannot
+    reproduce the pixel values. Decodable by :func:`png_pixel_stats`
+    with stdlib zlib only."""
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if pixels is None:
+        return out
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"pixel payload {len(pixels)} != {width}x{height}x3"
+        )
+    bpp = 3
+    rowlen = width * bpp
+    raw = bytearray()
+    prev = bytes(rowlen)
+    for r in range(height):
+        row = pixels[r * rowlen : (r + 1) * rowlen]
+        ftype = r % 5
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw += row
+        elif ftype == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(rowlen)
+            )
+        elif ftype == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(rowlen))
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (row[i]
+                 - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(rowlen)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (row[i] - _paeth(
+                    row[i - bpp] if i >= bpp else 0,
+                    prev[i],
+                    prev[i - bpp] if i >= bpp else 0,
+                )) & 0xFF
+                for i in range(rowlen)
+            )
+        prev = row
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -295,6 +364,10 @@ def bmp_pixel_stats(data: bytes) -> dict | None:
     n_rows = abs(h)
     if bpp != 24 or compression != 0 or w <= 0 or n_rows == 0:
         return None
+    if px_off < 54:
+        # a malformed offset pointing INSIDE the 54-byte header would
+        # decode header bytes as pixels — degrade instead (ADVICE r9)
+        return None
     stride = (w * 3 + 3) // 4 * 4
     if px_off + stride * n_rows > len(data):
         return None  # truncated pixel array -> degrade
@@ -307,6 +380,97 @@ def bmp_pixel_stats(data: bytes) -> dict | None:
     maxs = px.max(axis=0)
     return {
         "n_units": int(w) * n_rows,
+        "c0_sum": int(sums[0]), "c0_min": int(mins[0]), "c0_max": int(maxs[0]),
+        "c1_sum": int(sums[1]), "c1_min": int(mins[1]), "c1_max": int(maxs[1]),
+        "c2_sum": int(sums[2]), "c2_min": int(mins[2]), "c2_max": int(maxs[2]),
+    }
+
+
+def png_pixel_stats(data: bytes) -> dict | None:
+    """Decode a REAL (compressed) PNG pixel stream with stdlib zlib
+    only: walk the chunk list, inflate the concatenated IDAT payloads,
+    undo the per-scanline filter (all five spec filter types —
+    None/Sub/Up/Average/Paeth), and return per-channel (sum, min, max)
+    over every pixel. This is the r10 tier-1 shrink (VERDICT r9 task
+    4): PNG's compression is zlib, which the container has, so nothing
+    about the format genuinely needs Pillow at fixture scale.
+
+    Supports the fixture construction's shape — 8-bit truecolor RGB
+    (color type 2), non-interlaced. Anything else (palette, alpha,
+    16-bit, interlaced, truncated or corrupt streams) returns None:
+    the same degrade contract as :func:`bmp_pixel_stats`. Returns
+    {n_units, c0/c1/c2 (RGB) sum/min/max} or None."""
+    import numpy as np
+
+    if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + clen]
+        if len(payload) < clen:
+            return None  # truncated chunk -> degrade
+        if ctype == b"IHDR":
+            if clen < 13:
+                return None
+            w, h, depth, ctype_img, comp, filt, interlace = struct.unpack(
+                ">II5B", payload[:13]
+            )
+            if (depth, ctype_img, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                return None  # only 8-bit RGB non-interlaced (tier-2 domain)
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if not w or not h or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bpp = 3
+    rowlen = w * bpp
+    if len(raw) != h * (1 + rowlen):
+        return None
+    px = np.zeros((h, rowlen), dtype=np.uint8)
+    prev = np.zeros(rowlen, dtype=np.int64)
+    for r in range(h):
+        off = r * (1 + rowlen)
+        ftype = raw[off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=rowlen, offset=off + 1
+        ).astype(np.int64)
+        cur = np.empty(rowlen, dtype=np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — vectorizable (no intra-row dependence)
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — serial in-row
+            for i in range(rowlen):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(int(a), int(b), int(c))
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            return None  # invalid filter byte -> degrade
+        px[r] = cur.astype(np.uint8)
+        prev = cur
+    flat = px.reshape(-1, 3).astype(np.int64)
+    sums = flat.sum(axis=0)
+    mins = flat.min(axis=0)
+    maxs = flat.max(axis=0)
+    return {
+        "n_units": int(w) * int(h),
         "c0_sum": int(sums[0]), "c0_min": int(mins[0]), "c0_max": int(maxs[0]),
         "c1_sum": int(sums[1]), "c1_min": int(mins[1]), "c1_max": int(maxs[1]),
         "c2_sum": int(sums[2]), "c2_min": int(mins[2]), "c2_max": int(maxs[2]),

@@ -90,9 +90,13 @@ def _real_features(data: bytes) -> list[float] | None:
     Not a learned embedding (tier 1 stays absent), but every number
     derives from the REAL payload bytes. None = not decodable (the
     caller falls back to the md5 fake)."""
-    from .media_headers import bmp_pixel_stats, wav_pcm_stats
+    from .media_headers import (
+        bmp_pixel_stats,
+        png_pixel_stats,
+        wav_pcm_stats,
+    )
 
-    s = bmp_pixel_stats(data)
+    s = bmp_pixel_stats(data) or png_pixel_stats(data)
     if s is not None:
         n = s["n_units"]
         vec = [
@@ -465,6 +469,59 @@ def synth_stats_media_from_docs(
     return docs.select(id_col, text_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
+def synth_png_media_from_docs(
+    docs: DataFrame,
+    id_col: str = "media_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """REAL compressed-PNG payloads for the r10 tier-1 shrink: every
+    doc becomes an 8-bit RGB PNG whose zlib-compressed IDAT encodes an
+    md5-derived base colour plus ONE spike pixel, scanlines forward-
+    filtered by ``row % 5`` so the decode proof covers all five PNG
+    filter types:
+
+    - w = 4 + b0 % 13 (4..16), h = 5 + b1 % 12 (5..16 — at least five
+      rows so None/Sub/Up/Average/Paeth all occur in every image)
+    - base RGB = (b2, b3, b4), spike RGB = (b5, b6, b7) at pixel
+      (b8 + 256*b9) % (w*h)
+
+    Same construction-proof shape as :func:`synth_stats_media_from_docs`
+    (the SQL oracle predicts channel stats from md5(text) arithmetic;
+    the Spark side must inflate + unfilter real bytes). NULL text ->
+    NULL content. Map-only, Arrow-batched, MEDIA_SCHEMA output."""
+    from .media_headers import build_png
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                mid = int(row[id_col])
+                text = row[text_col]
+                if text is None:
+                    out.append(
+                        {"media_id": mid, "kind": "image", "content": None}
+                    )
+                    continue
+                h = hashlib.md5(str(text).encode("utf-8")).digest()
+                w, ht = 4 + h[0] % 13, 5 + h[1] % 12
+                n = w * ht
+                px = bytearray(bytes(h[2:5]) * n)
+                p = (h[8] + 256 * h[9]) % n
+                px[3 * p : 3 * p + 3] = h[5:8]
+                out.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "content": build_png(w, ht, bytes(px)),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_SCHEMA]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
 def extract_payload_stats(
     media: DataFrame, content_col: str = "content"
 ) -> DataFrame:
@@ -473,7 +530,11 @@ def extract_payload_stats(
     sample actually present. NULL content and undecodable payloads
     (compressed formats, truncation, foreign codecs) yield NULL stats —
     the degrade contract of the header tier. Map-only, Arrow-batched."""
-    from .media_headers import bmp_pixel_stats, wav_pcm_stats
+    from .media_headers import (
+        bmp_pixel_stats,
+        png_pixel_stats,
+        wav_pcm_stats,
+    )
 
     def run(batches):
         for pdf in batches:
@@ -490,7 +551,11 @@ def extract_payload_stats(
                 }
                 if data is not None:
                     data = bytes(data)
-                    stats = bmp_pixel_stats(data) or wav_pcm_stats(data)
+                    stats = (
+                        bmp_pixel_stats(data)
+                        or png_pixel_stats(data)
+                        or wav_pcm_stats(data)
+                    )
                     if stats is not None:
                         rec.update(stats)
                 rows.append(rec)

@@ -432,3 +432,159 @@ def test_real_features_for_decodable_payloads(spark):
     assert all(abs(a - b) < 1e-6 for a, b in zip(f1, want))
     assert rows[2].features[-1] < 0  # audio flag
     assert rows[3].features == _fake_features(bytes(png))  # compressed
+
+
+# ---------------------------------------------------------------------------
+# r10 — real PNG payload decode (inflate + all-five-filters unfilter)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=18),
+    h=st.integers(min_value=1, max_value=18),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_png_pixel_stats_roundtrip(w, h, seed):
+    import numpy as np
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        png_pixel_stats,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    s = png_pixel_stats(build_png(w, h, px))
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+    assert s == {
+        "n_units": w * h,
+        "c0_sum": int(arr[:, 0].sum()),
+        "c0_min": int(arr[:, 0].min()),
+        "c0_max": int(arr[:, 0].max()),
+        "c1_sum": int(arr[:, 1].sum()),
+        "c1_min": int(arr[:, 1].min()),
+        "c1_max": int(arr[:, 1].max()),
+        "c2_sum": int(arr[:, 2].sum()),
+        "c2_min": int(arr[:, 2].min()),
+        "c2_max": int(arr[:, 2].max()),
+    }
+
+
+def test_png_pixel_stats_exercises_every_filter_type():
+    # h=5 guarantees scanlines filtered None/Sub/Up/Average/Paeth; a
+    # gradient image makes every filter's delta non-trivial, so any
+    # broken unfilter branch corrupts the stats
+    import zlib as _zlib
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        png_pixel_stats,
+    )
+
+    w, h = 7, 5
+    px = bytes((r * 40 + c * 9 + ch * 3) % 256
+               for r in range(h) for c in range(w) for ch in range(3))
+    data = build_png(w, h, px)
+    # the raw (pre-compression) stream really does use filters 0..4
+    idat_off = data.find(b"IDAT") + 4
+    (idat_len,) = __import__("struct").unpack(
+        ">I", data[idat_off - 8 : idat_off - 4]
+    )
+    raw = _zlib.decompress(data[idat_off : idat_off + idat_len])
+    assert [raw[r * (1 + w * 3)] for r in range(h)] == [0, 1, 2, 3, 4]
+    s = png_pixel_stats(data)
+    vals = [px[i] for i in range(0, len(px), 3)]
+    assert s["n_units"] == 35
+    assert s["c0_sum"] == sum(vals)
+    assert s["c0_min"] == min(vals) and s["c0_max"] == max(vals)
+
+
+def test_png_pixel_stats_degrade_paths():
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        png_pixel_stats,
+    )
+
+    full = build_png(4, 5, bytes(range(60)))
+    assert png_pixel_stats(full) is not None
+    # header-only (no IDAT), truncated IDAT, garbage, non-PNG
+    assert png_pixel_stats(build_png(4, 5)) is None
+    assert png_pixel_stats(full[:-20]) is None
+    assert png_pixel_stats(b"\x89PNG\r\n\x1a\n" + b"junk" * 10) is None
+    assert png_pixel_stats(build_bmp(4, 4)) is None
+    # wrong color type (IHDR says grayscale) degrades
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">II5B", 4, 4, 8, 0, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + _struct.pack(">I", len(ihdr))
+        + chunk
+        + _struct.pack(">I", _zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+    assert png_pixel_stats(gray) is None
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=255),
+)
+def test_png_decoder_prefixes_never_raise(w, h, seed):
+    import numpy as np
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        png_pixel_stats,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    data = build_png(w, h, px)
+    for cut in range(0, len(data), max(1, len(data) // 40)):
+        png_pixel_stats(data[:cut])  # must degrade (None), never raise
+
+
+def test_bmp_pixel_stats_rejects_offset_inside_header():
+    # ADVICE r9: a malformed px_off pointing inside the 54-byte header
+    # must degrade to None, not decode header bytes as pixels
+    import struct as _struct
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        bmp_pixel_stats,
+    )
+
+    data = bytearray(build_bmp(2, 2, bytes(12)))
+    data[10:14] = _struct.pack("<I", 10)  # px_off -> inside header
+    # pad so the truncation check can't mask the offset check
+    assert bmp_pixel_stats(bytes(data) + bytes(64)) is None
+
+
+def test_real_features_real_for_pixel_carrying_png(spark):
+    # r10: a PNG WITH a real IDAT now yields the REAL descriptor (the
+    # fake would md5-seed from the compressed bytes and differ)
+    import math
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.multimodal import (
+        _fake_features,
+        extract_media_features,
+    )
+
+    px = bytes([10, 20, 30] * 5 + [210, 220, 230])  # 3x2, one bright px
+    png = build_png(3, 2, px)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png))],
+        "media_id long, kind string, content binary",
+    )
+    (row,) = extract_media_features(media).collect()
+    raw = [
+        (5 * 10 + 210) / (6 * 255.0),
+        (5 * 20 + 220) / (6 * 255.0),
+        (5 * 30 + 230) / (6 * 255.0),
+        200 / 255.0, 200 / 255.0, 200 / 255.0,
+        min(1.0, math.log10(7.0) / 8.0),
+        1.0,
+    ]
+    n = math.sqrt(sum(x * x for x in raw))
+    want = [x / n for x in raw]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(row.features, want))
+    assert row.features != _fake_features(bytes(png))
