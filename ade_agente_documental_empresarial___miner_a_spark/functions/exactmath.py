@@ -131,6 +131,45 @@ def halfup_ratio(
     )
 
 
+def dblround(col: Column, digits: int) -> Column:
+    """Cross-engine-stable quantization of a COMPOSITE DOUBLE at
+    ``digits`` decimals — the r10 sibling of :func:`halfup_mean` for
+    expressions with no statable exact rational (z-scores, kappa,
+    variance/std, readability, log/sqrt outputs; docs/ROUND9.md §1's
+    irreducible classes).
+
+    ``round(x, d)`` is NOT cross-engine-stable on doubles: Spark rounds
+    the SHORTEST DECIMAL RENDERING of x (java ``BigDecimal.valueOf``,
+    HALF_UP) while DuckDB rounds the exact binary product ``x * 10^d``
+    (``std::round``, half away from zero) — whenever x sits within an
+    ulp of a half at the rounding digit the engines split by 10^-d
+    (real-engine constructed divergences pinned in
+    tests/test_double_boundary.py).
+
+    The stable restatement rounds the SAME scaled double on both sides:
+    ``round(x * 10^d, 0) / 10^d``. At scale 0 the two engines' rounding
+    semantics coincide for every |y| < 2^51: y's shortest repr and its
+    exact binary value can never straddle an integer-half boundary
+    (k+0.5 is itself exactly representable, and a shortest repr D of y
+    with a representable boundary between D and y would round-trip to
+    the boundary instead of y), and ties round away from zero under
+    both HALF_UP-on-decimal and std::round-on-binary. The multiply and
+    final divide are single correctly-rounded IEEE ops on identical
+    inputs. Domain: |x| < 2^51 / 10^digits (~4.5e6 at digits=9) —
+    far above any z-score/kappa/ratio magnitude; NULL/NaN/Inf pass
+    through identically on both engines.
+    """
+    return F.round(col * F.lit(float(10 ** digits)), 0) / F.lit(
+        float(10 ** digits)
+    )
+
+
+def dblround_duck(expr: str, digits: int) -> str:
+    """The DuckDB-side statement of :func:`dblround` (same scaled
+    double, same integer-digit rounding)."""
+    return f"round(({expr}) * 1e{digits}) / 1e{digits}"
+
+
 def halfup_ratio_duck(
     num_sql: str,
     den_sql: str,

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exactmath import halfup_mean, halfup_mean_duck
+from ..functions.exactmath import dblround, halfup_mean, halfup_mean_duck
 from .catalog import events_table, register, table
 
 
@@ -46,10 +46,11 @@ wide AS (
          max(CASE WHEN cohort = 1 THEN n_converted END) AS c1
   FROM c)
 SELECT n0, c0, n1, c1,
-       round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+       round(((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
              / nullif(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                     * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                    * (1.0 / n0 + 1.0 / n1)), 0.0), 9) AS z_score,
+                    * (1.0 / n0 + 1.0 / n1)), 0.0)) * 1e9) / 1e9
+         AS z_score,
        coalesce(abs((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
            / nullif(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                   * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
@@ -99,7 +100,7 @@ def rel_abtest_ztest(spark: SparkSession, sf: str) -> DataFrame:
         "c0",
         "n1",
         "c1",
-        F.round(z, 9).alias("z_score"),
+        dblround(z, 9).alias("z_score"),
         F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
     )
 

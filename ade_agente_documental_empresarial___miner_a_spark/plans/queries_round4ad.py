@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
+from ..functions.exactmath import dblround, halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 
 _PAIR_CAP = 25
@@ -144,12 +144,13 @@ conf AS (
   FROM a JOIN b USING (doc_id))
 SELECT CAST(tt AS BIGINT) AS both_keep, CAST(tf AS BIGINT) AS a_only,
        CAST(ft AS BIGINT) AS b_only, CAST(ff AS BIGINT) AS both_drop,
-       round(((tt + ff) / (tt + tf + ft + ff)
+       round((((tt + ff) / (tt + tf + ft + ff)
               - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
                 / ((tt + tf + ft + ff) * (tt + tf + ft + ff)))
              / nullif(1.0
               - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
-                / ((tt + tf + ft + ff) * (tt + tf + ft + ff)), 0.0), 9)
+                / ((tt + tf + ft + ff) * (tt + tf + ft + ff)), 0.0))
+             * 1e9) / 1e9
          AS kappa
 FROM conf"""
 
@@ -194,7 +195,7 @@ def cur_labeler_agreement(spark: SparkSession, sf: str) -> DataFrame:
         F.col("tf").cast("long").alias("a_only"),
         F.col("ft").cast("long").alias("b_only"),
         F.col("ff").cast("long").alias("both_drop"),
-        F.round((po - pe) / F.nullif(1.0 - pe, F.lit(0.0)), 9).alias(
+        dblround((po - pe) / F.nullif(1.0 - pe, F.lit(0.0)), 9).alias(
             "kappa"
         ),
     )

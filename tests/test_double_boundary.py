@@ -1,0 +1,225 @@
+"""Regression pins for the composite-double round() boundary class
+(docs/ROUND9.md §1's "irreducible remainder", killed in round 10).
+
+``round(x, d)`` on a DOUBLE is not cross-engine-stable even when x is
+bit-identical on both engines: Spark rounds the SHORTEST DECIMAL
+RENDERING of x (java ``BigDecimal.valueOf``, HALF_UP) while DuckDB
+rounds the exact binary product ``x * 10^d`` (``std::round``) — when x
+sits within an ulp of a half at the rounding digit the engines split
+by 10^-d. This is the sibling of the round(sum/count) class pinned in
+test_half_boundary.py, but for composite doubles (z-scores, kappa,
+variance/std, log/sqrt outputs) there is NO exact rational to restate,
+so the r10 migration quantizes the SAME scaled double on both sides
+instead: ``round(x * 10^d, 0) / 10^d`` (``exactmath.dblround`` /
+``dblround_duck``) — at scale 0 the two rounding semantics provably
+coincide for |y| < 2^51 (see the dblround docstring).
+
+Pins below:
+- literal level: six constructed doubles on which the OLD idiom
+  diverges on the real engines (asserted, so a revert re-triggers
+  loudly) while dblround/dblround_duck agree bit-exactly;
+- entry level: a constructed events table that drives
+  rel_abtest_ztest's z-score onto a digit-9 half boundary
+  (z = 8.4603373905, found by a numpy sweep over the (n0,c0,n1,c1)
+  lattice + real-engine confirmation), replayed through the full
+  entry-vs-oracle compare;
+- a randomized agreement sweep of dblround vs dblround_duck on
+  boundary-adjacent doubles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from tools.parity import compare, duck_conn  # noqa: E402
+from tools.parity_fuzz import gen_tables, write_sf_dir  # noqa: E402
+
+# real-engine-verified divergent doubles for the OLD idiom (r10 sweep):
+# each x rounds differently under Spark round(x, 9) vs DuckDB
+# round(x, 9); the new scaled statement agrees on all of them.
+DIVERGENT_DOUBLES = [
+    0.0653277425,
+    0.2643299875,
+    2.1163052655,
+    2.9030307404999998,
+    0.5650001434999999,
+    -0.5650001434999999,
+]
+
+
+def _spark_round_model(x: float, d: int = 9) -> float:
+    """Spark's Round-on-double semantics: HALF_UP on the shortest
+    decimal rendering (java BigDecimal.valueOf)."""
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def test_old_idiom_diverges_on_pinned_doubles(spark):
+    """The OLD idiom round(x, 9) must still split the engines on each
+    pinned double — if this stops failing-to-agree, the pin is stale
+    (an engine changed its rounding) and the migration rationale needs
+    re-checking."""
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(v,) for v in DIVERGENT_DOUBLES], "x double"
+    )
+    spark_old = [
+        r.v for r in df.select(F.round("x", 9).alias("v")).collect()
+    ]
+    duck_old = [
+        con.execute("SELECT round(?::DOUBLE, 9)", [v]).fetchone()[0]
+        for v in DIVERGENT_DOUBLES
+    ]
+    n_diverge = sum(1 for a, b in zip(spark_old, duck_old) if a != b)
+    assert n_diverge == len(DIVERGENT_DOUBLES), (
+        spark_old,
+        duck_old,
+    )
+    # and the Spark side matches the shortest-repr model exactly
+    assert spark_old == [
+        _spark_round_model(v) for v in DIVERGENT_DOUBLES
+    ]
+
+
+def test_dblround_agrees_on_pinned_doubles(spark):
+    from pyspark.sql import functions as F
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.exactmath import (
+        dblround,
+        dblround_duck,
+    )
+
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(v,) for v in DIVERGENT_DOUBLES], "x double"
+    )
+    spark_new = [
+        r.v for r in df.select(dblround(F.col("x"), 9).alias("v")).collect()
+    ]
+    duck_new = [
+        con.execute(
+            f"SELECT {dblround_duck('?::DOUBLE', 9)}", [v]
+        ).fetchone()[0]
+        for v in DIVERGENT_DOUBLES
+    ]
+    assert spark_new == duck_new
+
+
+def test_dblround_randomized_boundary_sweep(spark):
+    """5000 doubles planted within a few ulp of digit-9 halves (the
+    adversarial band): dblround and dblround_duck must agree bit-
+    exactly on every one, including negatives, NaN and +/-Inf."""
+    from pyspark.sql import functions as F
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.exactmath import (
+        dblround,
+        dblround_duck,
+    )
+
+    rng = np.random.default_rng(42)
+    ks = rng.integers(1, 4 * 10**9, 5000)
+    offs = rng.integers(-3, 4, 5000)
+    signs = rng.choice([-1.0, 1.0], 5000)
+    xs = [
+        float(s * ((k + 0.5) / 1e9 + o * 2.2e-16 * max(1.0, k / 1e9)))
+        for k, o, s in zip(ks, offs, signs)
+    ] + [float("nan"), float("inf"), float("-inf"), 0.0, -0.0]
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    spark_new = [
+        r.v for r in df.select(dblround(F.col("x"), 9).alias("v")).collect()
+    ]
+    con = duckdb.connect()
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": xs})  # noqa: F841 — registered by name
+    duck_new = con.execute(
+        f"SELECT {dblround_duck('x', 9)} AS v FROM pdf"
+    ).df()["v"].tolist()
+    n_bad = 0
+    for a, b in zip(spark_new, duck_new):
+        same = (a == b) or (
+            a is not None
+            and b is not None
+            and np.isnan(a)
+            and np.isnan(b)
+        )
+        if not same:
+            n_bad += 1
+    assert n_bad == 0
+
+
+def test_abtest_ztest_boundary(spark, tmp_path):
+    """Constructed cohort counts (n0=204, c0=6, n1=211, c1=76) put the
+    pooled two-proportion z at 8.4603373905 — within an ulp of a
+    digit-9 half, where the old idiom demonstrably split the engines
+    (Spark 8.460337391 vs DuckDB 8.46033739). The migrated entry must
+    pass the full entry-vs-oracle compare on this data."""
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        catalog,
+    )
+
+    n0, c0, n1, c1 = 204, 6, 211, 76
+    rows = []
+    eid = 0
+    for i in range(n0):  # even user_ids -> cohort 0
+        rows.append((eid, 2 * i, "purchase" if i < c0 else "view"))
+        eid += 1
+    for i in range(n1):  # odd user_ids -> cohort 1
+        rows.append((eid, 2 * i + 1, "purchase" if i < c1 else "view"))
+        eid += 1
+    events = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")] * len(rows),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array([json.dumps({"k": 1})] * len(rows)),
+        }
+    )
+    tables = gen_tables("tiny", 0)
+    tables["events"] = events
+    sf = str(tmp_path / "sfzpin")
+    write_sf_dir(tables, sf)
+
+    con = duck_conn(sf)
+    try:
+        df = catalog.queries()["rel_abtest_ztest"](spark, sf)
+        ok, n_rows, _, _ = compare(
+            "rel_abtest_ztest[boundary]",
+            df,
+            con,
+            catalog.oracle_sql()["rel_abtest_ztest"],
+        )
+        (row,) = df.collect()
+    finally:
+        con.close()
+    assert ok and n_rows == 1
+    # the z really is the boundary value the sweep found
+    assert abs(row.z_score - 8.4603373905) < 2e-9
+    # and the OLD idiom still diverges on exactly this z (revert guard)
+    z = row.z_score
+    duck_old = duckdb.connect().execute(
+        "SELECT round(?::DOUBLE, 9)", [8.4603373905]
+    ).fetchone()[0]
+    assert _spark_round_model(8.4603373905) != duck_old
