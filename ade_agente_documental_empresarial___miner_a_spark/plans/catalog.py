@@ -370,6 +370,56 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
         "mm_pixel_stats",
         "mm_media_quality_gate",
         "mm_header_decode",
+        # r10: the composite-double round() class killed catalog-wide —
+        # every round(double, d>0) site migrated to the scaled-round
+        # statement (exactmath.dblround / dblround_duck; constructed
+        # real-engine divergences pinned in tests/test_double_boundary
+        # .py). Values identical on fixtures; executed plans changed.
+        "rel_abtest_ztest",
+        "cur_labeler_agreement",
+        "text_readability_fk",
+        "text_bigram_backoff_lm",
+        "sim_ivf_ndcg",
+        "rel_price_volume_bridge",
+        "emb_dim_stats",
+        "text_drift_terms",
+        "rel_regression_moments",
+        "rel_window_family2",
+        "dedup_containment",
+        "cur_curriculum_phases",
+        "text_bm25_topk",
+        "cur_domain_mix",
+        "text_tfidf_terms",
+        # trigram score SQL + Spark fn changed -> transitive composers
+        "text_trigram_lm",
+        "cur_perplexity_filter",
+        "rel_hhi_concentration",
+        "cur_mix_entropy",
+        "s28_scalar_fns",
+        "cur_psi_sources",
+        "rel_cusum_changepoint",
+        "text_term_burstiness",
+        "text_zipf_slope",
+        "cur_winsorize",
+        "emb_hard_negatives",
+        "rel_quantile_normalize",
+        "rel_capped_running_sum",
+        "emb_training_triplets",
+        "rel_benford_audit",
+        "rel_rolling_corr",
+        "sim_mmr_rerank",
+        "rel_purchase_dispersion",
+        "emb_isotropy",
+        "rel_seasonality_index",
+        "emb_pca_power",
+        "text_pmi_pairs",
+        "stream_anomaly_hours",
+        "rel_ewma_hourly",
+        "rel_survival_km",
+        "rel_scd2_pit_join",
+        "rel_higher_moments",
+        "sim_ivf_recall",
+        "emb_matryoshka_eval",
     ),
     # the change lands before the round-10 gate runs
     10,

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
+
 from ..operators.chunking import chunk_sections
 from ..operators.embedding import embed_one, with_embeddings
 from ..operators.sectioning import assign_sections
@@ -157,6 +159,6 @@ def flagship_query(
         "doc_id",
         "section",
         F.col("text"),
-        F.round("score", 6).alias("score"),
-        F.round("pct", 6).alias("pct"),
+        dblround(F.col("score"), 6).alias("score"),
+        dblround(F.col("pct"), 6).alias("pct"),
     )

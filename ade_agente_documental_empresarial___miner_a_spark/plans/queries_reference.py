@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.text import is_title
 from ..functions.vector import cosine_similarity, duck_cosine
 from ..operators.sectioning import assign_sections, extract_titles, split_paragraphs
+from ..functions.exactmath import dblround
 from .catalog import events_table, register, table
 
 # ---------------------------------------------------------------------------
@@ -597,7 +598,7 @@ def t4_doc_construct(spark: SparkSession, sf: str) -> DataFrame:
        upper(event_type) AS etype,
        substring(props, 1, 6) AS props6,
        length(props) AS props_len,
-       round(value * 1.1 + 5.0, 6) AS adj_value,
+       round((value * 1.1 + 5.0) * 1e6) / 1e6 AS adj_value,
        coalesce(nullif(event_type, 'error'), 'ERR') AS safe_type
 FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, props, value FROM events) ev""",
 )
@@ -609,7 +610,7 @@ def s28_scalar_fns(spark: SparkSession, sf: str) -> DataFrame:
         F.upper("event_type").alias("etype"),
         F.substring("props", 1, 6).alias("props6"),
         F.length("props").cast("long").alias("props_len"),
-        F.round(F.col("value") * 1.1 + 5.0, 6).alias("adj_value"),
+        dblround(F.col("value") * 1.1 + 5.0, 6).alias("adj_value"),
         F.coalesce(
             F.nullif("event_type", F.lit("error")), F.lit("ERR")
         ).alias("safe_type"),

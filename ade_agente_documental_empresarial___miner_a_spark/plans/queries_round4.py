@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import ann
+from ..functions.exactmath import dblround
 from .catalog import _ORACLES, register, table
 from .queries_ext import _IVF_N, _IVF_NPROBE
 
@@ -1013,7 +1014,7 @@ scored AS (
           CROSS JOIN corpus),
 docs AS (
   SELECT doc_id,
-         round(list_aggregate(list(term_score ORDER BY term), 'sum'), 9)
+         round(list_aggregate(list(term_score ORDER BY term), 'sum') * 1e9) / 1e9
            AS score,
          CAST(count(*) AS BIGINT) AS n_matched
   FROM scored GROUP BY doc_id)
@@ -1064,7 +1065,7 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     docs = scored.groupBy("doc_id").agg(
-        F.round(
+        dblround(
             F.aggregate(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("term", "term_score"))),

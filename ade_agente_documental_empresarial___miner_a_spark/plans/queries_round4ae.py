@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import events_table, register
 
 _DUCK_EV = (
@@ -46,7 +47,7 @@ seq AS (
   SELECT user_id,
          CAST(round(CASE WHEN event_type = 'purchase'
                          THEN -CAST(value AS DOUBLE)
-                         ELSE CAST(value AS DOUBLE) END, 4)
+                         ELSE CAST(value AS DOUBLE) END * 1e4) / 1e4
               AS DECIMAL(18,4)) AS delta,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn
@@ -80,7 +81,7 @@ def rel_capped_running_sum(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.round(
+        dblround(
             F.when(
                 F.col("event_type") == "purchase",
                 -F.col("value").cast("double"),

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import register, table
 
 # 'bat' is a substring of the fixture's frequent 'batch' — the
@@ -91,9 +92,9 @@ counts AS (
               AS BIGINT) AS n_syllables
   FROM spiked)
 SELECT doc_id, n_sentences, n_words, n_syllables,
-       round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+       round((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
              + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
-             - 15.59, 9) AS fk_grade
+             - 15.59) * 1e9) / 1e9 AS fk_grade
 FROM counts""",
 )
 def text_readability_fk(spark: SparkSession, sf: str) -> DataFrame:
@@ -126,7 +127,7 @@ def text_readability_fk(spark: SparkSession, sf: str) -> DataFrame:
         # try_divide: an empty/punctuation-only document has zero
         # sentences (or zero words) — its FK grade is NULL, matching
         # the oracle's x/0 → NULL, instead of aborting the job
-        F.round(
+        dblround(
             0.39
             * F.try_divide(
                 F.col("n_words").cast("double"), F.col("n_sentences")

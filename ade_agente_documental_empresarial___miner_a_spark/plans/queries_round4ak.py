@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, duck_cosine
+from ..functions.exactmath import dblround
 from .catalog import register, table
 
 _TRIPLET_ANCHORS = 48
@@ -49,9 +50,9 @@ neg AS (
                             ORDER BY cos DESC, cand_id) AS rn
   FROM scored WHERE cand_label <> anchor_label)
 SELECT p.anchor_id, p.positive_id, n.negative_id,
-       round(p.pos_cos, 9) AS pos_cos,
-       round(n.neg_cos, 9) AS neg_cos,
-       round(p.pos_cos - n.neg_cos, 9) AS margin
+       round(p.pos_cos * 1e9) / 1e9 AS pos_cos,
+       round(n.neg_cos * 1e9) / 1e9 AS neg_cos,
+       round((p.pos_cos - n.neg_cos) * 1e9) / 1e9 AS margin
 FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
 WHERE p.rn = 1 AND n.rn = 1""",
 )
@@ -103,9 +104,9 @@ def emb_training_triplets(spark: SparkSession, sf: str) -> DataFrame:
         "anchor_id",
         "positive_id",
         "negative_id",
-        F.round("pos_cos", 9).alias("pos_cos"),
-        F.round("neg_cos", 9).alias("neg_cos"),
-        F.round(F.col("pos_cos") - F.col("neg_cos"), 9).alias("margin"),
+        dblround(F.col("pos_cos"), 9).alias("pos_cos"),
+        dblround(F.col("neg_cos"), 9).alias("neg_cos"),
+        dblround(F.col("pos_cos") - F.col("neg_cos"), 9).alias("margin"),
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import register, table
 
 
@@ -34,9 +35,9 @@ from .catalog import register, table
 c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
 tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
 SELECT digit, n AS n_orders,
-       round(n / total, 9) AS observed_share,
-       round(log10(1.0 + 1.0 / digit), 9) AS benford_share,
-       round(abs(n / total - log10(1.0 + 1.0 / digit)), 9)
+       round((n / total) * 1e9) / 1e9 AS observed_share,
+       round(log10(1.0 + 1.0 / digit) * 1e9) / 1e9 AS benford_share,
+       round(abs(n / total - log10(1.0 + 1.0 / digit)) * 1e9) / 1e9
          AS abs_deviation
 FROM c CROSS JOIN tot""",
 )
@@ -58,9 +59,9 @@ def rel_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
     return c.crossJoin(F.broadcast(tot)).select(
         "digit",
         F.col("n").alias("n_orders"),
-        F.round(obs, 9).alias("observed_share"),
-        F.round(ben, 9).alias("benford_share"),
-        F.round(F.abs(obs - ben), 9).alias("abs_deviation"),
+        dblround(obs, 9).alias("observed_share"),
+        dblround(ben, 9).alias("benford_share"),
+        dblround(F.abs(obs - ben), 9).alias("abs_deviation"),
     )
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import register, table
 
 _BRIDGE_SPLIT = "1998-01-01"
@@ -46,9 +47,9 @@ agg AS (
          CAST(sum(CASE WHEN period = 2 THEN rev END) AS DOUBLE) AS r2
   FROM li GROUP BY flag)
 SELECT flag,
-       round(r2 - r1, 6) AS revenue_delta,
-       round((q2 - q1) * (r1 / q1), 6) AS volume_effect,
-       round(q2 * (r2 / q2 - r1 / q1), 6) AS price_effect
+       round((r2 - r1) * 1e6) / 1e6 AS revenue_delta,
+       round(((q2 - q1) * (r1 / q1)) * 1e6) / 1e6 AS volume_effect,
+       round((q2 * (r2 / q2 - r1 / q1)) * 1e6) / 1e6 AS price_effect
 FROM agg""",
 )
 def rel_price_volume_bridge(spark: SparkSession, sf: str) -> DataFrame:
@@ -83,11 +84,11 @@ def rel_price_volume_bridge(spark: SparkSession, sf: str) -> DataFrame:
     )
     return agg.select(
         "flag",
-        F.round(F.col("r2") - F.col("r1"), 6).alias("revenue_delta"),
-        F.round(
+        dblround(F.col("r2") - F.col("r1"), 6).alias("revenue_delta"),
+        dblround(
             (F.col("q2") - F.col("q1")) * (F.col("r1") / F.col("q1")), 6
         ).alias("volume_effect"),
-        F.round(
+        dblround(
             F.col("q2")
             * (F.col("r2") / F.col("q2") - F.col("r1") / F.col("q1")),
             6,

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 
@@ -106,13 +107,13 @@ grid AS (
 terms AS (
   SELECT source,
          CAST(round(
-           ((n_src + 0.5) / (n_total + {_PSI_BINS} * 0.5)
+           (((n_src + 0.5) / (n_total + {_PSI_BINS} * 0.5)
             - (n_corp + 0.5)
               / ((SELECT sum(n_corp) FROM corp) + {_PSI_BINS} * 0.5))
-           * round(ln(((n_src + 0.5) / (n_total + {_PSI_BINS} * 0.5))
+           * (round(ln(((n_src + 0.5) / (n_total + {_PSI_BINS} * 0.5))
                  / ((n_corp + 0.5)
                     / ((SELECT sum(n_corp) FROM corp)
-                       + {_PSI_BINS} * 0.5))), 9), 9)
+                       + {_PSI_BINS} * 0.5))) * 1e9) / 1e9)) * 1e9) / 1e9
            AS DECIMAL(20,9)) AS term
   FROM grid)
 SELECT source, round(CAST(sum(term) AS DOUBLE), 9) AS psi,
@@ -152,8 +153,8 @@ def cur_psi_sources(spark: SparkSession, sf: str) -> DataFrame:
     p_src = (F.col("n_src") + 0.5) / (F.col("n_total") + smooth)
     p_corp = (F.col("n_corp") + 0.5) / (F.col("corp_total") + smooth)
     term = (
-        F.round(
-            (p_src - p_corp) * F.round(F.log(p_src / p_corp), 9), 9
+        dblround(
+            (p_src - p_corp) * dblround(F.log(p_src / p_corp), 9), 9
         )
     ).cast("decimal(20,9)")
     terms = grid.select("source", term.alias("term"))

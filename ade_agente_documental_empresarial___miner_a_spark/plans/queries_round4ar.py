@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import DUCK_EVENTS, events_table, register
 
 # users whose last activity falls in the final _CENSOR_DAYS of the
@@ -59,7 +60,7 @@ risk AS (
 terms AS (
   SELECT lifetime, d, n_at_risk,
          CAST(CASE WHEN d > 0 AND d < n_at_risk
-                   THEN round(ln(1.0 - d / n_at_risk), 9)
+                   THEN round(ln(1.0 - d / n_at_risk) * 1e9) / 1e9
                    ELSE 0.0 END AS DECIMAL(20,9)) AS logterm,
          CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS hit_zero
   FROM risk)
@@ -73,7 +74,7 @@ SELECT CAST(lifetime AS BIGINT) AS lifetime_days,
             ELSE round(exp(CAST(sum(logterm) OVER (
               ORDER BY lifetime
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS DOUBLE)), 9) END AS survival
+              AS DOUBLE)) * 1e9) / 1e9 END AS survival
 FROM terms""",
 )
 def rel_survival_km(spark: SparkSession, sf: str) -> DataFrame:
@@ -115,7 +116,7 @@ def rel_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     # identical on both engines, value-neutral when no group hits zero.
     logterm = F.when(
         (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
-        F.round(F.log(1.0 - F.col("d") / F.col("n_at_risk")), 9),
+        dblround(F.log(1.0 - F.col("d") / F.col("n_at_risk")), 9),
     ).otherwise(F.lit(0.0)).cast("decimal(20,9)")
     hit_zero = F.when(
         F.col("d") >= F.col("n_at_risk"), F.lit(1)
@@ -133,7 +134,7 @@ def rel_survival_km(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_at_risk").cast("long").alias("n_at_risk"),
         F.when(F.sum("hit_zero").over(asc) > 0, F.lit(0.0))
         .otherwise(
-            F.round(
+            dblround(
                 F.exp(F.sum("logterm").over(asc).cast("double")), 9
             )
         )

@@ -14,7 +14,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
+from ..functions.exactmath import dblround, halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 from .queries_round4e import _EVAL_K, _EVAL_NPROBE
 
@@ -72,8 +72,9 @@ exact5 AS (
   WHERE rn <= {_EVAL_K}),
 terms AS (
   SELECT i.qid,
-         CAST(round(({_EVAL_K} + 1 - e.exact_rank)
-                    / log2(i.pos + 1), 9) AS DECIMAL(20,9)) AS term
+         CAST(round((({_EVAL_K} + 1 - e.exact_rank)
+                    / log2(i.pos + 1)) * 1e9) / 1e9
+              AS DECIMAL(20,9)) AS term
   FROM ivf5 i JOIN exact5 e
     ON e.qid = i.qid AND e.vec_id = i.vec_id)
 SELECT q.qid,
@@ -147,7 +148,7 @@ def sim_ivf_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     )
     terms = ivf5.join(exact5, ["qid", "vec_id"]).select(
         "qid",
-        F.round(
+        dblround(
             (_EVAL_K + 1 - F.col("exact_rank"))
             / F.log2(F.col("pos") + 1),
             9,

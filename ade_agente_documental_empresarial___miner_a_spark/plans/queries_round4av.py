@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, duck_cosine
+from ..functions.exactmath import dblround
 from .catalog import register, table
 
 _MMR_QUERY_ID = 3
@@ -42,7 +43,7 @@ def _mmr_oracle() -> str:
     sim = duck_cosine("a.embedding", "b.embedding")
     steps = [
         """sel1 AS (
-  SELECT vec_id, 1 AS step, round(rel, 9) AS mmr_score
+  SELECT vec_id, 1 AS step, round(rel * 1e9) / 1e9 AS mmr_score
   FROM pool WHERE prank = 1)"""
     ]
     for k in range(2, _MMR_K + 1):
@@ -50,11 +51,11 @@ def _mmr_oracle() -> str:
         steps.append(
             f"""pick{k} AS (
   SELECT p.vec_id,
-         round({_MMR_LAMBDA} * p.rel - {round(1 - _MMR_LAMBDA, 9)}
+         round(({_MMR_LAMBDA} * p.rel - {round(1 - _MMR_LAMBDA, 9)}
                * (SELECT max(s.sim) FROM sims s
                   WHERE s.a_id = p.vec_id
-                    AND s.b_id IN (SELECT vec_id FROM {prev})), 9)
-           AS mmr_score
+                    AND s.b_id IN (SELECT vec_id FROM {prev}))) * 1e9)
+           / 1e9 AS mmr_score
   FROM pool p
   WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})),
 sel{k} AS (
@@ -132,7 +133,7 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     selected = pool.where(F.col("prank") == 1).select(
         "vec_id",
         F.lit(1).alias("step"),
-        F.round("rel", 9).alias("mmr_score"),
+        dblround(F.col("rel"), 9).alias("mmr_score"),
     )
     for k in range(2, _MMR_K + 1):
         chosen = selected.select("vec_id")
@@ -148,7 +149,7 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
             max_sim, remaining["vec_id"] == max_sim["a_id"]
         ).select(
             "vec_id",
-            F.round(
+            dblround(
                 _MMR_LAMBDA * F.col("rel")
                 - round(1 - _MMR_LAMBDA, 9) * F.col("max_sim"),
                 9,
@@ -191,10 +192,11 @@ m AS (
          CAST(sum(n_purchases * n_purchases) AS DOUBLE) AS s2
   FROM counts)
 SELECT CAST(n AS BIGINT) AS n_users,
-       round(s1 / n, 9) AS mean_purchases,
-       round(s2 / n - (s1 / n) * (s1 / n), 9) AS var_purchases,
-       round((s2 / n - (s1 / n) * (s1 / n)) / nullif(s1 / n, 0.0), 9)
-         AS dispersion_index
+       round((s1 / n) * 1e9) / 1e9 AS mean_purchases,
+       round((s2 / n - (s1 / n) * (s1 / n)) * 1e9) / 1e9
+         AS var_purchases,
+       round(((s2 / n - (s1 / n) * (s1 / n)) / nullif(s1 / n, 0.0))
+             * 1e9) / 1e9 AS dispersion_index
 FROM m""",
 )
 def rel_purchase_dispersion(spark: SparkSession, sf: str) -> DataFrame:
@@ -219,9 +221,9 @@ def rel_purchase_dispersion(spark: SparkSession, sf: str) -> DataFrame:
     var = F.col("s2") / F.col("n") - mean * mean
     return m.select(
         F.col("n").cast("long").alias("n_users"),
-        F.round(mean, 9).alias("mean_purchases"),
-        F.round(var, 9).alias("var_purchases"),
-        F.round(var / F.nullif(mean, F.lit(0.0)), 9).alias(
+        dblround(mean, 9).alias("mean_purchases"),
+        dblround(var, 9).alias("var_purchases"),
+        dblround(var / F.nullif(mean, F.lit(0.0)), 9).alias(
             "dispersion_index"
         ),
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
+from ..functions.exactmath import dblround, halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 
 
@@ -39,7 +39,7 @@ tot AS (
 shares AS (
   SELECT rev.nationkey,
          CAST(round((CAST(r AS DOUBLE) / total)
-                    * (CAST(r AS DOUBLE) / total), 9)
+                    * (CAST(r AS DOUBLE) / total) * 1e9) / 1e9
               AS DECIMAL(20,9)) AS sh2
   FROM rev JOIN tot ON tot.nationkey = rev.nationkey)
 SELECT nationkey,
@@ -71,7 +71,7 @@ def rel_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
     share = F.col("r").cast("double") / F.col("total")
     shares = rev.join(F.broadcast(tot), "nationkey").select(
         "nationkey",
-        F.round(share * share, 9).cast("decimal(20,9)").alias("sh2"),
+        dblround(share * share, 9).cast("decimal(20,9)").alias("sh2"),
     )
     return shares.groupBy("nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
@@ -98,7 +98,7 @@ t AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS total,
       FROM c GROUP BY lang),
 terms AS (
   SELECT c.lang, t.n_sources, n / total AS p,
-         CAST(round(-(n / total) * ln(n / total), 9)
+         CAST(round(-(n / total) * ln(n / total) * 1e9) / 1e9
               AS DECIMAL(20,9)) AS h_term
   FROM c JOIN t ON t.lang = c.lang)
 SELECT lang,
@@ -106,11 +106,11 @@ SELECT lang,
        round(CAST(sum(h_term) AS DOUBLE), 9) AS entropy_nats,
        {halfup_ratio_duck(
            "sum(h_term)",
-           "CAST(round(ln(CAST(max(n_sources) AS DOUBLE)), 9)"
-           " AS DECIMAL(20,9))",
+           "CAST(round(ln(CAST(max(n_sources) AS DOUBLE)) * 1e9)"
+           " / 1e9 AS DECIMAL(20,9))",
            9, 9, 9)}
          AS entropy_normalized,
-       round(max(p), 9) AS max_source_share
+       round(max(p) * 1e9) / 1e9 AS max_source_share
 FROM terms GROUP BY lang""",
 )
 def cur_mix_entropy(spark: SparkSession, sf: str) -> DataFrame:
@@ -127,7 +127,7 @@ def cur_mix_entropy(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         "n_sources",
         p.alias("p"),
-        F.round(-p * F.log(p), 9).cast("decimal(20,9)").alias("h_term"),
+        dblround(-p * F.log(p), 9).cast("decimal(20,9)").alias("h_term"),
     )
     return terms.groupBy("lang").agg(
         F.max("n_sources").cast("long").alias("n_sources"),
@@ -143,11 +143,11 @@ def cur_mix_entropy(spark: SparkSession, sf: str) -> DataFrame:
         # sits within ~1e-25 of a 9-dp decimal, far from any midpoint.
         halfup_ratio(
             "sum(h_term)",
-            "CAST(round(ln(CAST(max(n_sources) AS DOUBLE)), 9)"
-            " AS DECIMAL(20,9))",
+            "CAST(round(ln(CAST(max(n_sources) AS DOUBLE)) * 1e9)"
+            " / 1e9 AS DECIMAL(20,9))",
             9,
             9,
             9,
         ).alias("entropy_normalized"),
-        F.round(F.max("p"), 9).alias("max_source_share"),
+        dblround(F.max("p"), 9).alias("max_source_share"),
     )

@@ -14,6 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import (
+    dblround,
+    halfup_ratio,
+    halfup_ratio_duck,
+)
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 
@@ -47,11 +52,11 @@ pick AS (
   FROM cusum)
 SELECT CAST(p.change_day AS TIMESTAMP) AS change_day,
        CAST(p.n_days AS BIGINT) AS n_days,
-       round(abs(p.s), 6) AS cusum_magnitude,
+       round(abs(p.s) * 1e6) / 1e6 AS cusum_magnitude,
        round((SELECT avg(CAST(x AS DOUBLE)) FROM daily
-              WHERE d <= p.change_day), 6) AS mean_before,
+              WHERE d <= p.change_day) * 1e6) / 1e6 AS mean_before,
        round((SELECT avg(CAST(x AS DOUBLE)) FROM daily
-              WHERE d > p.change_day), 6) AS mean_after
+              WHERE d > p.change_day) * 1e6) / 1e6 AS mean_after
 FROM pick p WHERE p.rn = 1""",
 )
 def rel_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
@@ -109,9 +114,9 @@ def rel_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
             # date-vs-timestamp hazard class; UTC -> midnight UTC)
             F.col("change_day").cast("timestamp").alias("change_day"),
             F.col("n_days").cast("long").alias("n_days"),
-            F.round(F.abs("s"), 6).alias("cusum_magnitude"),
-            F.round("mean_before", 6).alias("mean_before"),
-            F.round("mean_after", 6).alias("mean_after"),
+            dblround(F.abs("s"), 6).alias("cusum_magnitude"),
+            dblround(F.col("mean_before"), 6).alias("mean_before"),
+            dblround(F.col("mean_after"), 6).alias("mean_after"),
         )
     )
 
@@ -144,7 +149,7 @@ top AS (
          row_number() OVER (ORDER BY df DESC, w) AS rn
   FROM term)
 SELECT w AS term, df, burst_docs,
-       round(CAST(burst_docs AS DOUBLE) / df, 9) AS burstiness
+       {halfup_ratio_duck("burst_docs", "df", 9)} AS burstiness
 FROM top WHERE rn <= {_BURST_TOP}""",
 )
 def text_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
@@ -171,7 +176,5 @@ def text_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
         F.col("w").alias("term"),
         "df",
         "burst_docs",
-        F.round(
-            F.col("burst_docs").cast("double") / F.col("df"), 9
-        ).alias("burstiness"),
+        halfup_ratio("burst_docs", "df", 9).alias("burstiness"),
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, duck_cosine
+from ..functions.exactmath import dblround
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 _ISO_CAP = 128
@@ -37,14 +38,15 @@ _ISO_CAP = 128
   WHERE a.vec_id < {_ISO_CAP} AND b.vec_id < {_ISO_CAP}),
 q AS (
   SELECT CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(CAST(round(c, 9) AS DECIMAL(20,9))) AS DOUBLE) AS s1,
-         CAST(sum(CAST(round(c * c, 9) AS DECIMAL(20,9))) AS DOUBLE)
-           AS s2
+         CAST(sum(CAST(round(c * 1e9) / 1e9 AS DECIMAL(20,9)))
+              AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(c * c * 1e9) / 1e9 AS DECIMAL(20,9)))
+              AS DOUBLE) AS s2
   FROM pairs)
 SELECT CAST(n AS BIGINT) AS n_pairs,
-       round(s1 / n, 9) AS mean_cosine,
-       round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 9)
-         AS std_cosine
+       round((s1 / n) * 1e9) / 1e9 AS mean_cosine,
+       round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) * 1e9)
+         / 1e9 AS std_cosine
 FROM q""",
 )
 def emb_isotropy(spark: SparkSession, sf: str) -> DataFrame:
@@ -62,11 +64,11 @@ def emb_isotropy(spark: SparkSession, sf: str) -> DataFrame:
     )
     q = pairs.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.round("c", 9).cast("decimal(20,9)"))
+        F.sum(dblround(F.col("c"), 9).cast("decimal(20,9)"))
         .cast("double")
         .alias("s1"),
         F.sum(
-            F.round(F.col("c") * F.col("c"), 9).cast("decimal(20,9)")
+            dblround(F.col("c") * F.col("c"), 9).cast("decimal(20,9)")
         )
         .cast("double")
         .alias("s2"),
@@ -74,8 +76,8 @@ def emb_isotropy(spark: SparkSession, sf: str) -> DataFrame:
     mean = F.col("s1") / F.col("n")
     return q.select(
         F.col("n").cast("long").alias("n_pairs"),
-        F.round(mean, 9).alias("mean_cosine"),
-        F.round(
+        dblround(mean, 9).alias("mean_cosine"),
+        dblround(
             F.sqrt(
                 F.greatest(
                     F.col("s2") / F.col("n") - mean * mean, F.lit(0.0)
@@ -104,8 +106,8 @@ overall AS (SELECT CAST(avg(CAST(n AS DOUBLE)) AS DOUBLE) AS mean_daily
             FROM daily)
 SELECT CAST(dow AS INT) AS iso_weekday,
        count(*) AS n_days,
-       round(avg(CAST(n AS DOUBLE)), 9) AS mean_events,
-       round(avg(CAST(n AS DOUBLE)) / mean_daily, 9)
+       round(avg(CAST(n AS DOUBLE)) * 1e9) / 1e9 AS mean_events,
+       round((avg(CAST(n AS DOUBLE)) / mean_daily) * 1e9) / 1e9
          AS seasonality_index
 FROM daily CROSS JOIN overall
 GROUP BY dow, mean_daily""",
@@ -134,10 +136,10 @@ def rel_seasonality_index(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(F.avg(F.col("n").cast("double")), 9).alias(
+            dblround(F.avg(F.col("n").cast("double")), 9).alias(
                 "mean_events"
             ),
-            F.round(
+            dblround(
                 F.avg(F.col("n").cast("double")) / F.col("mean_daily"),
                 9,
             ).alias("seasonality_index"),

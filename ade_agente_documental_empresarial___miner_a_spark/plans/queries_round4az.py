@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 
@@ -114,7 +115,8 @@ tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uni),
 scored AS (
   SELECT b.doc_id,
          CAST(round(ln(0.9 * (CAST(m.c2 AS DOUBLE) / u.c1)
-                       + 0.1 * (CAST(un.cu AS DOUBLE) / t.total)), 9)
+                       + 0.1 * (CAST(un.cu AS DOUBLE) / t.total))
+                    * 1e9) / 1e9
               AS DECIMAL(20,9)) AS logp
   FROM bi b
   JOIN bcnt m ON m.w1 = b.w1 AND m.w2 = b.w2
@@ -153,7 +155,7 @@ def text_bigram_backoff_lm(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
-            F.round(
+            dblround(
                 F.log(
                     0.9 * (F.col("c2").cast("double") / F.col("c1"))
                     + 0.1 * (F.col("cu").cast("double") / F.col("total"))

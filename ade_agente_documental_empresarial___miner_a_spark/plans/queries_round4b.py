@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.exactmath import dblround
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -425,14 +426,14 @@ def stream_topk_trending(spark: SparkSession, sf: str) -> DataFrame:
 tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM tok),
 p AS (
   SELECT source, n_docs, n_tokens,
-         round(pow(n_tokens / total_tokens, 0.3), 9) AS pa,
+         round(pow(n_tokens / total_tokens, 0.3) * 1e9) / 1e9 AS pa,
          n_tokens / total_tokens AS praw
   FROM tok CROSS JOIN tot),
 z AS (SELECT list_aggregate(list(pa ORDER BY source), 'sum') AS zsum FROM p)
 SELECT source, n_docs, n_tokens,
-       round(praw, 9) AS p_share,
-       round(pa / zsum, 9) AS q_share,
-       round((pa / zsum) / praw, 9) AS boost
+       round(praw * 1e9) / 1e9 AS p_share,
+       round((pa / zsum) * 1e9) / 1e9 AS q_share,
+       round(((pa / zsum) / praw) * 1e9) / 1e9 AS boost
 FROM p CROSS JOIN z""",
 )
 def cur_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
@@ -446,7 +447,7 @@ def cur_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(
+        dblround(
             F.pow(F.col("n_tokens") / F.col("total_tokens"), 0.3), 9
         ).alias("pa"),
         (F.col("n_tokens") / F.col("total_tokens")).alias("praw"),
@@ -465,9 +466,9 @@ def cur_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round("praw", 9).alias("p_share"),
-        F.round(F.col("pa") / F.col("zsum"), 9).alias("q_share"),
-        F.round((F.col("pa") / F.col("zsum")) / F.col("praw"), 9).alias(
+        dblround(F.col("praw"), 9).alias("p_share"),
+        dblround(F.col("pa") / F.col("zsum"), 9).alias("q_share"),
+        dblround((F.col("pa") / F.col("zsum")) / F.col("praw"), 9).alias(
             "boost"
         ),
     )
@@ -497,7 +498,7 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens
        WHERE doc_id < 50 GROUP BY doc_id, term),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         round(tf * round(ln(n_docs / df), 9), 9) AS score
+         round((tf * (round(ln(n_docs / df) * 1e9) / 1e9)) * 1e9) / 1e9 AS score
   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
 SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -528,9 +529,9 @@ def text_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            F.round(
+            dblround(
                 F.col("tf")
-                * F.round(F.log(F.col("n_docs") / F.col("df")), 9),
+                * dblround(F.log(F.col("n_docs") / F.col("df")), 9),
                 9,
             ).alias("score"),
         )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exactmath import halfup_mean_duck, halfup_ratio, halfup_ratio_duck
+from ..functions.exactmath import dblround, halfup_mean_duck, halfup_ratio, halfup_ratio_duck
 from ..operators.dedup import incremental_dedup, substring_duplicate_spans
 from .catalog import DUCK_EVENTS, events_table, register, table
 
@@ -370,7 +370,7 @@ SELECT doc_id, count(*) AS n_trigrams,
        CAST(CASE WHEN sum(logp) < 0 THEN -1 ELSE 1 END
             * ((2 * CAST(abs(sum(logp)) * 1000000000 AS HUGEINT) + count(*))
                // (2 * count(*))) AS DOUBLE) / 1e9 AS avg_logp
-FROM (SELECT doc_id, CAST(round(ln(cnt / total), 9) AS DECIMAL(20,9)) AS logp
+FROM (SELECT doc_id, CAST(round(ln(cnt / total) * 1e9) / 1e9 AS DECIMAL(20,9)) AS logp
       FROM grams JOIN model USING (g) CROSS JOIN tot)
 GROUP BY doc_id"""
 
@@ -407,7 +407,7 @@ def text_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             "n_occ",
-            F.round(F.log(F.col("cnt") / F.col("total")), 9)
+            dblround(F.log(F.col("cnt") / F.col("total")), 9)
             .cast("decimal(20,9)")
             .alias("logp"),
         )

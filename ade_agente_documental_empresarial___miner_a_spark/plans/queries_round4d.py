@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.exactmath import halfup_mean, halfup_mean_duck
+from ..functions.exactmath import (
+    dblround,
+    halfup_mean,
+    halfup_mean_duck,
+    halfup_ratio,
+    halfup_ratio_duck,
+)
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 
@@ -157,7 +163,7 @@ q AS (
   FROM w),
 p AS (
   SELECT doc_id, n_tokens,
-         CAST(round(quality, 9) AS DECIMAL(20,9)) AS quality_q,
+         CAST(round(quality * 1e9) / 1e9 AS DECIMAL(20,9)) AS quality_q,
          ntile(4) OVER (ORDER BY quality, doc_id) AS phase
   FROM q)
 SELECT CAST(phase AS BIGINT) AS phase,
@@ -185,7 +191,7 @@ def cur_curriculum_phases(spark: SparkSession, sf: str) -> DataFrame:
     p = global_ntile(q, 4, ["quality", "doc_id"], bucket_col="phase").select(
         "doc_id",
         "n_tokens",
-        F.round("quality", 9).cast("decimal(20,9)").alias("quality_q"),
+        dblround(F.col("quality"), 9).cast("decimal(20,9)").alias("quality_q"),
         "phase",
     )
     # quality_q carries exactly 9 decimals, so the phase mean is stated
@@ -362,7 +368,7 @@ def rel_asof_cogrouped(spark: SparkSession, sf: str) -> DataFrame:
 # self-join is Σ min(df,50)² — linear-ish in N, never all-pairs.
 @register(
     "dedup_containment",
-    """WITH words AS (
+    f"""WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+2], ' ')) AS s
@@ -376,7 +382,7 @@ p AS (
   FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id <> b.doc_id
   GROUP BY doc_a, doc_b)
 SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
-       round(n_shared / n_sh, 9) AS containment
+       {halfup_ratio_duck("n_shared", "n_sh", 9)} AS containment
 FROM p JOIN n ON p.doc_a = n.doc_id
 WHERE n_shared / n_sh >= 0.05""",
 )
@@ -426,6 +432,6 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "n_shared",
-            F.round(cont, 9).alias("containment"),
+            halfup_ratio("n_shared", "n_sh", 9).alias("containment"),
         )
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 _DIM = 64
@@ -48,19 +49,23 @@ v0 AS (SELECT unnest(generate_series(0, {_DIM - 1})) AS j,
         parts.append(
             f"""s{i} AS (
   SELECT vec_id,
-         CAST(sum(CAST(round(xij * vj, 12) AS DECIMAL(26,12))) AS DOUBLE)
+         CAST(sum(CAST(round(xij * vj * 1e12) / 1e12
+                       AS DECIMAL(26,12))) AS DOUBLE)
            AS s
   FROM e JOIN v{i - 1} USING (j) GROUP BY vec_id),
 w{i} AS (
   SELECT j,
-         CAST(sum(CAST(round(xij * s, 12) AS DECIMAL(26,12))) AS DOUBLE)
+         CAST(sum(CAST(round(xij * s * 1e12) / 1e12
+                       AS DECIMAL(26,12))) AS DOUBLE)
            AS w
   FROM e JOIN s{i} USING (vec_id) GROUP BY j),
 n{i} AS (
-  SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(30,12)))
+  SELECT sqrt(CAST(sum(CAST(round(w * w * 1e12) / 1e12
+                        AS DECIMAL(30,12)))
               AS DOUBLE)) AS nrm
   FROM w{i}),
-v{i} AS (SELECT j, round(w / nrm, 12) AS vj FROM w{i} CROSS JOIN n{i})"""
+v{i} AS (SELECT j, round((w / nrm) * 1e12) / 1e12 AS vj
+         FROM w{i} CROSS JOIN n{i})"""
         )
     return (
         "WITH "
@@ -85,7 +90,7 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("vec_id")
             .agg(
                 F.sum(
-                    F.round(F.col("xij") * F.col("vj"), 12).cast(
+                    dblround(F.col("xij") * F.col("vj"), 12).cast(
                         "decimal(26,12)"
                     )
                 )
@@ -98,7 +103,7 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("j")
             .agg(
                 F.sum(
-                    F.round(F.col("xij") * F.col("s"), 12).cast(
+                    dblround(F.col("xij") * F.col("s"), 12).cast(
                         "decimal(26,12)"
                     )
                 )
@@ -109,14 +114,14 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
         nrm = w.agg(
             F.sqrt(
                 F.sum(
-                    F.round(F.col("w") * F.col("w"), 12).cast(
+                    dblround(F.col("w") * F.col("w"), 12).cast(
                         "decimal(30,12)"
                     )
                 ).cast("double")
             ).alias("nrm")
         )
         v = w.crossJoin(F.broadcast(nrm)).select(
-            "j", F.round(F.col("w") / F.col("nrm"), 12).alias("vj")
+            "j", dblround(F.col("w") / F.col("nrm"), 12).alias("vj")
         )
     return v.select(
         F.col("j").cast("long").alias("pos"), F.col("vj").alias("loading")
@@ -144,7 +149,7 @@ pairs AS (
   GROUP BY a.w, b.w
   HAVING count(*) >= 5)
 SELECT w1, w2, CAST(df_xy AS BIGINT) AS df_xy,
-       round(ln(df_xy * n_docs / (d1.dfw * d2.dfw)), 9) AS pmi
+       round(ln(df_xy * n_docs / (d1.dfw * d2.dfw)) * 1e9) / 1e9 AS pmi
 FROM pairs
 JOIN df d1 ON pairs.w1 = d1.w
 JOIN df d2 ON pairs.w2 = d2.w
@@ -181,7 +186,7 @@ def text_pmi_pairs(spark: SparkSession, sf: str) -> DataFrame:
             "w1",
             "w2",
             F.col("df_xy").cast("long").alias("df_xy"),
-            F.round(
+            dblround(
                 F.log(
                     F.col("df_xy")
                     * F.col("n_docs")
@@ -214,10 +219,11 @@ st AS (
          sum(cnt * cnt) AS s2
   FROM c GROUP BY event_type)
 SELECT c.event_type, c.hr, CAST(c.cnt AS BIGINT) AS cnt,
-       round((c.cnt - CAST(s1 AS DOUBLE) / n_hours)
+       round(((c.cnt - CAST(s1 AS DOUBLE) / n_hours)
              / sqrt(CAST(s2 AS DOUBLE) / n_hours
                     - (CAST(s1 AS DOUBLE) / n_hours)
-                      * (CAST(s1 AS DOUBLE) / n_hours)), 9) AS zscore
+                      * (CAST(s1 AS DOUBLE) / n_hours))) * 1e9) / 1e9
+         AS zscore
 FROM c JOIN st ON c.event_type = st.event_type
 WHERE s2 * n_hours > s1 * s1
   AND abs((c.cnt - CAST(s1 AS DOUBLE) / n_hours)
@@ -248,7 +254,7 @@ def stream_anomaly_hours(spark: SparkSession, sf: str) -> DataFrame:
             "event_type",
             "hr",
             F.col("cnt").cast("long").alias("cnt"),
-            F.round(z, 9).alias("zscore"),
+            dblround(z, 9).alias("zscore"),
         )
     )
 
@@ -405,8 +411,8 @@ _EWMA_WEIGHTS = [
 
 def _ewma_sql() -> str:
     terms = " + ".join(
-        f"CAST(round(CAST({w} AS DOUBLE) * lag(x, {j}) OVER w, 9)"
-        f" AS DECIMAL(14,9))"
+        f"CAST(round(CAST({w} AS DOUBLE) * lag(x, {j}) OVER w * 1e9)"
+        f" / 1e9 AS DECIMAL(14,9))"
         for j, w in enumerate(_EWMA_WEIGHTS)
     )
     return f"""WITH {DUCK_EVENTS},
@@ -462,7 +468,7 @@ def rel_ewma_hourly(spark: SparkSession, sf: str) -> DataFrame:
     terms = None
     for j, wt in enumerate(_EWMA_WEIGHTS):
         t = (
-            F.round(F.lit(float(wt)) * F.lag("x", j).over(w), 9)
+            dblround(F.lit(float(wt)) * F.lag("x", j).over(w), 9)
             .cast("decimal(14,9)")
         )
         terms = t if terms is None else terms + t
@@ -536,7 +542,7 @@ exact5 AS (
   WHERE rn <= {_EVAL_K})
 SELECT exact5.qid,
        CAST(count(ivf5.vec_id) AS BIGINT) AS n_overlap,
-       round(count(ivf5.vec_id) / {_EVAL_K}, 9) AS recall
+       round((count(ivf5.vec_id) / {_EVAL_K}) * 1e9) / 1e9 AS recall
 FROM exact5 LEFT JOIN ivf5
   ON exact5.qid = ivf5.qid AND exact5.vec_id = ivf5.vec_id
 GROUP BY exact5.qid"""
@@ -608,5 +614,5 @@ def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
     return j.groupBy(exact5["qid"].alias("qid")).agg(
         F.count("ivf_vec").alias("n_overlap"),
-        F.round(F.count("ivf_vec") / _EVAL_K, 9).alias("recall"),
+        dblround(F.count("ivf_vec") / _EVAL_K, 9).alias("recall"),
     )

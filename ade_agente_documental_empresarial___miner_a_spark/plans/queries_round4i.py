@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 
@@ -36,10 +37,10 @@ def _corr_exprs() -> str:
     cn = "(n * sxy - sx * sy)"
     dx = "(n * sxx - sx * sx)"
     dy = "(n * syy - sy * sy)"
-    return f"""round({cn} / (sqrt({dx}) * sqrt({dy})), 9) AS corr_vk,
-       round({cn} / {dx}, 9) AS slope,
-       round(sy / n - ({cn} / {dx}) * (sx / n), 9) AS intercept,
-       round(({cn} * {cn}) / ({dx} * {dy}), 9) AS r2"""
+    return f"""round(({cn} / (sqrt({dx}) * sqrt({dy}))) * 1e9) / 1e9 AS corr_vk,
+       round(({cn} / {dx}) * 1e9) / 1e9 AS slope,
+       round((sy / n - ({cn} / {dx}) * (sx / n)) * 1e9) / 1e9 AS intercept,
+       round((({cn} * {cn}) / ({dx} * {dy})) * 1e9) / 1e9 AS r2"""
 
 
 @register(
@@ -87,10 +88,10 @@ def rel_regression_moments(spark: SparkSession, sf: str) -> DataFrame:
     return m.where((dx > 0) & (dy > 0)).select(
         "event_type",
         n.cast("long").alias("n"),
-        F.round(cn / (F.sqrt(dx) * F.sqrt(dy)), 9).alias("corr_vk"),
-        F.round(cn / dx, 9).alias("slope"),
-        F.round(sy / n - (cn / dx) * (sx / n), 9).alias("intercept"),
-        F.round((cn * cn) / (dx * dy), 9).alias("r2"),
+        dblround(cn / (F.sqrt(dx) * F.sqrt(dy)), 9).alias("corr_vk"),
+        dblround(cn / dx, 9).alias("slope"),
+        dblround(sy / n - (cn / dx) * (sx / n), 9).alias("intercept"),
+        dblround((cn * cn) / (dx * dy), 9).alias("r2"),
     )
 
 
@@ -161,8 +162,8 @@ def rel_approx_percentile_contract(
 @register(
     "rel_window_family2",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-       round(percent_rank() OVER wq, 9) AS qty_pctrank,
-       round(cume_dist() OVER wq, 9) AS qty_cumedist,
+       round((percent_rank() OVER wq) * 1e9) / 1e9 AS qty_pctrank,
+       round((cume_dist() OVER wq) * 1e9) / 1e9 AS qty_cumedist,
        nth_value(l_quantity, 3) OVER (
          PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_qty
@@ -186,8 +187,8 @@ def rel_window_family2(spark: SparkSession, sf: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.percent_rank().over(wq), 9).alias("qty_pctrank"),
-        F.round(F.cume_dist().over(wq), 9).alias("qty_cumedist"),
+        dblround(F.percent_rank().over(wq), 9).alias("qty_pctrank"),
+        dblround(F.cume_dist().over(wq), 9).alias("qty_cumedist"),
         F.nth_value("l_quantity", 3).over(wt).alias("third_qty"),
     )
 

@@ -12,7 +12,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
+from ..functions.exactmath import dblround, halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 
 
@@ -231,7 +231,7 @@ trunc5 AS (
   WHERE rn <= {_MRL_K})
 SELECT full5.qid,
        CAST(count(trunc5.vec_id) AS BIGINT) AS n_overlap,
-       round(count(trunc5.vec_id) / {_MRL_K}, 9) AS overlap_at_5
+       round((count(trunc5.vec_id) / {_MRL_K}) * 1e9) / 1e9 AS overlap_at_5
 FROM full5 LEFT JOIN trunc5
   ON full5.qid = trunc5.qid AND full5.vec_id = trunc5.vec_id
 GROUP BY full5.qid"""
@@ -275,7 +275,7 @@ def emb_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
     return j.groupBy(full5["qid"].alias("qid")).agg(
         F.count("t_vec").alias("n_overlap"),
-        F.round(F.count("t_vec") / _MRL_K, 9).alias("overlap_at_5"),
+        dblround(F.count("t_vec") / _MRL_K, 9).alias("overlap_at_5"),
     )
 
 

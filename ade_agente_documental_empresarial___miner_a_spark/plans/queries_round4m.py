@@ -22,6 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import register, table
 
 
@@ -222,7 +223,8 @@ probs AS (
          CAST(c_de + 1 AS DOUBLE) / CAST(t_de + v AS DOUBLE) AS p_de
   FROM freq, tot)
 SELECT term, p_en, p_de,
-       round(p_en * round(ln(p_en / p_de), 9), 12) AS kl_contrib
+       round((p_en * (round(ln(p_en / p_de) * 1e9) / 1e9)) * 1e12)
+         / 1e12 AS kl_contrib
 FROM probs
 ORDER BY kl_contrib DESC, term ASC LIMIT 20""",
 )
@@ -258,9 +260,9 @@ def text_drift_terms(spark: SparkSession, sf: str) -> DataFrame:
             "term",
             "p_en",
             "p_de",
-            F.round(
+            dblround(
                 F.col("p_en")
-                * F.round(F.log(F.col("p_en") / F.col("p_de")), 9),
+                * dblround(F.log(F.col("p_en") / F.col("p_de")), 9),
                 12,
             ).alias("kl_contrib"),
         )

@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exactmath import halfup_mean, halfup_mean_duck
+from ..functions.exactmath import dblround, halfup_mean, halfup_mean_duck
 from .catalog import DUCK_EVENTS, events_table, register, table
 
 
@@ -183,8 +183,8 @@ def s16_compaction(spark: SparkSession, sf: str) -> DataFrame:
   FROM documents GROUP BY lang),
 clipped AS (
   SELECT d.lang,
-         CAST(round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 6)
-              AS DECIMAL(18,6)) AS v
+         CAST(round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi)
+                    * 1e6) / 1e6 AS DECIMAL(18,6)) AS v
   FROM documents d JOIN bounds USING (lang))
 SELECT lang, count(*) AS n_docs,
        {halfup_mean_duck("sum(v)", "count(*)", 6)} AS winsorized_mean
@@ -200,7 +200,7 @@ def cur_winsorize(spark: SparkSession, sf: str) -> DataFrame:
     )
     clipped = docs.join(F.broadcast(bounds), "lang").select(
         "lang",
-        F.round(F.least(F.greatest("v_raw", F.col("lo")), F.col("hi")), 6)
+        dblround(F.least(F.greatest("v_raw", F.col("lo")), F.col("hi")), 6)
         .cast("decimal(18,6)")
         .alias("v"),
     )

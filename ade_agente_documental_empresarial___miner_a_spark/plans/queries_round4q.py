@@ -106,14 +106,14 @@ def rel_string_agg(spark: SparkSession, sf: str) -> DataFrame:
 # Values are unchanged wherever the variance is strictly positive.
 _MOMENT_FORMULAS = """
   CAST(n AS BIGINT) AS n_items,
-  round(s1d / n, 9) AS mean_qty,
-  round((s3d/n - 3*(s1d/n)*(s2d/n) + 2*(s1d/n)*(s1d/n)*(s1d/n))
-        / nullif(pow(greatest(s2d/n - (s1d/n)*(s1d/n), 0.0), 1.5), 0.0)
-        , 9) AS skewness_qty,
-  round((s4d/n - 4*(s1d/n)*(s3d/n) + 6*(s1d/n)*(s1d/n)*(s2d/n)
+  round((s1d / n) * 1e9) / 1e9 AS mean_qty,
+  round(((s3d/n - 3*(s1d/n)*(s2d/n) + 2*(s1d/n)*(s1d/n)*(s1d/n))
+        / nullif(pow(greatest(s2d/n - (s1d/n)*(s1d/n), 0.0), 1.5), 0.0))
+        * 1e9) / 1e9 AS skewness_qty,
+  round(((s4d/n - 4*(s1d/n)*(s3d/n) + 6*(s1d/n)*(s1d/n)*(s2d/n)
          - 3*(s1d/n)*(s1d/n)*(s1d/n)*(s1d/n))
         / nullif(pow(greatest(s2d/n - (s1d/n)*(s1d/n), 0.0), 2.0), 0.0)
-        - 3.0, 9) AS kurtosis_qty
+        - 3.0) * 1e9) / 1e9 AS kurtosis_qty
 """
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exactmath import halfup_ratio, halfup_ratio_duck
+from ..functions.exactmath import dblround, halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 
 _DUCK_EV = (
@@ -53,7 +53,7 @@ facts AS (
   FROM ev WHERE event_type = 'purchase')
 SELECT f.purchase_id, f.user_id,
        d.version AS attr_version,
-       round(CAST(d.attr_value AS DOUBLE), 9) AS attr_value
+       round(CAST(d.attr_value AS DOUBLE) * 1e9) / 1e9 AS attr_value
 FROM facts f LEFT JOIN dim d
   ON d.user_id = f.user_id
  AND d.valid_from <= f.p_ts
@@ -91,7 +91,7 @@ def rel_scd2_pit_join(spark: SparkSession, sf: str) -> DataFrame:
         "purchase_id",
         "user_id",
         F.col("version").alias("attr_version"),
-        F.round(F.col("attr_value").cast("double"), 9).alias(
+        dblround(F.col("attr_value").cast("double"), 9).alias(
             "attr_value"
         ),
     )

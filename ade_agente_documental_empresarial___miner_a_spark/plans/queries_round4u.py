@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exactmath import halfup_mean, halfup_mean_duck
+from ..functions.exactmath import dblround, halfup_mean, halfup_mean_duck
 from .catalog import events_table, register, table
 
 _DUCK_EV = (
@@ -115,15 +115,16 @@ def rel_multitouch_attribution(spark: SparkSession, sf: str) -> DataFrame:
   FROM embeddings)
 SELECT CAST(pos AS INT) AS dim, count(*) AS n,
        {halfup_mean_duck(
-           "sum(CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(20,9)))",
+           "sum(CAST(round(CAST(x AS DOUBLE) * 1e9) / 1e9"
+           " AS DECIMAL(20,9)))",
            "count(*)", 9)}
          AS dim_mean,
        round(sqrt(greatest(
-         CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
-                       AS DECIMAL(25,9))) AS DOUBLE) / count(*)
-         - pow(CAST(sum(CAST(round(CAST(x AS DOUBLE), 9)
+         CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9)
+                       / 1e9 AS DECIMAL(25,9))) AS DOUBLE) / count(*)
+         - pow(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e9) / 1e9
                              AS DECIMAL(20,9))) AS DOUBLE) / count(*), 2),
-         0.0)), 9) AS dim_std
+         0.0)) * 1e9) / 1e9 AS dim_std
 FROM ex GROUP BY pos""",
 )
 def emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -131,8 +132,8 @@ def emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
     ex = emb.select(
         F.posexplode("embedding").alias("pos", "x")
     )
-    xd = F.round(F.col("x").cast("double"), 9).cast("decimal(20,9)")
-    x2d = F.round(
+    xd = dblround(F.col("x").cast("double"), 9).cast("decimal(20,9)")
+    x2d = dblround(
         F.col("x").cast("double") * F.col("x").cast("double"), 9
     ).cast("decimal(25,9)")
     sums = ex.groupBy(F.col("pos").cast("int").alias("dim")).agg(
@@ -151,7 +152,7 @@ def emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
         "dim",
         "n",
         halfup_mean("s1d", "n", 9).alias("dim_mean"),
-        F.round(F.sqrt(var), 9).alias("dim_std"),
+        dblround(F.sqrt(var), 9).alias("dim_std"),
     )
 
 

@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import events_table, register, table
 
 _DUCK_EV = (
@@ -62,10 +63,10 @@ framed AS (
   FROM pairs
   WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
 SELECT d, CAST(n AS BIGINT) AS n_days,
-       round((sxy - sx * sy / n)
+       round(((sxy - sx * sy / n)
              / nullif(sqrt(greatest(sxx - sx * sx / n, 0.0)
                            * greatest(syy - sy * sy / n, 0.0)),
-                      0.0), 9) AS corr_7d
+                      0.0)) * 1e9) / 1e9 AS corr_7d
 FROM framed""",
 )
 def rel_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
@@ -125,7 +126,7 @@ def rel_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
     return framed.select(
         "d",
         F.col("n").cast("long").alias("n_days"),
-        F.round(corr, 9).alias("corr_7d"),
+        dblround(corr, 9).alias("corr_7d"),
     )
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactmath import dblround
 from .catalog import register, table
 
 
@@ -41,8 +42,8 @@ ranked AS (
   SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
   FROM freq),
 top AS (
-  SELECT CAST(round(ln(rnk), 9) AS DECIMAL(20,9)) AS x,
-         CAST(round(ln(cnt), 9) AS DECIMAL(20,9)) AS y
+  SELECT CAST(round(ln(rnk) * 1e9) / 1e9 AS DECIMAL(20,9)) AS x,
+         CAST(round(ln(cnt) * 1e9) / 1e9 AS DECIMAL(20,9)) AS y
   FROM ranked WHERE rnk <= {_ZIPF_TOP}),
 sums AS (
   SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -51,9 +52,10 @@ sums AS (
          CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
   FROM top)
 SELECT CAST(n AS BIGINT) AS n_terms,
-       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 9) AS zipf_slope,
-       round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
-             * sx / n, 9) AS intercept
+       round(((sxy - sx * sy / n) / (sxx - sx * sx / n)) * 1e9) / 1e9
+         AS zipf_slope,
+       round((sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+             * sx / n) * 1e9) / 1e9 AS intercept
 FROM sums""",
 )
 def text_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
@@ -69,8 +71,8 @@ def text_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
         .alias("rnk"),
     ).where(F.col("rnk") <= _ZIPF_TOP)
     top = ranked.select(
-        F.round(F.log("rnk"), 9).cast("decimal(20,9)").alias("x"),
-        F.round(F.log("cnt"), 9).cast("decimal(20,9)").alias("y"),
+        dblround(F.log("rnk"), 9).cast("decimal(20,9)").alias("x"),
+        dblround(F.log("cnt"), 9).cast("decimal(20,9)").alias("y"),
     )
     sums = top.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -88,8 +90,8 @@ def text_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     ) / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
     return sums.select(
         F.col("n").cast("long").alias("n_terms"),
-        F.round(slope, 9).alias("zipf_slope"),
-        F.round(
+        dblround(slope, 9).alias("zipf_slope"),
+        dblround(
             F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 9
         ).alias("intercept"),
     )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, duck_cosine
+from ..functions.exactmath import dblround, halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 
 _ANCHOR_CAP = 64
@@ -46,7 +47,7 @@ ranked AS (
                             ORDER BY cos DESC, neg_id) AS rn
   FROM scored)
 SELECT anchor_id, anchor_label, neg_id,
-       round(cos, 9) AS hardness
+       round(cos * 1e9) / 1e9 AS hardness
 FROM ranked WHERE rn = 1""",
 )
 def emb_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
@@ -76,7 +77,7 @@ def emb_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
             "anchor_id",
             "anchor_label",
             "neg_id",
-            F.round("cos", 9).alias("hardness"),
+            dblround(F.col("cos"), 9).alias("hardness"),
         )
     )
 
@@ -92,15 +93,14 @@ def emb_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 # global; single-doc groups pin 0 via the nullif guard.
 @register(
     "rel_quantile_normalize",
-    """WITH r AS (
+    f"""WITH r AS (
   SELECT doc_id, source, n_chars,
          row_number() OVER (PARTITION BY source
                             ORDER BY n_chars NULLS FIRST, doc_id) AS rn,
          count(*) OVER (PARTITION BY source) AS n
   FROM documents)
 SELECT doc_id, source,
-       round(CAST(rn - 1 AS DOUBLE)
-             / nullif(CAST(n - 1 AS DOUBLE), 0.0), 9) AS len_quantile
+       {halfup_ratio_duck("rn - 1", "n - 1", 9)} AS len_quantile
 FROM r""",
 )
 def rel_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
@@ -120,9 +120,5 @@ def rel_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     return r.select(
         "doc_id",
         "source",
-        F.round(
-            (F.col("rn") - 1).cast("double")
-            / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0)),
-            9,
-        ).alias("len_quantile"),
+        halfup_ratio("rn - 1", "n - 1", 9).alias("len_quantile"),
     )

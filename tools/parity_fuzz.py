@@ -186,6 +186,47 @@ def _boundary_docs(rng) -> tuple[list[str], list[str]]:
     return texts, langs
 
 
+def _dblbound_events(rng_seed: int) -> "pa.Table":
+    """Events for the ``dblbound`` profile: cohort counts that drive
+    rel_abtest_ztest's pooled two-proportion z onto a digit-9 half
+    (n0=204 even users / 6 converted, n1=211 odd / 76 converted ->
+    z = 8.4603373905, within an ulp of ...3905e-9's half — the value on
+    which the OLD round(x, 9) idiom demonstrably split the engines;
+    tests/test_double_boundary.py pins the literal). The profile
+    value-checks the whole catalog on this data, so ANY entry that
+    still rounds a composite double with the engine-native round()
+    re-fails here if the ztest-family inputs reach it.
+
+    Each user gets 1-3 events with randomized ts/value/props; the
+    conversion flag (>= 1 purchase) is pinned per user, and no filler
+    event is ever a 'purchase', so (n0, c0, n1, c1) are invariant
+    across seeds while every other events consumer sees varied data."""
+    rng = _rng(rng_seed, "dblbound-events")
+    n0, c0, n1, c1 = 204, 6, 211, 76
+    users = [(2 * i, i < c0) for i in range(n0)] + [
+        (2 * i + 1, i < c1) for i in range(n1)
+    ]
+    uid, etype = [], []
+    for u, converted in users:
+        k = int(rng.integers(1, 4))
+        kinds = ["signup", "click", "error", "view"]
+        types = [kinds[j] for j in rng.integers(0, 4, k)]
+        if converted:
+            types[int(rng.integers(0, k))] = "purchase"
+        uid.extend([u] * k)
+        etype.extend(types)
+    ne = len(uid)
+    ets = _ts(rng, ne, EPOCH_2024, int(30 * 86400 * 1e6))
+    return pa.table(
+        {"event_id": pa.array(range(ne), pa.int64()),
+         "ts": pa.array(ets, pa.timestamp("us")),
+         "user_id": pa.array(uid, pa.int64()),
+         "event_type": etype,
+         "value": np.round(rng.uniform(0.01, 330, ne), 2),
+         "props": [json.dumps({"k": int(k)})
+                   for k in rng.integers(0, 100, ne)]})
+
+
 EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
 EPOCH_1995 = np.datetime64("1995-01-01T00:00:00", "us")
 
@@ -254,6 +295,9 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
         # docs are fully replaced by the crafted boundary blocks below
         "boundary": dict(cust=3, supp=2, part=3, orders=4, li_k=2,
                          events=4, docs=0, embs=3),
+        # events are fully replaced by the crafted z-boundary cohorts
+        "dblbound": dict(cust=60, supp=5, part=60, orders=300, li_k=3,
+                         events=0, docs=120, embs=120),
     }[profile]
     out: dict[str, pa.Table] = {}
 
@@ -396,6 +440,9 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
          "event_type": [etypes[i] for i in rng.integers(0, len(etypes), ne)],
          "value": val,
          "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, ne)]})
+
+    if profile == "dblbound":
+        out["events"] = _dblbound_events(rng_seed=seed)
 
     # documents (n_chars == len(text) is a fixture invariant — keep it)
     rng = _rng(seed, profile + "documents")
@@ -610,7 +657,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--profiles", default="random,edge,skew,tiny,const,chunk,"
-                              "boundary,media"
+                              "boundary,dblbound,media"
     )
     ap.add_argument("--seeds", default="0")
     ap.add_argument("--only", nargs="*", default=None)
