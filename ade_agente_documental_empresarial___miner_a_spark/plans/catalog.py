@@ -9,6 +9,7 @@ sorting columns by name). Entries without an oracle are rows-only checked.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -534,9 +535,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
 
+def _stable_double_casts(sql: str) -> str:
+    """Rewrite every ``CAST(expr AS DOUBLE)`` in a DuckDB oracle to
+    ``CAST(CAST(expr AS VARCHAR) AS DOUBLE)`` — the r10 sf0.1 catch.
+
+    DuckDB's DECIMAL->DOUBLE cast is NOT correctly rounded: it converts
+    the scaled integer to double and multiplies by 10^-scale (two
+    roundings), so once the scaled integer exceeds 2^53 the result can
+    sit 1 ulp away from the correctly-rounded value Spark produces
+    (java BigDecimal.doubleValue). Found live by the full-catalog
+    sf0.1 parity on rel_q1_pricing: identical DECIMAL(34,8) sums
+    2828375807.43413200 on both engines, Spark double ...132 (correct),
+    DuckDB ...1316. The VARCHAR route is correctly rounded (DuckDB's
+    string->double parser; verified exhaustively in
+    tests/test_double_boundary.py), and it is value-exact for every
+    other numeric operand too: doubles round-trip through their
+    shortest rendering, integers parse exactly. Applied centrally here
+    so all ~750 oracle cast sites get the stable statement without
+    perturbing the catalog sources; the Spark side is untouched
+    (its decimal->double is already correctly rounded).
+
+    The scanner is quote-aware (parens inside SQL string literals do
+    not unbalance it) and idempotent (an already-wrapped operand is
+    left alone).
+    """
+    out = []
+    i = 0
+    n = len(sql)
+    while True:
+        j = sql.find("CAST(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        # find the balanced closing paren, skipping '...' literals
+        depth = 0
+        k = j + 4  # index of '('
+        in_str = False
+        while k < n:
+            c = sql[k]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        content = sql[j + 5 : k]  # between CAST( and its )
+        m = re.search(r"\s+AS\s+DOUBLE\s*$", content)
+        if m:
+            operand = _stable_double_casts(content[: m.start()])
+            stripped = operand.strip()
+            if stripped.startswith("CASE WHEN typeof("):
+                out.append(f"CAST({operand} AS DOUBLE)")  # already routed
+            else:
+                # FLOAT must widen natively first (its VARCHAR form is
+                # the FLOAT's short rendering, which re-parses to a
+                # DIFFERENT double than exact widening); BOOLEAN has no
+                # VARCHAR->DOUBLE parse at all. Every other numeric
+                # type takes the VARCHAR route: exact for DOUBLE
+                # (shortest-repr round-trip) and integers, correctly
+                # rounded for DECIMAL (the class this fixes).
+                out.append(
+                    "CAST(CASE WHEN typeof("
+                    + operand
+                    + ") IN ('FLOAT', 'BOOLEAN') THEN CAST(CAST("
+                    + operand
+                    + " AS DOUBLE) AS VARCHAR) ELSE CAST("
+                    + operand
+                    + " AS VARCHAR) END AS DOUBLE)"
+                )
+        else:
+            out.append("CAST(" + _stable_double_casts(content) + ")")
+        i = k + 1
+
+
 def oracle_sql() -> dict[str, str]:
     _load()
-    return dict(_ORACLES)
+    return {n: _stable_double_casts(s) for n, s in _ORACLES.items()}
 
 
 _LOADED = False

@@ -166,7 +166,7 @@ def rel_higher_moments(spark: SparkSession, sf: str) -> DataFrame:
 # one iteratively, one textually.
 _SSSP_ROUNDS = 4
 
-_SSSP_EDGES_SQL = """pairs AS (
+_SSSP_EDGES_SQL = """pairs AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          CAST(l.l_extendedprice AS DECIMAL(18,2)) AS w
   FROM lineitem l
@@ -174,7 +174,7 @@ _SSSP_EDGES_SQL = """pairs AS (
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey),
-e AS (
+e AS MATERIALIZED (
   SELECT src, dst, min(w) AS w FROM (
     SELECT src, dst, w FROM pairs
     UNION ALL SELECT dst AS src, src AS dst, w FROM pairs)
@@ -185,7 +185,7 @@ def _sssp_oracle() -> str:
     steps = ["d0 AS (SELECT CAST(0 AS INTEGER) AS node, CAST(0 AS DECIMAL(20,2)) AS dist)"]
     for k in range(1, _SSSP_ROUNDS + 1):
         steps.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
   SELECT node, min(dist) AS dist FROM (
     SELECT node, dist FROM d{k - 1}
     UNION ALL

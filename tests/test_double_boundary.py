@@ -223,3 +223,105 @@ def test_abtest_ztest_boundary(spark, tmp_path):
         "SELECT round(?::DOUBLE, 9)", [8.4603373905]
     ).fetchone()[0]
     assert _spark_round_model(8.4603373905) != duck_old
+
+
+def test_duck_decimal_to_double_cast_is_the_varchar_path():
+    """The r10 sf0.1 catch (rel_q1_pricing): DuckDB's native
+    DECIMAL->DOUBLE cast is not correctly rounded once the scaled
+    integer exceeds 2^53 (hugeint->double then *10^-scale — two
+    roundings), while Spark's BigDecimal.doubleValue is. The pinned
+    sum 2828375807.43413200 must expose the native-path error AND the
+    VARCHAR route must equal the correctly-rounded value on a
+    randomized sweep, so catalog._stable_double_casts stays justified."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    con = duckdb.connect()
+    v = "2828375807.43413200"
+    native = con.execute(
+        f"SELECT CAST(CAST('{v}' AS DECIMAL(34,8)) AS DOUBLE)"
+    ).fetchone()[0]
+    routed = con.execute(
+        f"SELECT CAST(CAST(CAST('{v}' AS DECIMAL(34,8)) AS VARCHAR)"
+        " AS DOUBLE)"
+    ).fetchone()[0]
+    correct = float(Decimal(v))
+    assert native != correct  # the engine bug this guards against
+    assert routed == correct
+    # randomized: varchar path == correctly rounded, always
+    rng = np.random.default_rng(7)
+    vals = [
+        f"{int(rng.integers(0, 10**12))}.{int(rng.integers(0, 10**8)):08d}"
+        for _ in range(2000)
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame({"s": vals})  # noqa: F841
+    routed_all = con.execute(
+        "SELECT CAST(CAST(CAST(s AS DECIMAL(34,8)) AS VARCHAR) AS DOUBLE)"
+        " AS v FROM pdf"
+    ).df()["v"]
+    assert all(
+        float(Decimal(s)) == d for s, d in zip(vals, routed_all)
+    )
+    # the FLOAT caveat the type dispatch exists for: VARCHAR-routing a
+    # FLOAT re-parses its short rendering to a DIFFERENT double than
+    # exact widening
+    w_bad, w_good = con.execute(
+        "SELECT CAST(CAST(CAST(0.1 AS FLOAT) AS VARCHAR) AS DOUBLE),"
+        " CAST(CAST(0.1 AS FLOAT) AS DOUBLE)"
+    ).fetchone()
+    assert w_bad != w_good
+
+
+def test_stable_double_casts_transformer():
+    from ade_agente_documental_empresarial___miner_a_spark.plans.catalog import (
+        _stable_double_casts as T,
+    )
+
+    assert T("CAST(x AS DOUBLE)") == (
+        "CAST(CASE WHEN typeof(x) IN ('FLOAT', 'BOOLEAN')"
+        " THEN CAST(CAST(x AS DOUBLE) AS VARCHAR)"
+        " ELSE CAST(x AS VARCHAR) END AS DOUBLE)"
+    )
+    # quoted parens don't unbalance the scanner
+    r = T("CAST(len(regexp_extract_all(t, '([ab])')) AS DOUBLE)")
+    assert "typeof(len(regexp_extract_all(t, '([ab])'))" in r
+    assert T("CAST(x AS DECIMAL(20,9))") == "CAST(x AS DECIMAL(20,9))"
+    # an already-routed cast is recognized and not re-wrapped at the
+    # top level (oracle_sql() only ever transforms the RAW strings, so
+    # strict idempotence is not required — the FLOAT branch contains a
+    # CAST(... AS DOUBLE) artifact that a second pass would re-route,
+    # which stays value-equivalent)
+    once = T("CAST(sum(CAST(a AS DECIMAL(24,8))) AS DOUBLE)")
+    assert once.count("CASE WHEN typeof(sum(CAST(a AS DECIMAL(24,8))))") == 1
+    # inner AS DOUBLE inside an outer one both get the route (the
+    # outer operand replicates the routed inner 3x across the CASE)
+    r = T("CAST(CAST(x AS DOUBLE) / n AS DOUBLE)")
+    assert "typeof(x)" in r and r.startswith("CAST(CASE WHEN typeof(")
+
+
+def test_q1_pricing_sf01_value_parity(spark):
+    """The original failing case end-to-end at sf0.1: rel_q1_pricing
+    must value-match its (transformed) oracle on the bench corpus."""
+    import os
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf, "lineitem.parquet")):
+        pytest.skip("sf0.1 fixtures not present")
+    from ade_agente_documental_empresarial___miner_a_spark.plans import (
+        catalog,
+    )
+
+    con = duck_conn(sf)
+    try:
+        ok, n_rows, _, _ = compare(
+            "rel_q1_pricing[sf0.1]",
+            catalog.queries()["rel_q1_pricing"](spark, sf),
+            con,
+            catalog.oracle_sql()["rel_q1_pricing"],
+        )
+    finally:
+        con.close()
+    assert ok and n_rows == 6

@@ -186,6 +186,18 @@ def _boundary_docs(rng) -> tuple[list[str], list[str]]:
     return texts, langs
 
 
+def _zipf_keys(rng, n: int, domain: int, a: float = 2.0) -> np.ndarray:
+    """``n`` keys Zipf(a)-distributed over ``0..domain-1``: rank 1 (the
+    head) lands on a seed-chosen hot key that typically owns 40-70% of
+    rows at a=2.0 — the shape a 100 TB web corpus actually has (one
+    domain, one user, one boilerplate section dominating), vs the
+    two-point 85%-one-key mixture of the ``skew`` profile. Ranks past
+    the domain wrap (modulo), preserving the heavy head."""
+    ranks = rng.zipf(a, n).astype(np.int64)
+    perm = rng.permutation(domain)
+    return perm[(ranks - 1) % domain]
+
+
 def _dblbound_events(rng_seed: int) -> "pa.Table":
     """Events for the ``dblbound`` profile: cohort counts that drive
     rel_abtest_ztest's pooled two-proportion z onto a digit-9 half
@@ -298,6 +310,8 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
         # events are fully replaced by the crafted z-boundary cohorts
         "dblbound": dict(cust=60, supp=5, part=60, orders=300, li_k=3,
                          events=0, docs=120, embs=120),
+        "zipf":   dict(cust=100, supp=8, part=120, orders=1200, li_k=5,
+                       events=1500, docs=400, embs=300),
     }[profile]
     out: dict[str, pa.Table] = {}
 
@@ -366,6 +380,8 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
         hot_cust = int(rng.integers(0, nc))
         ocust = np.where(rng.random(no) < 0.85, hot_cust,
                          rng.integers(0, nc, no))
+    elif profile == "zipf":
+        ocust = _zipf_keys(rng, no, nc)
     else:
         ocust = rng.integers(0, nc, no)
     if profile == "edge" and no >= 10:
@@ -406,10 +422,16 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
     sdate = (sdate.astype("datetime64[D]")).astype("datetime64[us]")
     rf = [("R", "A", "N")[i] for i in rng.integers(0, 3, nl)]
     ls = [("O", "F")[i] for i in rng.integers(0, 2, nl)]
+    if profile == "zipf":
+        lpart = _zipf_keys(rng, nl, npart)
+        lsupp = _zipf_keys(rng, nl, ns)
+    else:
+        lpart = rng.integers(0, npart, nl)
+        lsupp = rng.integers(0, ns, nl)
     out["lineitem"] = pa.table(
         {"l_orderkey": pa.array(okeys, pa.int64()),
-         "l_partkey": pa.array(rng.integers(0, npart, nl), pa.int64()),
-         "l_suppkey": pa.array(rng.integers(0, ns, nl), pa.int64()),
+         "l_partkey": pa.array(lpart, pa.int64()),
+         "l_suppkey": pa.array(lsupp, pa.int64()),
          "l_linenumber": pa.array(lnums, pa.int32()),
          "l_quantity": qty,
          "l_extendedprice": ext,
@@ -428,6 +450,8 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
               tie_frac=0.2 if profile == "edge" else 0.0)
     if profile == "skew":
         uid = np.where(rng.random(ne) < 0.85, 3, rng.integers(0, 15, ne))
+    elif profile == "zipf":
+        uid = _zipf_keys(rng, ne, 15)
     else:
         uid = rng.integers(0, 15, ne)
     val = np.round(rng.uniform(0.01, 330, ne), 2)
@@ -451,9 +475,21 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
     if profile == "skew":
         lang_col = ["en" if rng.random() < 0.85
                     else langs[int(rng.integers(0, 5))] for _ in range(nd)]
+    elif profile == "zipf":
+        lang_col = [langs[i] for i in _zipf_keys(rng, nd, 5)]
     else:
         lang_col = [langs[i] for i in rng.integers(0, 5, nd)]
     texts = [_sentence(rng, 20, 60) for _ in range(nd)]
+    if profile == "zipf":
+        # a Zipf head of boilerplate: one template owns ~half the docs
+        # (the LSH-bucket-size / dedup-cluster stress shape)
+        tpl = [_sentence(rng, 20, 60) for _ in range(8)]
+        picks = _zipf_keys(rng, nd, 8)
+        texts = [
+            tpl[p] if rng.random() < 0.7
+            else tpl[p] + " " + _sentence(rng, 1, 6)
+            for p in picks
+        ]
     if profile == "chunk":
         texts = _chunker_domain_texts(rng, nd)
     if profile == "boundary":
@@ -477,7 +513,10 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
         {"doc_id": pa.array(range(nd), pa.int64()),
          "text": texts,
          "lang": lang_col,
-         "source": [f"src{int(s)}" for s in rng.integers(0, 20, nd)],
+         "source": [f"src{int(s)}"
+                    for s in (_zipf_keys(rng, nd, 20)
+                              if profile == "zipf"
+                              else rng.integers(0, 20, nd))],
          "n_chars": pa.array(
              [len(t) if t is not None else None for t in texts],
              pa.int64())})
@@ -494,6 +533,8 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
     if profile == "skew":
         lab = np.where(rng.random(nv) < 0.85, 7,
                        rng.integers(0, 10, nv)).astype(np.int32)
+    elif profile == "zipf":
+        lab = _zipf_keys(rng, nv, 10).astype(np.int32)
     else:
         lab = rng.integers(0, 10, nv).astype(np.int32)
     out["embeddings"] = pa.table(
@@ -657,7 +698,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--profiles", default="random,edge,skew,tiny,const,chunk,"
-                              "boundary,dblbound,media"
+                              "boundary,dblbound,zipf,media"
     )
     ap.add_argument("--seeds", default="0")
     ap.add_argument("--only", nargs="*", default=None)
