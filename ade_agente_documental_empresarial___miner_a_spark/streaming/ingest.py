@@ -7,9 +7,20 @@ embed) runs on the micro-batch only → results append to the Parquet
 chunks index. ``foreachBatch`` is used because the E1 pipeline contains
 a window (section forward-fill), which is per-document and therefore
 safe per-micro-batch (a document never spans files).
+
+Sinks are IDEMPOTENT PER BATCH (ADVICE r9): ``foreachBatch`` is
+at-least-once — a micro-batch retried after a failure between the
+write and the checkpoint commit re-runs the function — so each batch
+writes to its own ``batch_id=N`` partition directory with overwrite
+semantics. A retry replaces its own output instead of appending a
+duplicate, and readers of the root path see ``batch_id`` as an extra
+partition column (drop it when comparing against a one-shot batch
+plan).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,7 +67,9 @@ def incremental_index(
         if batch_df.isEmpty():
             return
         chunks = build_chunks(batch_df, dim=dim)
-        chunks.write.mode("append").parquet(index_path)
+        chunks.write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch_id={batch_id}")
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(upsert)
@@ -74,8 +87,9 @@ def incremental_media_stats(
     """Start the incremental MEDIA pipeline (r9): each micro-batch of
     new documents becomes real uncompressed payloads
     (``synth_stats_media_from_docs``) whose pixel/sample bytes are
-    decoded Arrow-batched (``extract_payload_stats``) and appended to
-    the stats table. Decode is map-only, so streaming it costs exactly
+    decoded Arrow-batched (``extract_payload_stats``) and written to
+    the stats table's ``batch_id=N`` partition (idempotent on retry —
+    ADVICE r9). Decode is map-only, so streaming it costs exactly
     the batch plan per micro-batch — the stream ≡ batch equality is
     pinned by tests/test_streaming.py. Returns the StreamingQuery."""
     from ..sources.multimodal import (
@@ -90,7 +104,9 @@ def incremental_media_stats(
             F.col("doc_id").alias("media_id"), "text"
         )
         stats = extract_payload_stats(synth_stats_media_from_docs(docs))
-        stats.write.mode("append").parquet(stats_path)
+        stats.write.mode("overwrite").parquet(
+            os.path.join(stats_path, f"batch_id={batch_id}")
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(decode)

@@ -91,3 +91,28 @@ def test_incremental_index_appends(spark, tmp_path):
     assert {r.doc_id for r in after.collect()} == {1, 2}
     emb = after.where(F.col("doc_id") == 2).collect()[0].embedding
     assert len(emb) == 64
+
+
+def test_incremental_index_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch retried after the write
+    but before the checkpoint commit must REPLACE its own output, not
+    append a duplicate (ADVICE r9 — the batch_id=N overwrite layout)."""
+    from ade_agente_documental_empresarial___miner_a_spark.plans.pipeline import (
+        build_chunks,
+    )
+
+    idx = str(tmp_path / "index")
+    docs = spark.createDataFrame(
+        [(1, "FIRST SECTION\n\nalpha beta gamma", "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    # simulate the sink body twice with the SAME batch_id (a retry)
+    import os
+
+    for _ in range(2):
+        build_chunks(docs, dim=64).write.mode("overwrite").parquet(
+            os.path.join(idx, "batch_id=0")
+        )
+    after = spark.read.parquet(idx)
+    assert after.count() == 1  # not 2: the retry replaced itself
+    assert after.collect()[0].section == "FIRST SECTION"

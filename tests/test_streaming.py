@@ -895,7 +895,9 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path):
 
     got = {
         r.media_id: r
-        for r in spark.read.parquet(stats_path).collect()
+        # batch_id is the r10 idempotence partition column — not part
+        # of the batch-plan comparison
+        for r in spark.read.parquet(stats_path).drop("batch_id").collect()
     }
     docs = spark.createDataFrame(
         [(r["doc_id"], r["text"]) for r in rows],

@@ -38,19 +38,32 @@ def _build_or_load_chunks(spark, args):
     if args.index and os.path.exists(os.path.join(args.index, "_SUCCESS")):
         return spark.read.parquet(args.index)
     if args.docs:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
         from ade_agente_documental_empresarial___miner_a_spark.sources.extract import (
             binary_scan,
             extract_text,
         )
 
-        docs = extract_text(binary_scan(spark, args.docs))
-        bad = docs.where("error IS NOT NULL")
+        extracted = extract_text(binary_scan(spark, args.docs))
+        bad = extracted.where("error IS NOT NULL")
         n_bad = bad.count()
         if n_bad:
             print(f"# {n_bad} file(s) degraded to error rows:", file=sys.stderr)
-            for r in bad.select("source", "error").collect()[:10]:
-                print(f"#   {r.source}: {r.error}", file=sys.stderr)
-        docs = docs.where("error IS NULL")
+            for r in bad.select("path", "error").collect()[:10]:
+                print(f"#   {r.path}: {r.error}", file=sys.stderr)
+        # the chunk pipeline keys on doc_id (chunk_id = doc_id*1e6+seq):
+        # assign dense deterministic ids in path order (ingest is a
+        # one-time pass, so the global window is a deliberate cost)
+        docs = (
+            extracted.where("error IS NULL")
+            .withColumn(
+                "doc_id",
+                F.row_number().over(Window.orderBy("path")).cast("long"),
+            )
+            .select("doc_id", "text", F.col("path").alias("source"))
+        )
     else:
         docs = spark.read.parquet(
             os.path.join(args.sf_dir, "documents.parquet")
