@@ -68,7 +68,21 @@ def halfup_mean_duck(
 ) -> str:
     """The DuckDB-side statement of :func:`halfup_mean` (same exact
     integers; HUGEINT carries the widened product, ``//`` floors the
-    non-negative numerator)."""
+    non-negative numerator).
+
+    Domain (r10 audit of the ADVICE r9 wide-decimal concern): on the
+    non-integral path DuckDB keeps ``DECIMAL(38,s) * 10^d`` as
+    DECIMAL(38,s) internally (hugeint-backed — verified by typeof and
+    a 4000-case sweep above 2^53 in tests/test_half_boundary.py, zero
+    divergence), and OVERFLOWS LOUDLY (Out of Range, not a silent
+    DOUBLE fallback) once the scaled integer exceeds 38 digits — i.e.
+    |sum| >= ~10^(38-2d) (10^20 at d=9). The Spark side's DECIMAL(38,0)
+    is exact to the same order. Both engines fail loud, never split.
+    The HALF_UP quotient itself rides Spark's BIGINT ``div``: it
+    overflows (NULL/ANSI error) once |2*u + n| exceeds ~9.2e18, i.e.
+    |mean| >= ~9.2e(18-d) (ADVICE r9 #2) — DuckDB's HUGEINT ``//``
+    keeps going, so a site whose MEANS can reach 9.2e9 at d=9 must
+    lower d rather than trust the idiom."""
     if integral_sum:
         u = f"CAST(abs({sum_sql}) AS HUGEINT) * {10 ** digits}"
     else:

@@ -407,6 +407,20 @@ class HnswServingIndex(RamServingIndex):
     Build cost is the graph insert (~O(n·ef) sims); rows are sorted by
     id before insertion so two builds of the same frame agree
     byte-for-byte (graph_signature pins this).
+
+    Tier boundaries on ONE object (ADVICE r9, made explicit):
+
+    - ``topk`` (and ``topk_batch``, which delegates per query, so
+      batch ≡ single-call) are graph-served. ``search_hierarchy``
+      deliberately keeps the EXACT per-label scan: the HNSW graph is
+      global, so a per-label beam search would have to over-fetch and
+      filter with no recall bound — the exact tier is both correct and
+      fast at the per-label shard sizes the hierarchy serves.
+    - zero-norm rows: the exact tier surfaces them as score=None,
+      ranked last (the NULL-score contract); the HNSW path instead
+      normalizes them to score 0.0 — they compete like any other
+      cosine and carry a float score. Pinned in
+      tests/test_hnsw_serving_contracts.py.
     """
 
     def __init__(self, ids, texts, vectors, labels=None, m: int = 8,

@@ -421,6 +421,12 @@ _RECHECK_QUEUED: dict[str, int] = dict.fromkeys(
         "rel_higher_moments",
         "sim_ivf_recall",
         "emb_matryoshka_eval",
+        # r10: oracle-side CTE materialization (sf0.1 disk-spill fix) —
+        # the DuckDB statement changed for the graph family
+        "graph_reciprocity",
+        "graph_triangles",
+        "graph_bfs_levels",
+        "graph_sssp_bellman",
     ),
     # the change lands before the round-10 gate runs
     10,

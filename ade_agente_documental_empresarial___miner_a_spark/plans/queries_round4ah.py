@@ -111,8 +111,8 @@ def cur_bresenham_sample(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "graph_reciprocity",
     f"""WITH {_EDGES_SQL},
-dir AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
-recip AS (
+dir AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+recip AS MATERIALIZED (
   SELECT a.src, a.dst
   FROM dir a JOIN dir b ON b.src = a.dst AND b.dst = a.src)
 SELECT (SELECT count(*) FROM dir) AS n_directed_edges,

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from .catalog import DUCK_EVENTS, events_table, register, table
 
-_EDGES_SQL = """edges AS (
+# MATERIALIZED: consumers reference `edges` several times (wedge
+# closure, reciprocity's dir x dir self-join, per-iteration BFS
+# relaxations) and DuckDB otherwise re-inlines the DISTINCT over the
+# 4-table join per reference — at sf0.1 the reciprocity shape spilled
+# tmp to disk-full before the r10 hint (same class as the SSSP fix)
+_EDGES_SQL = """edges AS MATERIALIZED (
   SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -311,3 +311,40 @@ def test_halfup_randomized_sweep_vs_fraction(spark):
     con.close()
     for j, want in enumerate(truths):
         assert got_s[f"r{j}"] == got_d[j] == want, (cases[j], want)
+
+
+def test_duck_wide_decimal_scale_strip_stays_exact():
+    """ADVICE r9 #1 audit (r10): the duck-side non-integral halfup path
+    multiplies a DECIMAL(38,9) sum by 10^9. The concern was a silent
+    DOUBLE fallback past 2^53; in DuckDB 1.0.0 the product stays
+    DECIMAL(38,9) (hugeint-backed) and true overflow is LOUD. Pin both
+    facts so an engine upgrade that changes either re-triggers."""
+    import random
+
+    import duckdb
+
+    con = duckdb.connect()
+    t = con.execute(
+        "SELECT typeof(abs(CAST('1.000000001' AS DECIMAL(38,9)))"
+        " * 1000000000)"
+    ).fetchone()[0]
+    assert t.startswith("DECIMAL"), t  # not DOUBLE
+    random.seed(0)
+    for _ in range(500):
+        u = random.randrange(2**53, 2**60) | 1  # past double-exact range
+        s = str(u)
+        v = s[:-9] + "." + s[-9:]
+        n = random.randrange(3, 99, 2)
+        got = con.execute(
+            f"SELECT (2 * CAST(abs(CAST('{v}' AS DECIMAL(38,9)))"
+            f" * 1000000000 AS HUGEINT) + {n}) // (2 * {n})"
+        ).fetchone()[0]
+        assert int(got) == (2 * u + n) // (2 * n), (v, n)
+    # and the failure mode past 38 digits is loud, not a silent split
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="Overflow|Out of Range"):
+        con.execute(
+            "SELECT abs(CAST('1234567890123456789012345.123456789'"
+            " AS DECIMAL(38,9))) * 1000000000"
+        ).fetchone()
