@@ -19,16 +19,20 @@ extract tiers in ``extract.py``):
   parser claims (the old stub, now the degrade path).
 
 A LEARNED feature embedding genuinely needs the tier-1 libraries and
-stays absent. Raw pixel/sample ARITHMETIC does not: for the
-uncompressed formats (24bpp BMP, 8-bit PCM WAV) the payload is plain
-byte math, so since round 9 ``extract_payload_stats`` decodes REAL
-pixel arrays / PCM samples (``media_headers.bmp_pixel_stats`` /
-``wav_pcm_stats``) built by ``synth_stats_media_from_docs`` —
-certified end-to-end by the ``mm_pixel_stats`` oracle pair — and
-``extract_media_features`` emits a REAL payload-derived 8-dim
-descriptor (``_real_features``: channel means/ranges + log-size) for
-decodable payloads, falling back to the md5 fake only for compressed
-formats (PNG/GIF/JPEG/AVI frames — tier-1 territory).
+stays absent. Raw pixel/sample ARITHMETIC does not: since round 9
+``extract_payload_stats`` decodes REAL pixel arrays / PCM samples for
+the uncompressed formats (24bpp BMP, 8-bit PCM WAV —
+``media_headers.bmp_pixel_stats`` / ``wav_pcm_stats``), and since
+round 10 REAL compressed PNG too (``png_pixel_stats``: chunk walk,
+stdlib-zlib inflate, all-five-filter unfilter — PNG's compression is
+zlib, which needs no Pillow). Payloads are built by
+``synth_stats_media_from_docs`` / ``synth_png_media_from_docs`` and
+certified end-to-end by the ``mm_pixel_stats`` / ``mm_png_stats``
+oracle pairs; ``extract_media_features`` emits a REAL payload-derived
+8-dim descriptor (``_real_features``: channel means/ranges + log-size)
+for every decodable payload. The md5 fake now covers only JPEG/GIF
+pixel decode, compressed audio, and AVI frame decode (genuinely tier-1
+codec territory).
 """
 
 from __future__ import annotations
