@@ -663,17 +663,27 @@ def rel_q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "rel_window_running",
+    # ORDER BY totality (r10 sf0.1 catch): the fixture's
+    # (l_orderkey, l_linenumber) is NOT unique — sf0.1 carries 261k
+    # duplicate pairs and TWO rows duplicating the full
+    # (suppkey, shipdate, orderkey, linenumber) sort key, so a running
+    # sum ordered only by those columns is genuinely order-dependent
+    # (engines split nondeterministically: 1/600k rows, off by one
+    # quantity). l_quantity joins the ORDER BY on both engines; any
+    # remaining full ties then carry EQUAL quantity, which makes the
+    # output multiset permutation-invariant (the hash gate compares
+    # sorted rows, so multiset determinism is the contract).
     """SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
             OVER (PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
 FROM lineitem""",
 )
 def rel_window_running(spark: SparkSession, sf: str) -> DataFrame:
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return table(spark, sf, "lineitem").select(
@@ -902,18 +912,24 @@ def stream_multi_rollup(spark: SparkSession, sf: str) -> DataFrame:
        lag(l_quantity) OVER w AS prev_qty,
        lead(l_quantity) OVER w AS next_qty,
        first_value(l_quantity) OVER w AS first_qty,
-       last_value(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+       last_value(l_quantity) OVER (PARTITION BY l_suppkey
+                                    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_qty,
        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
        CAST(rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS BIGINT) AS qty_rank,
        CAST(dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS BIGINT) AS qty_dense_rank
 FROM lineitem
-WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)""",
 )
 def rel_window_family(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem")
+    # l_quantity tiebreak: see rel_window_running (r10 sf0.1 catch) —
+    # lag/lead/ntile over a non-total order were order-dependent on the
+    # full-key-duplicate rows; with equal-quantity ties the output
+    # multiset is permutation-invariant
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
     )
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     wq = Window.partitionBy("l_suppkey").orderBy("l_quantity")

@@ -165,7 +165,8 @@ def rel_approx_percentile_contract(
        round((percent_rank() OVER wq) * 1e9) / 1e9 AS qty_pctrank,
        round((cume_dist() OVER wq) * 1e9) / 1e9 AS qty_cumedist,
        nth_value(l_quantity, 3) OVER (
-         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_qty
 FROM lineitem
 WINDOW wq AS (PARTITION BY l_suppkey
@@ -178,9 +179,12 @@ def rel_window_family2(spark: SparkSession, sf: str) -> DataFrame:
     wq = Window.partitionBy("l_suppkey").orderBy(
         "l_quantity", "l_orderkey", "l_linenumber"
     )
+    # l_quantity tiebreak on the positional window (r10 sf0.1 catch —
+    # nth_value over a non-total order; wq needs none: percent_rank/
+    # cume_dist are RANK-semantics, tie-safe by definition)
     wt = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(

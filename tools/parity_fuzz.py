@@ -422,12 +422,28 @@ def gen_tables(profile: str, seed: int) -> dict[str, pa.Table]:
     sdate = (sdate.astype("datetime64[D]")).astype("datetime64[us]")
     rf = [("R", "A", "N")[i] for i in rng.integers(0, 3, nl)]
     ls = [("O", "F")[i] for i in rng.integers(0, 2, nl)]
+    if profile == "edge" and nl >= 2:
+        # FULL window-sort-key duplicate with a DIFFERENT quantity —
+        # the r10 sf0.1 catch: (l_orderkey, l_linenumber) is not
+        # unique in the driver fixtures (261k dup pairs at sf0.1, two
+        # full-key dups), so any window ordered only by
+        # (shipdate, orderkey, linenumber) is order-dependent. Rows 0
+        # and 1 here share orderkey/linenumber/shipdate (suppkey etc.
+        # too), so every lineitem window entry must stay multiset-
+        # deterministic under this tie or the sweep re-fails.
+        okeys[1] = okeys[0]
+        lnums[1] = lnums[0]
+        sdate[1] = sdate[0]
+        qty[1] = qty[0] + 1.0
     if profile == "zipf":
         lpart = _zipf_keys(rng, nl, npart)
         lsupp = _zipf_keys(rng, nl, ns)
     else:
         lpart = rng.integers(0, npart, nl)
         lsupp = rng.integers(0, ns, nl)
+    if profile == "edge" and nl >= 2:
+        lpart[1] = lpart[0]   # complete the full-row-key duplicate
+        lsupp[1] = lsupp[0]
     out["lineitem"] = pa.table(
         {"l_orderkey": pa.array(okeys, pa.int64()),
          "l_partkey": pa.array(lpart, pa.int64()),
