@@ -470,6 +470,10 @@ _RECHECK: frozenset[str] = _active_rechecks(
 _PRIORITY = tuple(
     n
     for n in (
+        # r10: the only never-driver-checked entry (new this round) —
+        # first slot, because the 50-deep recheck tier (the composite-
+        # double migration) would otherwise push it past the window
+        "mm_png_stats",
         # r09: the ONLY catalog entry with no driver record (registered
         # last in r8, window position 50 trade — ROUND8.md §1; judge
         # parity green). First slot so CORRECTNESS_r09 closes the full
