@@ -470,10 +470,12 @@ _RECHECK: frozenset[str] = _active_rechecks(
 _PRIORITY = tuple(
     n
     for n in (
-        # r10: the only never-driver-checked entry (new this round) —
-        # first slot, because the 50-deep recheck tier (the composite-
-        # double migration) would otherwise push it past the window
+        # r10: the only never-driver-checked entries (new this round) —
+        # first slots, because the 50+-deep recheck tier (the composite-
+        # double migration) would otherwise push them past the window
         "mm_png_stats",
+        "mm_gif_stats",
+        "mm_adpcm_stats",
         # r09: the ONLY catalog entry with no driver record (registered
         # last in r8, window position 50 trade — ROUND8.md §1; judge
         # parity green). First slot so CORRECTNESS_r09 closes the full

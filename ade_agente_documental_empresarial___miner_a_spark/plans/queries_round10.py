@@ -76,3 +76,93 @@ def mm_png_stats(spark: SparkSession, sf: str) -> DataFrame:
     return extract_payload_stats(
         synth_png_media_from_docs(docs)
     ).drop("kind")
+
+
+# ---------------------------------------------------------------------------
+# mm_gif_stats (r10, tier-1 shrink #4) — certifies the stdlib GIF
+# decoder (media_headers.gif_pixel_stats: logical screen descriptor,
+# global color table, image descriptor, and a REAL LZW decode of the
+# sub-block stream) the same construction-proof way as mm_png_stats:
+# every document becomes a genuinely LZW-compressed GIF (base palette
+# colour + one spike index), the query decompresses the actual
+# bitstream, and the oracle predicts the integer channel stats from
+# md5(text) arithmetic alone. A decoder that skipped the LZW decode,
+# misread the color table, or fell to the md5 fake diverges on doc 1.
+_GIF_STATS_SQL = f"""WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+p AS (
+  SELECT media_id,
+         (4 + {_byte(0)} % 13) * (4 + {_byte(1)} % 13) AS n,
+         {_byte(2)} AS v2, {_byte(3)} AS v3, {_byte(4)} AS v4,
+         {_byte(5)} AS v5, {_byte(6)} AS v6, {_byte(7)} AS v7
+  FROM m)
+SELECT media_id, CAST(n AS BIGINT) AS n_units,
+       CAST(v2 * (n - 1) + v5 AS BIGINT) AS c0_sum,
+       CAST(least(v2, v5) AS BIGINT) AS c0_min,
+       CAST(greatest(v2, v5) AS BIGINT) AS c0_max,
+       CAST(v3 * (n - 1) + v6 AS BIGINT) AS c1_sum,
+       CAST(least(v3, v6) AS BIGINT) AS c1_min,
+       CAST(greatest(v3, v6) AS BIGINT) AS c1_max,
+       CAST(v4 * (n - 1) + v7 AS BIGINT) AS c2_sum,
+       CAST(least(v4, v7) AS BIGINT) AS c2_min,
+       CAST(greatest(v4, v7) AS BIGINT) AS c2_max
+FROM p"""
+
+
+@register("mm_gif_stats", _GIF_STATS_SQL)
+def mm_gif_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.multimodal import (
+        extract_payload_stats,
+        synth_gif_media_from_docs,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    return extract_payload_stats(
+        synth_gif_media_from_docs(docs)
+    ).drop("kind")
+
+
+# ---------------------------------------------------------------------------
+# mm_adpcm_stats (r10, tier-1 shrink #5) — certifies the IMA-ADPCM
+# decoder (media_headers.wav_adpcm_stats: RIFF walk, format-0x11 fmt
+# parse, block header + per-nibble step-table arithmetic). The
+# construction makes a LOSSY codec exactly predictable: zero nibbles
+# at step index 0 hold the predictor with no drift, and the single
+# spike nibble's +7/+8/+9 decay tail is closed-form (build_wav_ima
+# docstring). The oracle replays that arithmetic from md5 bytes; the
+# Spark side must genuinely walk the nibble recurrence.
+_ADPCM_STATS_SQL = f"""WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+p AS (
+  SELECT media_id,
+         65 + 2 * ({_byte(0)} % 480) AS n,
+         ({_byte(2)} + 256 * {_byte(3)}) % 60000 - 30000 AS pr
+  FROM m),
+q AS (
+  SELECT media_id, n, pr,
+         1 + ({_byte(4)} + 256 * {_byte(5)}) % (n - 4) AS sp
+  FROM p JOIN m USING (media_id))
+SELECT media_id, CAST(n AS BIGINT) AS n_units,
+       CAST(pr * sp + (pr + 7) + (pr + 8)
+            + (pr + 9) * (n - sp - 2) AS BIGINT) AS c0_sum,
+       CAST(pr AS BIGINT) AS c0_min,
+       CAST(pr + 9 AS BIGINT) AS c0_max
+FROM q"""
+
+
+@register("mm_adpcm_stats", _ADPCM_STATS_SQL)
+def mm_adpcm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.multimodal import (
+        extract_payload_stats,
+        synth_adpcm_media_from_docs,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    return (
+        extract_payload_stats(synth_adpcm_media_from_docs(docs))
+        .select("media_id", "n_units", "c0_sum", "c0_min", "c0_max")
+    )

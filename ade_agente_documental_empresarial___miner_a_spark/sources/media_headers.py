@@ -143,12 +143,119 @@ def build_png(
     )
 
 
-def build_gif(width: int, height: int) -> bytes:
-    """GIF89a header + logical screen descriptor + trailer."""
+def _lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavored LZW (spec appendix F): emits CLEAR first, builds
+    the string table greedily, bumps the code width when the NEXT code
+    to be assigned crosses a power of two, resets at 4095. Returns the
+    packed little-endian bitstream (no sub-block framing)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def fresh_table():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            # GIF "deferred" growth: width bumps when the next code
+            # WOULD not fit (decoder mirrors this exactly)
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = fresh_table()
+            next_code = end + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+        # the decoder appends one more table entry after this final
+        # data code — if that lands on 2^width it reads END at the
+        # bumped width, so mirror the bump here (no dict entry needed)
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+    emit(end, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def build_gif(
+    width: int,
+    height: int,
+    indices: bytes | None = None,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """GIF89a header + logical screen descriptor; by default (header
+    fixture) no image data follows. With ``indices`` (one palette index
+    per pixel, row-major) and ``palette`` (2..256 RGB triples) a REAL
+    image block follows — global color table, image descriptor, and an
+    actual LZW-compressed pixel stream in 255-byte sub-blocks —
+    decodable by :func:`gif_pixel_stats` with no codec library."""
+    if indices is None:
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", width, height)
+            + bytes([0x00, 0x00, 0x00])
+            + b"\x3b"
+        )
+    if len(indices) != width * height:
+        raise ValueError(f"indices {len(indices)} != {width}x{height}")
+    if not palette or len(palette) > 256:
+        raise ValueError("palette must have 1..256 entries")
+    # global color table size: 2^(n+1) >= len(palette), min 2
+    n = 0
+    while (2 << n) < len(palette):
+        n += 1
+    gct_entries = 2 << n
+    if max(indices) >= gct_entries:
+        raise ValueError("index out of palette range")
+    gct = bytearray()
+    for i in range(gct_entries):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    min_code_size = max(2, n + 1)
+    data = _lzw_compress(indices, min_code_size)
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
     return (
         b"GIF89a"
         + struct.pack("<HH", width, height)
-        + bytes([0x00, 0x00, 0x00])
+        + bytes([0x80 | n, 0x00, 0x00])  # GCT flag + size n
+        + bytes(gct)
+        + b"\x2c"  # image descriptor
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + bytes([0x00])  # no local table, not interlaced
+        + bytes([min_code_size])
+        + bytes(blocks)
         + b"\x3b"
     )
 
@@ -386,6 +493,177 @@ def bmp_pixel_stats(data: bytes) -> dict | None:
     }
 
 
+# IMA ADPCM (WAV format 0x11) tables — spec: IMA Digital Audio Pack,
+# as implemented by every ADPCM codec (step table of 89 quantizer
+# steps, 16-entry index adjustment)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA ADPCM step: (new predictor clamped to int16, new index)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    if nib & 8:
+        pred -= diff
+    else:
+        pred += diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib]))
+    return pred, idx
+
+
+def _ima_encode(samples: list[int]) -> tuple[int, bytes]:
+    """Reference IMA encoder for one mono block: returns (initial
+    predictor = samples[0], packed nibbles for samples[1:], low nibble
+    first). Lossy by design — used by the round-trip tolerance tests;
+    the fixture builder constructs nibbles directly instead."""
+    pred = samples[0]
+    idx = 0
+    nibbles = []
+    for s in samples[1:]:
+        delta = s - pred
+        nib = 0
+        if delta < 0:
+            nib = 8
+            delta = -delta
+        step = _IMA_STEPS[idx]
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        pred, idx = _ima_decode_nibble(nib, pred, idx)
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4)
+        for i in range(0, len(nibbles), 2)
+    )
+    return samples[0], packed
+
+
+def build_wav_ima(
+    n_samples: int, predictor: int, spike_pos: int | None = None
+) -> bytes:
+    """Mono IMA-ADPCM WAV (format 0x11, 4-bit, one block) whose decoded
+    samples have a CLOSED FORM the SQL oracles can predict:
+
+    - block header: ``predictor`` (sample 0), step index 0;
+    - all nibbles zero — at index 0 the step is 7, so a zero nibble
+      adds ``7 >> 3 = 0``: the signal holds exactly at ``predictor``
+      (and the index clamps at 0), with NO drift;
+    - optionally ONE nibble 4 at ``spike_pos`` (1-based sample index of
+      the spiked delta, must be <= n_samples - 4): delta +7 and index
+      jumps to 2, after which the zero nibbles decay the index 2 -> 1
+      -> 0 adding +1 (step 9 >> 3) then +1 (step 8 >> 3) then hold —
+      decoded tail = P+7, P+8, P+9, P+9, ... exactly.
+
+    ``n_samples`` must be odd (a mono block carries 1 header sample +
+    2 nibbles/byte). Decodable by :func:`wav_adpcm_stats`."""
+    if n_samples % 2 == 0 or n_samples < 3:
+        raise ValueError("n_samples must be odd and >= 3")
+    if not -32768 <= predictor <= 32767:
+        raise ValueError("predictor out of int16 range")
+    n_nibbles = n_samples - 1
+    nibbles = [0] * n_nibbles
+    if spike_pos is not None:
+        if not 1 <= spike_pos <= n_samples - 4:
+            raise ValueError("spike_pos must be in [1, n_samples-4]")
+        nibbles[spike_pos - 1] = 4
+    packed = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4)
+        for i in range(0, n_nibbles, 2)
+    )
+    block_align = 4 + len(packed)
+    block = struct.pack("<hBB", predictor, 0, 0) + packed
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, 8000, 8000 * block_align // n_samples or 1,
+        block_align, 4, 2, n_samples,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(block))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, n_samples)
+        + b"data"
+        + struct.pack("<I", len(block))
+        + block
+    )
+
+
+def wav_adpcm_stats(data: bytes) -> dict | None:
+    """Decode a REAL mono IMA-ADPCM WAV (format 0x11, 4-bit) — the r10
+    tier-1 shrink #5: ADPCM is pure integer arithmetic (step table +
+    nibble deltas), no codec library involved. Walks the RIFF chunks,
+    decodes every complete block in the data payload (header sample +
+    one sample per nibble), and returns (sum, min, max) over the int16
+    samples. Wrong codec/layout or corrupt structure returns None —
+    the shared degrade contract. Returns {n_units, c0 sum/min/max}."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    fmt_ok = False
+    block_align = None
+    payload = None
+    for cid, size, chunk in _riff_chunks(data, 12):
+        if cid == b"fmt " and len(chunk) >= 16:
+            audio_fmt, n_ch = struct.unpack("<HH", chunk[0:4])
+            block_align = struct.unpack("<H", chunk[12:14])[0]
+            bits = struct.unpack("<H", chunk[14:16])[0]
+            fmt_ok = audio_fmt == 0x11 and n_ch == 1 and bits == 4
+        elif cid == b"data":
+            payload = chunk[: min(size, len(chunk))]
+    if not fmt_ok or not payload or not block_align or block_align < 5:
+        return None
+    total = 0
+    mn = None
+    mx = None
+    n = 0
+    for off in range(0, len(payload) - block_align + 1, block_align):
+        block = payload[off : off + block_align]
+        pred = struct.unpack("<h", block[0:2])[0]
+        idx = block[2]
+        if idx > 88 or block[3] != 0:
+            return None
+        samples = [pred]
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, idx = _ima_decode_nibble(nib, pred, idx)
+                samples.append(pred)
+        for s in samples:
+            total += s
+            mn = s if mn is None or s < mn else mn
+            mx = s if mx is None or s > mx else mx
+        n += len(samples)
+    if n == 0:
+        return None
+    return {"n_units": n, "c0_sum": total, "c0_min": mn, "c0_max": mx}
+
+
 def png_pixel_stats(data: bytes) -> dict | None:
     """Decode a REAL (compressed) PNG pixel stream with stdlib zlib
     only: walk the chunk list, inflate the concatenated IDAT payloads,
@@ -475,6 +753,166 @@ def png_pixel_stats(data: bytes) -> dict | None:
         "c1_sum": int(sums[1]), "c1_min": int(mins[1]), "c1_max": int(maxs[1]),
         "c2_sum": int(sums[2]), "c2_min": int(mins[2]), "c2_max": int(maxs[2]),
     }
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes | None:
+    """Canonical GIF LZW decode (spec appendix F): little-endian
+    bitstream, CLEAR/END codes, string table rebuilt on the fly, code
+    width grows when the next-entry counter hits 2^width (capped at
+    12), the KwKwK case handled. Returns None on a corrupt stream.
+    The builder's :func:`_lzw_compress` mirrors this exactly — the
+    encoder's width bump is DELAYED one entry (``next == 2^w + 1``)
+    because the decoder's table runs one entry behind the encoder's;
+    round-trips across every width boundary and a 4096-reset are
+    pinned by tests/test_media_headers.py."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    pos = 0  # bit position
+    nbits_total = len(data) * 8
+
+    def read(width: int) -> int | None:
+        nonlocal pos
+        if pos + width > nbits_total:
+            return None
+        byte = pos // 8
+        bit = pos % 8
+        val = 0
+        got = 0
+        while got < width:
+            val |= (data[byte] >> bit) << got
+            got += 8 - bit
+            bit = 0
+            byte += 1
+        pos += width
+        return val & ((1 << width) - 1)
+
+    out = bytearray()
+    roots = [bytes([i]) for i in range(clear)]
+
+    width = min_code_size + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code is None:
+            return None  # truncated before END
+        if code == clear:
+            table = roots + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if not table:
+            return None  # data before the first CLEAR
+        if prev is None:
+            if code >= clear:
+                return None  # first code must be a root
+            out += table[code]
+            prev = table[code]
+            continue
+        if code < len(table):
+            entry = table[code]
+            if code < clear:
+                pass
+            elif not entry:
+                return None  # CLEAR/END slots are not emittable
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None
+        out += entry
+        table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def gif_pixel_stats(data: bytes) -> dict | None:
+    """Decode a REAL GIF image with no codec library: logical screen
+    descriptor → global color table → image descriptor → LZW sub-block
+    stream (:func:`_lzw_decompress`) → palette-mapped per-channel
+    (sum, min, max) over every pixel. The r10 tier-1 shrink #4: GIF's
+    only compression is LZW, which is ~60 lines of integer bit-twiddling.
+
+    Supported profile: single image, global color table, no interlace,
+    no local color table, no transparency handling (extensions are
+    skipped structurally). Anything else — and any corrupt/truncated
+    stream — returns None: the degrade contract of the other decoders.
+    Returns {n_units, c0/c1/c2 (RGB) sum/min/max} or None."""
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n_entries = 2 << (packed & 0x07)
+        if pos + 3 * n_entries > len(data):
+            return None
+        palette = np.frombuffer(
+            data, np.uint8, 3 * n_entries, pos
+        ).reshape(n_entries, 3)
+        pos += 3 * n_entries
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            return None  # no image block found
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            return None
+        # image descriptor
+        if pos + 9 > len(data):
+            return None
+        ix, iy, iw, ih = struct.unpack("<HHHH", data[pos : pos + 8])
+        ipacked = data[pos + 8]
+        pos += 9
+        if ipacked & 0x80 or ipacked & 0x40:
+            return None  # local color table / interlace: out of profile
+        if palette is None or (ix, iy, iw, ih) != (0, 0, w, h):
+            return None
+        if pos >= len(data):
+            return None
+        mcs = data[pos]
+        pos += 1
+        stream = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            n = data[pos]
+            if pos + 1 + n > len(data):
+                return None
+            stream += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        indices = _lzw_decompress(bytes(stream), mcs)
+        if indices is None or len(indices) != w * h:
+            return None
+        idx = np.frombuffer(indices, np.uint8)
+        if idx.max(initial=0) >= palette.shape[0]:
+            return None
+        px = palette[idx].astype(np.int64)
+        sums = px.sum(axis=0)
+        mins = px.min(axis=0)
+        maxs = px.max(axis=0)
+        return {
+            "n_units": int(w) * int(h),
+            "c0_sum": int(sums[0]), "c0_min": int(mins[0]),
+            "c0_max": int(maxs[0]),
+            "c1_sum": int(sums[1]), "c1_min": int(mins[1]),
+            "c1_max": int(maxs[1]),
+            "c2_sum": int(sums[2]), "c2_min": int(mins[2]),
+            "c2_max": int(maxs[2]),
+        }
+    return None
 
 
 def wav_pcm_stats(data: bytes) -> dict | None:

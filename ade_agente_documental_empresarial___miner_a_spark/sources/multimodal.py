@@ -23,16 +23,19 @@ stays absent. Raw pixel/sample ARITHMETIC does not: since round 9
 ``extract_payload_stats`` decodes REAL pixel arrays / PCM samples for
 the uncompressed formats (24bpp BMP, 8-bit PCM WAV —
 ``media_headers.bmp_pixel_stats`` / ``wav_pcm_stats``), and since
-round 10 REAL compressed PNG too (``png_pixel_stats``: chunk walk,
-stdlib-zlib inflate, all-five-filter unfilter — PNG's compression is
-zlib, which needs no Pillow). Payloads are built by
-``synth_stats_media_from_docs`` / ``synth_png_media_from_docs`` and
-certified end-to-end by the ``mm_pixel_stats`` / ``mm_png_stats``
-oracle pairs; ``extract_media_features`` emits a REAL payload-derived
-8-dim descriptor (``_real_features``: channel means/ranges + log-size)
-for every decodable payload. The md5 fake now covers only JPEG/GIF
-pixel decode, compressed audio, and AVI frame decode (genuinely tier-1
-codec territory).
+round 10 REAL compressed formats too: PNG (``png_pixel_stats``:
+chunk walk, stdlib-zlib inflate, all-five-filter unfilter), GIF
+(``gif_pixel_stats``: color table + a from-scratch LZW decoder), and
+IMA-ADPCM WAV (``wav_adpcm_stats``: block headers + the step-table
+nibble recurrence — a real lossy audio codec in pure integer
+arithmetic). Payloads are built by the ``synth_*_media_from_docs``
+producers and certified end-to-end by the ``mm_pixel_stats`` /
+``mm_png_stats`` / ``mm_gif_stats`` / ``mm_adpcm_stats`` oracle pairs;
+``extract_media_features`` emits a REAL payload-derived 8-dim
+descriptor (``_real_features``) for every decodable payload. The md5
+fake now covers only JPEG pixel decode, non-ADPCM compressed audio,
+and AVI frame decode (DCT/entropy-coded codec territory — genuinely
+tier 1).
 """
 
 from __future__ import annotations
@@ -96,11 +99,16 @@ def _real_features(data: bytes) -> list[float] | None:
     caller falls back to the md5 fake)."""
     from .media_headers import (
         bmp_pixel_stats,
+        gif_pixel_stats,
         png_pixel_stats,
         wav_pcm_stats,
     )
 
-    s = bmp_pixel_stats(data) or png_pixel_stats(data)
+    s = (
+        bmp_pixel_stats(data)
+        or png_pixel_stats(data)
+        or gif_pixel_stats(data)
+    )
     if s is not None:
         n = s["n_units"]
         vec = [
@@ -526,6 +534,102 @@ def synth_png_media_from_docs(
     return docs.select(id_col, text_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
+def synth_gif_media_from_docs(
+    docs: DataFrame,
+    id_col: str = "media_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """REAL LZW-compressed GIF payloads (r10 tier-1 shrink #4): every
+    doc becomes a GIF whose global color table holds the md5-derived
+    base and spike colours and whose pixel indices are a genuinely
+    LZW-compressed stream (``media_headers._lzw_compress``) — all 0
+    (base) except ONE spike index:
+
+    - w = 4 + b0 % 13, h = 4 + b1 % 13
+    - palette[0] = (b2, b3, b4), palette[1] = (b5, b6, b7)
+    - spike at pixel (b8 + 256*b9) % (w*h)
+
+    Same construction-proof shape as the PNG/BMP producers. NULL text
+    -> NULL content. Map-only, Arrow-batched, MEDIA_SCHEMA output."""
+    from .media_headers import build_gif
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                mid = int(row[id_col])
+                text = row[text_col]
+                if text is None:
+                    out.append(
+                        {"media_id": mid, "kind": "image", "content": None}
+                    )
+                    continue
+                h = hashlib.md5(str(text).encode("utf-8")).digest()
+                w, ht = 4 + h[0] % 13, 4 + h[1] % 13
+                n = w * ht
+                idx = bytearray(n)
+                idx[(h[8] + 256 * h[9]) % n] = 1
+                content = build_gif(
+                    w,
+                    ht,
+                    bytes(idx),
+                    [tuple(h[2:5]), tuple(h[5:8])],
+                )
+                out.append(
+                    {"media_id": mid, "kind": "image", "content": content}
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_SCHEMA]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_adpcm_media_from_docs(
+    docs: DataFrame,
+    id_col: str = "media_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """REAL IMA-ADPCM WAV payloads (r10 tier-1 shrink #5) whose decoded
+    int16 samples have the closed form ``media_headers.build_wav_ima``
+    documents (flat at the predictor, one +7/+8/+9 spike tail):
+
+    - n = 65 + 2*(b0 % 480) samples (odd, one block)
+    - predictor P = (b2 + 256*b3) % 60000 - 30000 (clamp-safe)
+    - spike at sample position 1 + (b4 + 256*b5) % (n - 4)
+
+    NULL text -> NULL content. Map-only, Arrow-batched."""
+    from .media_headers import build_wav_ima
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                mid = int(row[id_col])
+                text = row[text_col]
+                if text is None:
+                    out.append(
+                        {"media_id": mid, "kind": "audio", "content": None}
+                    )
+                    continue
+                h = hashlib.md5(str(text).encode("utf-8")).digest()
+                n = 65 + 2 * (h[0] % 480)
+                pred = (h[2] + 256 * h[3]) % 60000 - 30000
+                spike = 1 + (h[4] + 256 * h[5]) % (n - 4)
+                out.append(
+                    {
+                        "media_id": mid,
+                        "kind": "audio",
+                        "content": build_wav_ima(n, pred, spike_pos=spike),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_SCHEMA]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
 def extract_payload_stats(
     media: DataFrame, content_col: str = "content"
 ) -> DataFrame:
@@ -536,7 +640,9 @@ def extract_payload_stats(
     the degrade contract of the header tier. Map-only, Arrow-batched."""
     from .media_headers import (
         bmp_pixel_stats,
+        gif_pixel_stats,
         png_pixel_stats,
+        wav_adpcm_stats,
         wav_pcm_stats,
     )
 
@@ -558,7 +664,9 @@ def extract_payload_stats(
                     stats = (
                         bmp_pixel_stats(data)
                         or png_pixel_stats(data)
+                        or gif_pixel_stats(data)
                         or wav_pcm_stats(data)
+                        or wav_adpcm_stats(data)
                     )
                     if stats is not None:
                         rec.update(stats)

@@ -588,3 +588,151 @@ def test_real_features_real_for_pixel_carrying_png(spark):
     want = [x / n for x in raw]
     assert all(abs(a - b) < 1e-6 for a, b in zip(row.features, want))
     assert row.features != _fake_features(bytes(png))
+
+
+# ---------------------------------------------------------------------------
+# r10 — real GIF LZW decode + IMA-ADPCM decode
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=18),
+    h=st.integers(min_value=1, max_value=18),
+    npal=st.integers(min_value=2, max_value=16),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_gif_pixel_stats_roundtrip(w, h, npal, seed):
+    import numpy as np
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        gif_pixel_stats,
+    )
+
+    rng = np.random.default_rng(seed)
+    np_pal = rng.integers(0, 256, (npal, 3))
+    pal = [tuple(int(x) for x in row) for row in np_pal]
+    idx = rng.integers(0, npal, w * h).astype(np.uint8).tobytes()
+    s = gif_pixel_stats(build_gif(w, h, idx, pal))
+    px = np_pal[np.frombuffer(idx, np.uint8)]
+    assert s == {
+        "n_units": w * h,
+        "c0_sum": int(px[:, 0].sum()), "c0_min": int(px[:, 0].min()),
+        "c0_max": int(px[:, 0].max()),
+        "c1_sum": int(px[:, 1].sum()), "c1_min": int(px[:, 1].min()),
+        "c1_max": int(px[:, 1].max()),
+        "c2_sum": int(px[:, 2].sum()), "c2_min": int(px[:, 2].min()),
+        "c2_max": int(px[:, 2].max()),
+    }
+
+
+def test_lzw_end_code_width_boundary_regression():
+    """The r10 encoder bug: the decoder appends a table entry after the
+    FINAL data code, so when that append lands exactly on 2^width the
+    END code must be written at the bumped width. n=39 zeros with one
+    spike at mcs=2 hits the boundary (found live: 36/500 fixture docs
+    failed before the fix). Exhaustive spike positions across the
+    boundary region must round-trip."""
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    for n in range(35, 45):
+        for p in range(n):
+            idx = bytearray(n)
+            idx[p] = 1
+            syms = bytes(idx)
+            assert _lzw_decompress(_lzw_compress(syms, 2), 2) == syms, (
+                n,
+                p,
+            )
+
+
+def test_lzw_4096_reset_roundtrip():
+    # a stream long and diverse enough to fill the 12-bit dictionary
+    # and force a mid-stream CLEAR
+    import numpy as np
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = np.random.default_rng(3)
+    syms = rng.integers(0, 256, 60_000).astype(np.uint8).tobytes()
+    assert _lzw_decompress(_lzw_compress(syms, 8), 8) == syms
+
+
+def test_gif_degrade_paths():
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        gif_pixel_stats,
+    )
+
+    full = build_gif(6, 6, bytes(36), [(1, 2, 3), (4, 5, 6)])
+    assert gif_pixel_stats(full) is not None
+    assert gif_pixel_stats(build_gif(4, 4)) is None      # header-only
+    assert gif_pixel_stats(full[:-8]) is None            # truncated
+    assert gif_pixel_stats(b"GIF89a" + b"x" * 30) is None
+    assert gif_pixel_stats(build_png(4, 4)) is None      # wrong format
+    assert sniff(full)["width"] == 6                     # sniff intact
+
+
+def test_wav_ima_closed_form_and_encoder_tracking():
+    import numpy as np
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        _ima_decode_nibble,
+        _ima_encode,
+        build_wav_ima,
+        wav_adpcm_stats,
+    )
+
+    # flat construction: every decoded sample == predictor exactly
+    s = wav_adpcm_stats(build_wav_ima(65, 1234))
+    assert s == {
+        "n_units": 65, "c0_sum": 1234 * 65,
+        "c0_min": 1234, "c0_max": 1234,
+    }
+    # spike tail P+7, P+8, P+9, P+9... at both position extremes
+    P, n = -500, 65
+    for p in (1, 17, n - 4):
+        s = wav_adpcm_stats(build_wav_ima(n, P, spike_pos=p))
+        want = P * p + (P + 7) + (P + 8) + (P + 9) * (n - p - 2)
+        assert s == {
+            "n_units": n, "c0_sum": want, "c0_min": P, "c0_max": P + 9,
+        }, p
+    # the REAL encoder tracks an arbitrary signal within codec error
+    rng = np.random.default_rng(9)
+    sig = (
+        np.cumsum(rng.integers(-200, 201, 401))
+        .clip(-30000, 30000)
+        .astype(int)
+        .tolist()
+    )
+    pred, packed = _ima_encode(sig)
+    idx = 0
+    out = [pred]
+    for byte in packed:
+        for nib in (byte & 0x0F, byte >> 4):
+            pred, idx = _ima_decode_nibble(nib, pred, idx)
+            out.append(pred)
+    assert max(abs(a - b) for a, b in zip(sig, out)) < 1500
+
+
+def test_wav_adpcm_degrade_and_codec_dispatch():
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        build_wav_ima,
+        wav_adpcm_stats,
+        wav_pcm_stats,
+    )
+
+    full = build_wav_ima(65, 7, spike_pos=5)
+    assert wav_adpcm_stats(b"RIFF" + b"x" * 20) is None
+    # codec dispatch is strict both ways: PCM is not ADPCM and vice versa
+    assert wav_adpcm_stats(build_wav(10, bytes(10))) is None
+    assert wav_pcm_stats(full) is None
+    # corrupt step index degrades
+    broken = bytearray(full)
+    off = full.find(b"data") + 8 + 2
+    broken[off] = 120  # step index > 88
+    assert wav_adpcm_stats(bytes(broken)) is None
