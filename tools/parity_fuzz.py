@@ -614,6 +614,7 @@ def gen_media_rows(seed: int) -> list[tuple[int, str, bytes | None]]:
     operators (mapInPandas plumbing included), not just the parsers."""
     from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (  # noqa: E501
         build_avi, build_bmp, build_gif, build_jpeg, build_png, build_wav,
+        build_wav_ima,
     )
 
     rng = _rng(seed, "media")
@@ -635,6 +636,16 @@ def gen_media_rows(seed: int) -> list[tuple[int, str, bytes | None]]:
                                                      dtype=np.uint8)))),
         ("audio", build_wav(5, bytes(rng.integers(0, 256, 5,
                                                   dtype=np.uint8)))),
+        # r10 payload codecs: real inflate/unfilter PNG, real LZW GIF,
+        # real IMA-ADPCM — every truncation prefix of each must degrade
+        ("image", build_png(4, 5, bytes(rng.integers(0, 256, 60,
+                                                     dtype=np.uint8)))),
+        ("image", build_gif(5, 4,
+                            bytes(rng.integers(0, 2, 20,
+                                               dtype=np.uint8)),
+                            [(9, 8, 7), (1, 2, 3)])),
+        ("audio", build_wav_ima(65, int(rng.integers(-30000, 30000)),
+                                spike_pos=int(rng.integers(1, 61)))),
     ]
     for kind, data in valids:
         add(kind, data)
