@@ -325,3 +325,55 @@ def test_q1_pricing_sf01_value_parity(spark):
     finally:
         con.close()
     assert ok and n_rows == 6
+
+
+def test_raw_double_to_decimal_cast_class_audit(spark):
+    """The cast sibling of the round() class (r10 audit): CAST(x AS
+    DECIMAL(p,s)) on a raw double also splits the engines near a
+    scale-s half (Spark HALF_UP-rounds the shortest rendering, DuckDB
+    rounds the binary value) — pinned here on constructed doubles,
+    with dblround-before-cast as the stable statement. The catalog
+    audit found ZERO live sites: every composite-double -> decimal
+    quantization goes through dblround first (the r10 migration), and
+    the remaining raw casts quantize fixed-decimal DATA (2dp money,
+    2dp values) at an equal-or-finer scale, where the exact rational
+    sits on a coarser lattice and the double's error (~1e-3 scaled
+    units at TPC-H magnitudes) cannot reach the 0.5-unit half."""
+    from pyspark.sql import functions as F
+
+    from ade_agente_documental_empresarial___miner_a_spark.functions.exactmath import (
+        dblround,
+    )
+
+    vals = [29971.189053745, 31024.187555905, 32186.939107605]
+    con = duckdb.connect()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    old_s = [
+        str(r.v)
+        for r in df.select(
+            F.col("x").cast("decimal(24,8)").alias("v")
+        ).collect()
+    ]
+    old_d = [
+        con.execute(
+            "SELECT CAST(CAST(?::DOUBLE AS DECIMAL(24,8)) AS VARCHAR)",
+            [v],
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert all(a != b for a, b in zip(old_s, old_d))  # the class is real
+    new_s = [
+        str(r.v)
+        for r in df.select(
+            dblround(F.col("x"), 8).cast("decimal(24,8)").alias("v")
+        ).collect()
+    ]
+    new_d = [
+        con.execute(
+            "SELECT CAST(CAST(round(?::DOUBLE * 1e8) / 1e8"
+            " AS DECIMAL(24,8)) AS VARCHAR)",
+            [v],
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert new_s == new_d  # dblround-before-cast is the stable form
