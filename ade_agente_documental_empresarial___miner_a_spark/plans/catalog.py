@@ -476,6 +476,7 @@ _PRIORITY = tuple(
         "mm_png_stats",
         "mm_gif_stats",
         "mm_adpcm_stats",
+        "mm_jpeg_stats",
         # r09: the ONLY catalog entry with no driver record (registered
         # last in r8, window position 50 trade — ROUND8.md §1; judge
         # parity green). First slot so CORRECTNESS_r09 closes the full

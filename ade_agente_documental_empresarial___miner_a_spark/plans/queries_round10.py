@@ -166,3 +166,44 @@ def mm_adpcm_stats(spark: SparkSession, sf: str) -> DataFrame:
         extract_payload_stats(synth_adpcm_media_from_docs(docs))
         .select("media_id", "n_units", "c0_sum", "c0_min", "c0_max")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_jpeg_stats (r10, tier-1 shrink #6) — certifies the baseline-JPEG
+# ENTROPY decoder (media_headers.jpeg_dc_stats: DHT-declared canonical
+# Huffman tables, byte-stuffed bitstream, DC category+extend with
+# per-block prediction, dequantization) in the DC-only profile, where
+# constant 8x8 blocks make the lossy format exactly predictable
+# (Q[0]=8 -> pixel == block gray). The oracle replays the md5
+# construction; the Spark side must genuinely Huffman-decode the scan.
+# General AC decode + IDCT stays tier 1 and degrades to the md5 fake —
+# the documented profile edge.
+_JPEG_STATS_SQL = f"""WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+p AS (
+  SELECT media_id,
+         (1 + {_byte(0)} % 4) * (2 + {_byte(1)} % 3) AS nb,
+         {_byte(2)} AS base, {_byte(3)} AS spike
+  FROM m)
+SELECT media_id,
+       CAST(nb * 64 AS BIGINT) AS n_units,
+       CAST((base * (nb - 1) + spike) * 64 AS BIGINT) AS c0_sum,
+       CAST(least(base, spike) AS BIGINT) AS c0_min,
+       CAST(greatest(base, spike) AS BIGINT) AS c0_max
+FROM p"""
+
+
+@register("mm_jpeg_stats", _JPEG_STATS_SQL)
+def mm_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.multimodal import (
+        extract_payload_stats,
+        synth_jpeg_media_from_docs,
+    )
+
+    docs = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    return (
+        extract_payload_stats(synth_jpeg_media_from_docs(docs))
+        .select("media_id", "n_units", "c0_sum", "c0_min", "c0_max")
+    )

@@ -493,6 +493,300 @@ def bmp_pixel_stats(data: bytes) -> dict | None:
     }
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG, DC-only profile (r10 tier-1 shrink #6). A general
+# JPEG needs the full AC path (zigzag runs + 2-D IDCT with loosely
+# specified rounding) — genuinely tier-1. But the ENTROPY layer is
+# exact integer work: Huffman tables from DHT, byte-stuffed bit
+# stream, DC category+extend decoding, per-block DC prediction,
+# dequantization. For an image whose every 8x8 block is CONSTANT the
+# spectrum is DC-only, and with Q[0]=8 the IDCT collapses to
+# pixel = DC + 128 exactly — so a real entropy decoder's output is
+# closed-form predictable. The builder writes spec-valid single-
+# component baseline JPEGs with custom canonical Huffman tables; the
+# decoder handles ANY table via DHT and degrades (None) the moment a
+# nonzero AC coefficient appears — the documented profile edge.
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = self.acc << (8 - self.n) | ((1 << (8 - self.n)) - 1)
+            self.out.append(pad)
+            if pad == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+# custom canonical DC table: symbols (categories) 0..11, all 4 bits —
+# legal (16 slots at length 4) and trivial to reason about
+_JPEG_DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_SYMBOLS = list(range(12))
+# custom AC table: ONE symbol, EOB (0x00), 1 bit
+_JPEG_AC_COUNTS = [1] + [0] * 15
+_JPEG_AC_SYMBOLS = [0x00]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def build_jpeg_dc(width: int, height: int, block_vals: list[int]) -> bytes:
+    """Spec-valid single-component (grayscale) baseline JPEG whose 8x8
+    blocks are each the CONSTANT gray value ``block_vals[i]`` (row-major
+    blocks; width/height must be multiples of 8; values 0..255).
+    Q[0] = 8, so decoded pixel == block value exactly. Entropy data is
+    real Huffman (custom canonical tables, declared in DHT), with DC
+    prediction and byte stuffing — decodable by :func:`jpeg_dc_stats`."""
+    if width % 8 or height % 8 or width == 0 or height == 0:
+        raise ValueError("dims must be nonzero multiples of 8")
+    wb, hb = width // 8, height // 8
+    if len(block_vals) != wb * hb:
+        raise ValueError("need one value per 8x8 block")
+    # DQT: table 0, 8-bit, Q[0]=8 and 16 elsewhere (AC never used)
+    dqt = bytes([0x00]) + bytes([8] + [16] * 63)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes(
+        [1, 1, 0x11, 0]
+    )
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+    # canonical code assignment for the DC table: 12 codes of length 4
+    dc_code = {sym: (i, 4) for i, sym in enumerate(_JPEG_DC_SYMBOLS)}
+    bw = _BitWriter()
+    pred = 0
+    for v in block_vals:
+        if not 0 <= v <= 255:
+            raise ValueError("block values must be 0..255")
+        dc = v - 128  # level shift; Q[0]=8 makes coefficient == DC
+        delta = dc - pred
+        pred = dc
+        cat = delta.bit_length() if delta else 0
+        code, ln = dc_code[cat]
+        bw.put(code, ln)
+        if cat:
+            bits = delta if delta > 0 else delta + (1 << cat) - 1
+            bw.put(bits, cat)
+        bw.put(0, 1)  # AC EOB (1-bit code 0)
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _huff_from_dht(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman decode map {(code, length): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(code, length)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.byte = 0
+        self.bit = 0
+
+    def take(self) -> int | None:
+        while True:
+            if self.byte >= len(self.data):
+                return None
+            b = self.data[self.byte]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.byte + 1]
+                    if self.byte + 1 < len(self.data)
+                    else None
+                )
+                if nxt == 0x00:
+                    pass  # stuffed FF: real data byte
+                else:
+                    return None  # a marker: end of scan
+            bit = (b >> (7 - self.bit)) & 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1 + (1 if b == 0xFF else 0)  # skip stuffing
+            return bit
+
+    def read_huff(self, table: dict) -> int | None:
+        code = 0
+        for length in range(1, 17):
+            b = self.take()
+            if b is None:
+                return None
+            code = (code << 1) | b
+            if (code, length) in table:
+                return table[(code, length)]
+        return None
+
+    def read_bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.take()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+
+def jpeg_dc_stats(data: bytes) -> dict | None:
+    """Decode a baseline JPEG through the REAL entropy layer (Huffman
+    tables from DHT, byte-stuffed bitstream, DC category+extend with
+    prediction, dequantization) for the DC-ONLY profile: single 8-bit
+    grayscale component, no subsampling, every block's AC spectrum
+    empty (EOB immediately after the DC coefficient), and a DQT whose
+    DC step makes the constant-block IDCT exact (Q[0] divisible by 8 —
+    pixel = DC*Q[0]/8 + 128). Any nonzero AC coefficient, progressive/
+    multi-component frame, or corrupt stream returns None — the honest
+    profile edge (general AC + IDCT is genuinely tier-1). Returns
+    {n_units, c0 sum/min/max} over the gray pixel values."""
+    try:
+        return _jpeg_dc_stats_inner(data)
+    except (IndexError, struct.error):
+        return None  # truncated/corrupt structure -> degrade
+
+
+def _jpeg_dc_stats_inner(data: bytes) -> dict | None:
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt = {}
+    huff_dc = {}
+    huff_ac = {}
+    w = h = None
+    scan = None
+    dc_id = ac_id = qt_id = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                if pq != 0:
+                    return None  # 16-bit tables out of profile
+                qt[tq] = list(body[bpos + 1 : bpos + 65])
+                bpos += 65
+        elif marker == 0xC0:
+            if body[0] != 8:
+                return None
+            h, w = struct.unpack(">HH", body[1:5])
+            if body[5] != 1 or body[7] != 0x11:
+                return None  # multi-component / subsampled: tier 1
+            qt_id = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
+                counts = list(body[bpos + 1 : bpos + 17])
+                nsym = sum(counts)
+                syms = list(body[bpos + 17 : bpos + 17 + nsym])
+                tbl = _huff_from_dht(counts, syms)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                bpos += 17 + nsym
+        elif marker == 0xDA:
+            if body[0] != 1:
+                return None
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan = data[pos + 2 + seg_len :]
+            break
+        pos += 2 + seg_len
+    if (
+        scan is None or w is None or not w or not h
+        or w % 8 or h % 8
+        or qt_id not in qt or dc_id not in huff_dc or ac_id not in huff_ac
+        or qt[qt_id][0] % 8 != 0
+    ):
+        return None
+    q0 = qt[qt_id][0]
+    n_blocks = (w // 8) * (h // 8)
+    br = _BitReader(scan)
+    pred = 0
+    total = 0
+    mn = mx = None
+    for _ in range(n_blocks):
+        cat = br.read_huff(huff_dc[dc_id])
+        if cat is None or cat > 11:
+            return None
+        if cat:
+            bits = br.read_bits(cat)
+            if bits is None:
+                return None
+            delta = (
+                bits
+                if bits >= (1 << (cat - 1))
+                else bits - (1 << cat) + 1
+            )
+        else:
+            delta = 0
+        pred += delta
+        # AC scan: only EOB (or 63 explicit zero runs) keeps the block
+        # inside the DC-only profile
+        k = 1
+        while k <= 63:
+            sym = br.read_huff(huff_ac[ac_id])
+            if sym is None:
+                return None
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size != 0:
+                return None  # nonzero AC coefficient: out of profile
+            if sym != 0xF0:
+                return None
+            k += 16  # ZRL: sixteen zeros
+        val = pred * q0 // 8 + 128
+        val = max(0, min(255, val))
+        total += val * 64
+        mn = val if mn is None or val < mn else mn
+        mx = val if mx is None or val > mx else mx
+    return {
+        "n_units": int(w) * int(h),
+        "c0_sum": total,
+        "c0_min": mn,
+        "c0_max": mx,
+    }
+
+
 # IMA ADPCM (WAV format 0x11) tables — spec: IMA Digital Audio Pack,
 # as implemented by every ADPCM codec (step table of 89 quantizer
 # steps, 16-entry index adjustment)

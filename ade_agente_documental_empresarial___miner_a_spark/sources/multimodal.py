@@ -30,12 +30,14 @@ IMA-ADPCM WAV (``wav_adpcm_stats``: block headers + the step-table
 nibble recurrence — a real lossy audio codec in pure integer
 arithmetic). Payloads are built by the ``synth_*_media_from_docs``
 producers and certified end-to-end by the ``mm_pixel_stats`` /
-``mm_png_stats`` / ``mm_gif_stats`` / ``mm_adpcm_stats`` oracle pairs;
+``mm_png_stats`` / ``mm_gif_stats`` / ``mm_adpcm_stats`` /
+``mm_jpeg_stats`` oracle pairs (JPEG through the REAL entropy layer —
+DHT Huffman, byte stuffing, DC prediction, dequant — in the DC-only
+profile where constant blocks make the lossy format exact);
 ``extract_media_features`` emits a REAL payload-derived 8-dim
 descriptor (``_real_features``) for every decodable payload. The md5
-fake now covers only JPEG pixel decode, non-ADPCM compressed audio,
-and AVI frame decode (DCT/entropy-coded codec territory — genuinely
-tier 1).
+fake now covers only general-AC JPEG (full IDCT), non-ADPCM
+compressed audio, and AVI frame decode — genuinely tier 1.
 """
 
 from __future__ import annotations
@@ -630,6 +632,53 @@ def synth_adpcm_media_from_docs(
     return docs.select(id_col, text_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
+def synth_jpeg_media_from_docs(
+    docs: DataFrame,
+    id_col: str = "media_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """REAL baseline-JPEG payloads in the DC-only profile (r10 tier-1
+    shrink #6): every doc becomes a grayscale JPEG whose 8x8 blocks
+    are constant — base gray everywhere, ONE spike block — so the real
+    entropy decode (Huffman + DC prediction + dequant,
+    ``media_headers.jpeg_dc_stats``) has closed-form output:
+
+    - wb = 1 + b0 % 4 blocks wide, hb = 2 + b1 % 3 high (>= 2 blocks)
+    - base gray = b2, spike gray = b3 at block (b8 + 256*b9) % (wb*hb)
+
+    NULL text -> NULL content. Map-only, Arrow-batched."""
+    from .media_headers import build_jpeg_dc
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                mid = int(row[id_col])
+                text = row[text_col]
+                if text is None:
+                    out.append(
+                        {"media_id": mid, "kind": "image", "content": None}
+                    )
+                    continue
+                h = hashlib.md5(str(text).encode("utf-8")).digest()
+                wb, hb = 1 + h[0] % 4, 2 + h[1] % 3
+                nb = wb * hb
+                vals = [h[2]] * nb
+                vals[(h[8] + 256 * h[9]) % nb] = h[3]
+                out.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "content": build_jpeg_dc(wb * 8, hb * 8, vals),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_SCHEMA]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
 def extract_payload_stats(
     media: DataFrame, content_col: str = "content"
 ) -> DataFrame:
@@ -641,6 +690,7 @@ def extract_payload_stats(
     from .media_headers import (
         bmp_pixel_stats,
         gif_pixel_stats,
+        jpeg_dc_stats,
         png_pixel_stats,
         wav_adpcm_stats,
         wav_pcm_stats,
@@ -665,6 +715,7 @@ def extract_payload_stats(
                         bmp_pixel_stats(data)
                         or png_pixel_stats(data)
                         or gif_pixel_stats(data)
+                        or jpeg_dc_stats(data)
                         or wav_pcm_stats(data)
                         or wav_adpcm_stats(data)
                     )

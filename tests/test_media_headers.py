@@ -736,3 +736,65 @@ def test_wav_adpcm_degrade_and_codec_dispatch():
     off = full.find(b"data") + 8 + 2
     broken[off] = 120  # step index > 88
     assert wav_adpcm_stats(bytes(broken)) is None
+
+
+# ---------------------------------------------------------------------------
+# r10 — baseline-JPEG entropy decode (DC-only profile)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    wb=st.integers(min_value=1, max_value=5),
+    hb=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_jpeg_dc_stats_roundtrip(wb, hb, seed):
+    import numpy as np
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        build_jpeg_dc,
+        jpeg_dc_stats,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = [int(v) for v in rng.integers(0, 256, wb * hb)]
+    s = jpeg_dc_stats(build_jpeg_dc(wb * 8, hb * 8, vals))
+    assert s == {
+        "n_units": wb * hb * 64,
+        "c0_sum": sum(vals) * 64,
+        "c0_min": min(vals),
+        "c0_max": max(vals),
+    }
+
+
+def test_jpeg_dc_byte_stuffing_and_prediction():
+    # alternating extremes force 0xFF bytes in the scan (stuffing) and
+    # maximal DC deltas (category 9 + extend bits, both signs)
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        build_jpeg_dc,
+        jpeg_dc_stats,
+    )
+
+    vals = [255, 0] * 8
+    s = jpeg_dc_stats(build_jpeg_dc(32, 32, vals))
+    assert s == {
+        "n_units": 1024, "c0_sum": 255 * 8 * 64, "c0_min": 0,
+        "c0_max": 255,
+    }
+
+
+def test_jpeg_dc_degrade_paths():
+    from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (
+        build_jpeg_dc,
+        jpeg_dc_stats,
+    )
+
+    full = build_jpeg_dc(16, 16, [1, 2, 3, 4])
+    assert jpeg_dc_stats(full) is not None
+    for cut in range(0, len(full), 3):
+        jpeg_dc_stats(full[:cut])  # never raises
+    assert jpeg_dc_stats(full[:-10]) is None       # truncated scan
+    assert jpeg_dc_stats(b"\xff\xd8junk") is None
+    # the header-only S-fixture JPEG (no DHT/SOS) degrades
+    assert jpeg_dc_stats(build_jpeg(8, 8)) is None
+    assert sniff(full)["width"] == 16              # header sniff intact
