@@ -613,8 +613,8 @@ def gen_media_rows(seed: int) -> list[tuple[int, str, bytes | None]]:
     so the profile is a crash/degrade check over the FULL Spark
     operators (mapInPandas plumbing included), not just the parsers."""
     from ade_agente_documental_empresarial___miner_a_spark.sources.media_headers import (  # noqa: E501
-        build_avi, build_bmp, build_gif, build_jpeg, build_png, build_wav,
-        build_wav_ima,
+        build_avi, build_bmp, build_gif, build_jpeg, build_jpeg_dc,
+        build_png, build_wav, build_wav_ima,
     )
 
     rng = _rng(seed, "media")
@@ -646,6 +646,9 @@ def gen_media_rows(seed: int) -> list[tuple[int, str, bytes | None]]:
                             [(9, 8, 7), (1, 2, 3)])),
         ("audio", build_wav_ima(65, int(rng.integers(-30000, 30000)),
                                 spike_pos=int(rng.integers(1, 61)))),
+        ("image", build_jpeg_dc(16, 24,
+                                [int(v) for v in
+                                 rng.integers(0, 256, 6)])),
     ]
     for kind, data in valids:
         add(kind, data)
