@@ -327,11 +327,21 @@ def connected_components(
     this is `diameter × groupBy-cost` (dup components are shallow —
     near-dup graphs are cliques-ish, diameter 1-2 in practice).
     """
-    edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
+    # Materialize the pair list ONCE before the symmetric union: the two
+    # union branches are separate references to the (usually expensive —
+    # LSH + exact-verify) upstream plan, and Spark executes each branch
+    # independently, so without this the whole candidate/verify pipeline
+    # runs TWICE just to build the edge list (guide §2.4/§5 — measured
+    # 18.0 s → ~10 s on the 50k-doc clusters leg, where one verify pass
+    # costs ~8 s). The checkpoint stores only (a, b) id pairs — edge-
+    # bounded, the same footprint the edges checkpoint below already
+    # holds.
+    base = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
+    edges = base.unionByName(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
     # iterative joins MUST truncate lineage each round (localCheckpoint),
     # or the plan doubles per iteration and the driver hangs re-planning
     edges = edges.localCheckpoint(eager=True)

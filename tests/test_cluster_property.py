@@ -79,3 +79,31 @@ def test_connected_components_long_chain_converges(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+def test_connected_components_materializes_pairs_once(spark):
+    # r10 optimization pin: the symmetric edge union must read a
+    # checkpointed copy of the pair list, NOT re-execute the (often
+    # expensive LSH+verify) upstream plan once per union branch. An
+    # accumulator-instrumented pandas_udf in the pairs plan counts
+    # upstream row evaluations: exactly n_pairs, not 2*n_pairs.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf("long")
+    def tick(s: pd.Series) -> pd.Series:
+        acc.add(len(s))
+        return s
+
+    edges = [(0, 1), (1, 2), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long").select(
+        tick("a").alias("doc_a"), F.col("b").alias("doc_b")
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+    assert acc.value == len(edges), (
+        f"pairs plan executed {acc.value / len(edges):.1f}x; "
+        "expected exactly once (pre-union localCheckpoint)"
+    )
