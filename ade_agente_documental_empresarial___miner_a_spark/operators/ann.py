@@ -236,24 +236,45 @@ def lloyd_refine_codebook(
 
     cents = _centroid_rows(emb, n_centroids, vec_col, id_col)
     for _ in range(iters):
-        # impl="arrow" swaps ONLY the assignment kernel; the centroid
-        # update below stays exact-integer Spark aggs, so the refined
-        # codebook is bit-identical whenever the assignments agree
-        # (pinned by tests on the fixtures).
-        assigned = _assigner(impl)(
-            emb, n_centroids, vec_col, id_col, cents=cents
-        )
-        codes = assigned.select(
-            "cell",
-            F.posexplode(
-                quantize_i8(F.col(vec_col), abs_max(F.col(vec_col)))
-            ).alias("i", "code"),
-        )
-        means = codes.groupBy("cell", "i").agg(
-            (
-                F.sum("code").cast("double") / F.count(F.lit(1)).cast("double")
-            ).alias("c")
-        )
+        if impl == "arrow" and _cents_dense(cents):
+            # fused Arrow kernel: assignment + map-side integer partial
+            # aggregation in one pass over only the vector column — the
+            # exploded (n_rows x dim)-row generate/agg below was the
+            # dominant IVF build cost (guide §2.3/§4.2; measured ~3.5 s
+            # of the 100k-vector Lloyd pass). Integer partial sums are
+            # order-independent, so the means — and the codebook — are
+            # bit-identical (tests/test_ann_arrow.py pins this,
+            # including NULL/ragged/non-finite edges).
+            partials = _lloyd_partials_arrow(emb, cents, vec_col)
+            means = partials.groupBy("cell", "i").agg(
+                (
+                    F.sum("psum").cast("double")
+                    / F.sum("pcnt").cast("double")
+                ).alias("c")
+            )
+        else:
+            # impl="hof": the bit-exact all-Spark opt-out lane — assignment
+            # via the Catalyst HOF fold, update via posexplode + agg. A
+            # non-dense codebook (ragged/None centroids) also lands here
+            # with the HOF assigner: the numpy kernels need a rectangular
+            # matrix (the pre-r10 arrow lane raised on such codebooks;
+            # the HOF fold pads and is the lane's exactness contract).
+            up_impl = "hof" if impl == "arrow" else impl
+            assigned = _assigner(up_impl)(
+                emb, n_centroids, vec_col, id_col, cents=cents
+            )
+            codes = assigned.select(
+                "cell",
+                F.posexplode(
+                    quantize_i8(F.col(vec_col), abs_max(F.col(vec_col)))
+                ).alias("i", "code"),
+            )
+            means = codes.groupBy("cell", "i").agg(
+                (
+                    F.sum("code").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("c")
+            )
         rows = (
             means.groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("s"))
@@ -264,6 +285,235 @@ def lloyd_refine_codebook(
 
 
 _const_l2_norm = const_l2_norm  # |c| with l2_norm's exact fold (vector.py)
+
+
+def _cents_dense(cents: list[tuple[int, list[float]]]) -> bool:
+    """True when the codebook is a dense rectangular float matrix — the
+    precondition for the numpy kernels. Adversarial refinements (ragged
+    seed vectors, all-NULL-element cells) can yield ragged or
+    None-bearing centroids, which the HOF fold pads/propagates; those
+    iterations fall back to the all-Spark update path."""
+    if not cents:
+        return False
+    d = len(cents[0][1])
+    return all(
+        len(cvec) == d and all(x is not None for x in cvec)
+        for _, cvec in cents
+    )
+
+
+def _codebook_np(cents: list[tuple[int, list[float]]]):
+    """(C, cids, cnorms, dim) in the cid-DESCENDING layout the Arrow
+    assignment kernel scans (argmax-first-max then matches the HOF
+    struct-max tie rule — see ivf_assign_arrow)."""
+    import numpy as np
+
+    by_cid_desc = sorted(cents, key=lambda t: -t[0])
+    C = np.asarray([cvec for _, cvec in by_cid_desc], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in by_cid_desc], dtype=np.int64)
+    cnorms = np.asarray(
+        [const_l2_norm(cvec) for _, cvec in by_cid_desc], dtype=np.float64
+    )
+    return C, cids, cnorms, C.shape[1]
+
+
+def _assign_cells_matmul(v, C, cids, cnorms):
+    """HOF-exact argmax-cosine cells for a dense (n, dim) float64 matrix.
+
+    The shared batch core of ivf_assign_arrow (see its docstring for the
+    three NULL/NaN/zero-norm cases and why each matches the HOF fold);
+    rows whose elements were NULL arrive here as NaN (Arrow->numpy) and
+    fall out through the NaN branch to cids[0], the same largest-cid
+    outcome the HOF all-NULL struct-max produces."""
+    import numpy as np
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vnorms = np.sqrt((v * v).sum(axis=1, keepdims=True))
+        scores = (v @ C.T) / (vnorms * cnorms)
+    denom_zero = (vnorms * cnorms) == 0.0
+    scores = np.where(denom_zero, -np.inf, scores)
+    nan = np.isnan(scores)
+    pick = np.where(
+        nan.any(axis=1),
+        nan.argmax(axis=1),
+        np.where(nan, -np.inf, scores).argmax(axis=1),
+    )
+    return cids[pick]
+
+
+_LONG_MAX = (1 << 63) - 1
+_LONG_MIN = -(1 << 63)
+
+
+def _quantize_row_exact(vals: list) -> list:
+    """Spark-exact quantize_i8(v, abs_max(v)) for ONE row that the
+    vectorized fast path cannot take (NULL elements, ragged length, or
+    non-finite values). Mirrors the engine semantics probed on Spark
+    4.1: abs_max = greatest-fold over non-NULL |x| (NaN wins, NULLs
+    skipped, floor 1e-30); code = floor(x*127.0/scale + 0.5) with
+    floor(NULL)=NULL, floor(NaN)=0, floor(+-inf)=+-Long.MAX/MIN."""
+    import math
+
+    nn = [abs(float(x)) for x in vals if x is not None]
+    if any(math.isnan(x) for x in nn):
+        scale = float("nan")
+    else:
+        scale = max(nn, default=0.0)
+        scale = scale if scale > 1e-30 else 1e-30
+    out = []
+    for x in vals:
+        if x is None:
+            out.append(None)
+            continue
+        t = float(x) * 127.0 / scale + 0.5
+        if math.isnan(t):
+            out.append(0)
+        elif t == float("inf"):
+            out.append(_LONG_MAX)
+        elif t == float("-inf"):
+            out.append(_LONG_MIN)
+        else:
+            out.append(math.floor(t))
+    return out
+
+
+def _lloyd_partials_arrow(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(cell, i) partial code sums/counts for the Lloyd centroid
+    update, computed inside ONE Arrow pass over only the vector column.
+
+    The HOF update path materializes n_rows x dim exploded (cell, i,
+    code) rows (posexplode of an interpreted quantize_i8 transform) just
+    to sum them into n_cells x dim groups — at 100k x 64 that is a 6.4M-
+    row generate + hash-agg whose cost dominates the whole IVF build
+    (guide §2.3 "aggregate before you shuffle", §4.2). This kernel fuses
+    assignment (the same matmul core as ivf_assign_arrow) and the
+    integer partial aggregation into the map side: each Arrow batch
+    emits at most n_cells x dim tiny partial rows (cell, i, psum, pcnt).
+    Integer sums are order-independent, so the final per-(cell, i)
+    sum/count — and therefore the refined codebook — is BIT-IDENTICAL
+    to the exploded path (pinned in tests/test_ann_arrow.py, including
+    the NULL-element / ragged / non-finite edges):
+
+    - NULL embedding row: posexplode emits nothing -> contributes nothing.
+    - NULL element: the exploded row is counted but its code is NULL
+      (sum skips it) -> pcnt 1, psum NULL; a partial group whose codes
+      are all NULL must yield a NULL sum, so partials carry psum=NULL
+      and Spark's NULL-skipping sum over partials reproduces the
+      all-NULL -> NULL case exactly.
+    - ragged rows quantize over their actual length (posexplode
+      semantics), via the exact per-row fallback.
+    - non-finite rows ride the per-row fallback with the probed
+      floor(NaN)=0 / floor(+-inf)=Long.MAX/MIN semantics.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    C, cids, cnorms, dim = _codebook_np(cents)
+
+    def partials(batches):
+        for rb in batches:
+            arr = rb.column(0)
+            if rb.num_rows == 0:
+                continue
+            row_valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            lengths = pc.list_value_length(arr).to_numpy(
+                zero_copy_only=False
+            )
+            # flatten() skips NULL list rows, so its values line up with
+            # the row_valid rows in order
+            values = arr.flatten()
+            elem_null = pc.is_null(values).to_numpy(zero_copy_only=False)
+            vals = values.to_numpy(zero_copy_only=False).astype(np.float64)
+            vlen = lengths[row_valid].astype(np.int64)
+            n_valid = int(row_valid.sum())
+            if n_valid == 0:
+                continue
+            cell_acc: dict[int, np.ndarray] = {}
+            cnt_acc: dict[int, int] = {}
+            extra = []  # (cell, i, psum_or_None, pcnt) fallback rows
+            if (vlen == dim).all():
+                M = vals.reshape(n_valid, dim)
+                anynull = elem_null.reshape(n_valid, dim).any(axis=1)
+                cells = _assign_cells_matmul(M, C, cids, cnorms)
+                clean = ~anynull & np.isfinite(M).all(axis=1)
+                if clean.any():
+                    vc = M[clean]
+                    cc = cells[clean]
+                    scale = np.maximum(np.abs(vc).max(axis=1), 1e-30)
+                    codes = np.floor(
+                        vc * 127.0 / scale[:, None] + 0.5
+                    ).astype(np.int64)
+                    ucells, inv = np.unique(cc, return_inverse=True)
+                    sums = np.zeros((len(ucells), dim), dtype=np.int64)
+                    np.add.at(sums, inv, codes)
+                    cnts = np.bincount(inv, minlength=len(ucells))
+                    for j, cid in enumerate(ucells):
+                        cell_acc[int(cid)] = sums[j]
+                        cnt_acc[int(cid)] = int(cnts[j])
+                fb_idx = np.nonzero(~clean)[0]
+            else:
+                # mixed/ragged batch: everything through the fallback
+                cells = None
+                fb_idx = np.arange(n_valid)
+            if len(fb_idx):
+                ends = np.cumsum(vlen)
+                starts = ends - vlen
+                for r in fb_idx:
+                    s, e = int(starts[r]), int(ends[r])
+                    row = [
+                        None if elem_null[p] else float(vals[p])
+                        for p in range(s, e)
+                    ]
+                    if cells is not None:
+                        cell = int(cells[r])
+                    elif e - s == dim and not any(
+                        x is None for x in row
+                    ):
+                        cell = int(
+                            _assign_cells_matmul(
+                                np.asarray(
+                                    [row], dtype=np.float64
+                                ),
+                                C,
+                                cids,
+                                cnorms,
+                            )[0]
+                        )
+                    else:
+                        # ragged or NULL-element: every HOF score is
+                        # NULL -> struct-max falls to the largest cid
+                        cell = int(cids[0])
+                    for i, code in enumerate(_quantize_row_exact(row)):
+                        extra.append((cell, i, code, 1))
+            out_cell, out_i, out_psum, out_pcnt = [], [], [], []
+            for cid in sorted(cell_acc):
+                out_cell.extend([cid] * dim)
+                out_i.extend(range(dim))
+                out_psum.extend(int(x) for x in cell_acc[cid])
+                out_pcnt.extend([cnt_acc[cid]] * dim)
+            for cell, i, code, n in extra:
+                out_cell.append(cell)
+                out_i.append(i)
+                out_psum.append(code)
+                out_pcnt.append(n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_cell, pa.int64()),
+                    pa.array(out_i, pa.int32()),
+                    pa.array(out_psum, pa.int64()),
+                    pa.array(out_pcnt, pa.int64()),
+                ],
+                ["cell", "i", "psum", "pcnt"],
+            )
+
+    return emb.select(vec_col).mapInArrow(
+        partials, schema="cell long, i int, psum long, pcnt long"
+    )
 
 
 def _cell_scores(

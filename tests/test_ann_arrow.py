@@ -170,3 +170,43 @@ def test_exact_score_ties_resolve_to_larger_cid_on_both_kernels(spark):
         for r in ivf_assign_arrow(emb, cents=cents).collect()
     }
     assert hof == arrow == {10: 2, 11: 0, 12: 2}
+
+
+def test_lloyd_fused_partials_update_matches_hof_on_edges(spark):
+    # r10 optimization pin: the arrow lane's fused mapInArrow centroid
+    # update (assignment + map-side integer partial sums,
+    # _lloyd_partials_arrow) must refine BIT-IDENTICAL codebooks to the
+    # all-Spark posexplode+agg path across the full edge surface: NULL
+    # vectors (contribute nothing), NULL elements (counted, code NULL),
+    # ragged short/long rows (quantized over their actual length),
+    # NaN/inf rows (floor(NaN)=0, floor(+-inf)=Long.MAX/MIN), zero
+    # vectors and sub-1e-30 values (the abs_max guard). Iteration 2
+    # starts from an adversarially RAGGED refined codebook, which must
+    # route through the HOF fallback on the arrow lane too.
+    from ade_agente_documental_empresarial___miner_a_spark.operators.ann import (
+        lloyd_refine_codebook,
+    )
+
+    rows = [
+        (0, [0.1] * 8),
+        (1, [0.2] * 8),
+        (2, [-0.9] * 8),
+        (3, [0.5, -0.5, 0.25, -0.25, 0.125, 1.0, -1.0, 0.0]),
+        (12, None),
+        (13, [0.3] * 7),
+        (14, [0.1] * 8 + [0.5]),
+        (15, [None] + [0.4] * 7),
+        (16, [float("nan")] + [1.0] * 7),
+        (17, [float("inf")] + [1.0] * 7),
+        (18, [0.0] * 8),
+        (19, [1e-32] * 8),
+        (20, [-0.7] * 8),
+        (21, [float("-inf")] * 8),
+        (22, [None] * 8),
+    ]
+    edge = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    a = lloyd_refine_codebook(edge, 4, iters=2, impl="arrow")
+    h = lloyd_refine_codebook(edge, 4, iters=2, impl="hof")
+    assert a == h
