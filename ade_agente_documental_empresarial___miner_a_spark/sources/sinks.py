@@ -39,6 +39,72 @@ def chat_store_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _is_local_store(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` resolves to the driver-local filesystem: no
+    explicit URI scheme (hdfs://, s3a://, even file:) and a file: default
+    FS. The same rule append_chat_history uses to pick the driver-side
+    Arrow writer — Spark readers resolve bare paths against defaultFS,
+    so anything else must go through the Hadoop readers/writers."""
+    import re
+
+    default_fs = spark._jsc.hadoopConfiguration().get(
+        "fs.defaultFS", "file:///"
+    )
+    return not re.match(
+        r"^[a-zA-Z][a-zA-Z0-9+.-]*:", path
+    ) and default_fs.startswith("file:")
+
+
+_FOOTER_MISS = object()  # sentinel: statistics could not prove the max
+
+
+def _footer_max_turn_id(path: str):
+    """Exact ``max(turn_id)`` from local parquet FOOTER statistics — the
+    metadata-only fast path for the per-turn counter read (r10: the
+    stateless chat tier paid a full Spark aggregation job per persisted
+    turn just for this one long). Returns the max (or None for an empty/
+    all-NULL store) only when every visible file's row groups carry
+    provably-exact int64 min/max stats; any doubt → ``_FOOTER_MISS`` and
+    the caller falls back to the Spark aggregation. Readers skip dot/
+    underscore-prefixed names exactly as Spark's file index does, so a
+    crashed ``.part-*.tmp`` never contributes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        names = [
+            n
+            for n in os.listdir(path)
+            if not n.startswith((".", "_"))
+            and os.path.isfile(os.path.join(path, n))
+        ]
+        best = None
+        for n in names:
+            md = pq.ParquetFile(os.path.join(path, n)).metadata
+            try:
+                ci = md.schema.names.index("turn_id")
+            except ValueError:
+                return _FOOTER_MISS
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None:
+                    return _FOOTER_MISS
+                if not st.has_min_max:
+                    # exact only if provably all-NULL in this group
+                    if st.has_null_count and st.null_count == col.num_values:
+                        continue
+                    return _FOOTER_MISS
+                v = st.max
+                if not isinstance(v, int):
+                    return _FOOTER_MISS
+                best = v if best is None else max(best, v)
+        return best
+    except Exception:  # noqa: BLE001 — any surprise → exact Spark path
+        return _FOOTER_MISS
+
+
 def _next_turn_id(spark: SparkSession, path: str) -> int:
     # ONLY the missing-history case may restart numbering at 0. A
     # transient read failure must propagate — swallowing it would
@@ -47,6 +113,10 @@ def _next_turn_id(spark: SparkSession, path: str) -> int:
     # existence probe there is no except-clause left to mis-swallow it.
     if not chat_store_exists(spark, path):
         return 0
+    if _is_local_store(spark, path):
+        m = _footer_max_turn_id(path)
+        if m is not _FOOTER_MISS:
+            return (m if m is not None else -1) + 1
     prev = spark.read.schema(CHAT_SCHEMA).parquet(path)
     row = prev.agg(F.max("turn_id").alias("m")).collect()[0]
     return (row.m if row.m is not None else -1) + 1
@@ -170,14 +240,7 @@ def append_chat_history(
             .save()
         )
         return
-    import re
-
-    default_fs = spark._jsc.hadoopConfiguration().get(
-        "fs.defaultFS", "file:///"
-    )
-    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", path) or not default_fs.startswith(
-        "file:"
-    ):
+    if not _is_local_store(spark, path):
         # explicit URI scheme (hdfs://, s3a://, even file:) OR a bare
         # path under a non-local fs.defaultFS: the driver-side write
         # below is local-FS only, and Spark readers resolve bare paths

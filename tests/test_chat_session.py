@@ -141,3 +141,77 @@ def test_session_job_budget(spark, tmp_path):
         f"session turn launched {len(new_jobs)} jobs, expected <=1"
     )
     chunks.unpersist()
+
+
+def test_next_turn_id_footer_fast_path_matches_spark(spark, tmp_path):
+    # r10 optimization pin: for a local store the per-turn counter read
+    # comes from parquet FOOTER statistics (zero Spark jobs) and must
+    # equal the Spark aggregation exactly — across multiple append
+    # batches, a fresh user joining other users' history, and a store
+    # whose turn_ids are all NULL (footer stats unprovable -> exact
+    # Spark fallback).
+    from pyspark.sql import functions as F
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
+        _footer_max_turn_id,
+        _FOOTER_MISS,
+        _next_turn_id,
+        append_chat_history,
+        read_chat_history,
+    )
+
+    path = str(tmp_path / "hist")
+    append_chat_history(
+        spark, [("vera", f"q{i}", f"a{i}", None, 3, 2) for i in range(4)], path
+    )
+    append_chat_history(spark, [("ana", "q", "a", None, 3, 2)], path)
+    spark_max = read_chat_history(spark, path).agg(
+        F.max("turn_id")
+    ).collect()[0][0]
+    assert _footer_max_turn_id(path) == spark_max == 4
+    assert _next_turn_id(spark, path) == 5
+
+    # all-NULL turn_id file: stats cannot prove a max -> Spark fallback
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    null_tbl = pa.table(
+        {
+            "user": ["x"],
+            "message": ["m"],
+            "response": ["r"],
+            "ts": pa.array([None], pa.timestamp("us", tz="UTC")),
+            "prompt_tokens": pa.array([1], pa.int64()),
+            "completion_tokens": pa.array([1], pa.int64()),
+            "turn_id": pa.array([None], pa.int64()),
+        }
+    )
+    pq.write_table(null_tbl, str(tmp_path / "hist" / "part-null.parquet"))
+    got = _footer_max_turn_id(path)
+    assert got == 4 or got is _FOOTER_MISS  # all-NULL group skipped or miss
+    assert _next_turn_id(spark, path) == 5  # either way: exact
+
+
+def test_stateless_turn_job_budget(spark, tmp_path):
+    """r10 optimization pin: one stateless turn = TWO Spark jobs (the
+    history-tail read, then the retrieval collect); the pre-r10 loop
+    paid a third — a full Spark aggregation at append time just to read
+    max(turn_id), now served from local parquet footer statistics."""
+    from ade_agente_documental_empresarial___miner_a_spark.plans.chat import (
+        answer_question,
+    )
+
+    chunks = make_index(spark).persist()
+    chunks.count()
+    hist = str(tmp_path / "h")
+    answer_question(spark, chunks, "ana", "warm", history_path=hist)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    answer_question(spark, chunks, "ana", "counted", history_path=hist)
+    after = tracker.getJobIdsForGroup(None)
+    new_jobs = set(after) - set(before)
+    assert len(new_jobs) <= 2, (
+        f"stateless turn launched {len(new_jobs)} jobs, expected <=2"
+    )
+    chunks.unpersist()
