@@ -101,6 +101,22 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def cosine_staged(
+    vec_col: Column, qvec_col: Column, vnorm_col: Column, qnorm_col: Column
+) -> Column:
+    """cosine(v, q) with BOTH norms pre-staged as per-row columns — a
+    bit-exact re-grouping of cosine_similarity(v, q): same dot fold,
+    same |v| and |q| folds (computed once per row/side via l2_norm in a
+    projection BELOW the join instead of once per PAIR inside the score
+    expression), same multiply order (vnorm * qnorm), same try_divide.
+    HOF folds evaluate interpreted (outside codegen), so an N x M scorer
+    paying 3 folds per pair spends ~2/3 of its CPU re-deriving norms the
+    pair join already knows — staging them is the r10 fix for the
+    N x M hot paths (knn_join, lsh_topk, the IVF rerank, the reference
+    1 x N family)."""
+    return F.try_divide(dot(vec_col, qvec_col), vnorm_col * qnorm_col)
+
+
 def const_l2_norm(vec: list[float]) -> float:
     """Driver-side |v| for a LITERAL vector, with the EXACT fold
     l2_norm() uses (s=0; s+=xᵢ² left-to-right; sqrt) — Python doubles

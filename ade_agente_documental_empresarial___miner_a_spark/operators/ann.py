@@ -126,17 +126,30 @@ def lsh_topk(
     rerank, top-k per query. Returns (query_id, vec_id, score, rnk)."""
     from pyspark.sql import Window
 
+    from ..functions.vector import cosine_staged
+
     planes = planes or hyperplanes()
+    # norms staged once per side below the bucket join (bit-exact
+    # re-grouping of cosine_similarity — see cosine_staged): the
+    # interpreted norm folds run N + M times, not per candidate pair
     q = with_buckets(queries, vec_col, planes).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         "bucket",
     )
-    idx = with_buckets(index, vec_col, planes)
+    idx = with_buckets(index, vec_col, planes).withColumn(
+        "_vn", l2_norm(F.col(vec_col))
+    )
     joined = (
         idx.join(F.broadcast(q), "bucket")
         .where(F.col(id_col) != F.col("query_id"))
-        .withColumn("score", cosine_similarity(F.col(vec_col), F.col("_qvec")))
+        .withColumn(
+            "score",
+            cosine_staged(
+                F.col(vec_col), F.col("_qvec"), F.col("_vn"), F.col("_qn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     return (
@@ -740,20 +753,30 @@ def ivf_topk(
         1,
         nprobe,
     )
+    from ..functions.vector import cosine_staged
+
     q = (
         emb.where(F.col(id_col) == query_id)
-        .select(F.col(vec_col).alias("_qvec"))
+        .select(
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+        )
         .withColumn(
             "_cells", F.transform(probed, lambda s: s["cid"].cast("long"))
         )
     )
-    cand = assigned.join(
+    # |v| staged once per candidate row, |q| once on the 1-row broadcast
+    # side (bit-exact re-grouping — cosine_staged): the exact rerank was
+    # re-folding the query norm per candidate
+    cand = assigned.withColumn("_vn", l2_norm(F.col(vec_col))).join(
         F.broadcast(q), F.array_contains(F.col("_cells"), F.col("cell"))
     )
     scored = cand.select(
         id_col,
         "label",
-        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("score"),
+        cosine_staged(
+            F.col(vec_col), F.col("_qvec"), F.col("_vn"), F.col("_qn")
+        ).alias("score"),
     )
     top = scored.orderBy(F.desc("score"), id_col).limit(k)
     # Unpartitioned Window = single-partition sort — safe ONLY because it

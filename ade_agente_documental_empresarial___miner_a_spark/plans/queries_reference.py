@@ -188,14 +188,27 @@ def a3_chunk_count(spark: SparkSession, sf: str) -> DataFrame:
 # similarity family over the embeddings fixture. Query vector = the
 # embedding of a fixed vec_id, cross-joined (broadcast) — 1×N J3 join.
 def _scored(spark: SparkSession, sf: str, query_vec_id: int) -> DataFrame:
+    from ..functions.vector import cosine_staged, l2_norm
+
     emb = table(spark, sf, "embeddings")
+    # |q| staged once on the 1-row broadcast side, |v| once per index row
+    # below the join — a bit-exact re-grouping of cosine_similarity (same
+    # folds, same multiply order; see functions/vector.cosine_staged), so
+    # the DuckDB oracle mirror is unchanged
     q = emb.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("_qvec")
+        F.col("embedding").alias("_qvec"),
+        l2_norm(F.col("embedding")).alias("_qn"),
     )
-    return emb.crossJoin(F.broadcast(q)).select(
-        "vec_id",
-        "label",
-        cosine_similarity(F.col("embedding"), F.col("_qvec")).alias("score"),
+    return (
+        emb.withColumn("_vn", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_staged(
+                F.col("embedding"), F.col("_qvec"), F.col("_vn"), F.col("_qn")
+            ).alias("score"),
+        )
     )
 
 
