@@ -139,8 +139,19 @@ def lsh_candidate_pairs(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = buckets.alias("a")
     b = buckets.alias("b")
+    # Deliberate sort-merge on the band self-join (guide §3.1). Left to
+    # the planner, the bucket table's size estimate hovers around the
+    # broadcast threshold and the join flips to BroadcastHashJoin — which
+    # collects the WHOLE bucket table to the driver (a self-join has no
+    # small side; at 500k docs that broadcast OOMs) and, worse, executes
+    # the un-materialized 32-perm signature pipeline TWICE because only
+    # the shuffle form gives two identical Exchanges for ReusedExchange
+    # to collapse. Measured on the 50k-doc leg: broadcast mode 11.8 s vs
+    # 5.1 s forced-SMJ end-to-end. SMJ over shuffled-hash because exact-
+    # duplicate corpora put identical texts in ONE bucket key — SMJ
+    # spills gracefully where a hash build would OOM.
     return (
-        a.join(b, ["band", "key"])
+        a.join(b.hint("merge"), ["band", "key"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"),
@@ -225,8 +236,11 @@ def jaccard_pairs(
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # same deliberate SMJ as the band self-join in lsh_candidate_pairs:
+    # a self-join has no broadcastable side, and the shuffle form lets
+    # ReusedExchange compute the prefix pipeline once
     cands = (
-        a.join(b, ["shingle", block_col])
+        a.join(b.hint("merge"), ["shingle", block_col])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
