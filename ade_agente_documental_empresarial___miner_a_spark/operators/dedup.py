@@ -127,10 +127,18 @@ def lsh_candidate_pairs(
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+    # unhex: the band key only needs EQUALITY of the concatenated md5
+    # signatures, and unhex is bijective on hex digests — the join keys
+    # shrink from rows_per_band x 32 hex chars to half that in binary
+    # (guide §2.3 "narrower types": the band self-join's exchanges carry
+    # the key twice, so this halves the dominant shuffle bytes; bucket
+    # membership, and therefore every pair, is unchanged).
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat(*[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+            F.unhex(
+                F.concat(*[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)])
+            ).alias("key"),
         )
         for b in range(bands)
     ]
@@ -509,10 +517,16 @@ def substring_duplicate_spans(
         .where(F.size("w") >= span_words)
         .select(
             "doc_id",
+            # unhex: the gram is a pure shuffle/window key (never output),
+            # and unhex is bijective on md5 hex — 16-byte binary keys
+            # instead of 32-char strings through BOTH gram exchanges
+            # (guide §2.3; 110 MiB shuffled at the 10x leg before this)
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("w") - (span_words - 1)),
-                    lambda i: F.md5(F.array_join(F.slice(F.col("w"), i, span_words), " ")),
+                    lambda i: F.unhex(
+                        F.md5(F.array_join(F.slice(F.col("w"), i, span_words), " "))
+                    ),
                 )
             ).alias("gram"),
         )
