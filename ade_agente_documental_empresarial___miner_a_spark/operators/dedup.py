@@ -414,13 +414,31 @@ def embedding_dup_pairs(
     bucket blocking (``ann.with_buckets`` — see ``dedup_embedding_lsh``),
     which is this same scoring expression inside bucket-equi-join blocks.
     Returns (id_a, id_b, cos)."""
+    from ..functions.vector import cosine_staged, l2_norm
+
     if sample_cap is not None:
         emb = emb.where(F.col(id_col) < sample_cap)
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms staged once per side below the pair join (bit-exact
+    # re-grouping — functions/vector.cosine_staged): the N^2 scorer pays
+    # one interpreted fold per pair instead of three
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos",
+            cosine_staged(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+            ),
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

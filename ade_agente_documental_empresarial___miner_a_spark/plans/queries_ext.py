@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, duck_cosine
+from ..functions.vector import (
+    cosine_similarity,
+    cosine_staged,
+    duck_cosine,
+    l2_norm,
+)
 from ..operators import ann
 from ..operators.chunking import chunk_sections
 from ..operators.dedup import (
@@ -397,15 +402,28 @@ WHERE {duck_cosine("a.embedding", "b.embedding")} >= 0.3""",
 def dedup_embedding_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = ann.with_buckets(table(spark, sf, "embeddings"), planes=_PLANES)
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "bucket",
+        # norms staged once per side below the bucket join (bit-exact
+        # re-grouping — functions/vector.cosine_staged)
+        l2_norm(F.col("embedding")).alias("_na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "bucket",
+        l2_norm(F.col("embedding")).alias("_nb"),
     )
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos",
+            cosine_staged(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+            ),
+        )
         .where(F.col("cos") >= 0.3)
         .select("id_a", "id_b", "cos")
     )

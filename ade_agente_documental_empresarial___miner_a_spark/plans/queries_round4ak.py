@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, duck_cosine
+from ..functions.vector import cosine_staged, duck_cosine, l2_norm
 from ..functions.exactmath import dblround
 from .catalog import register, table
 
@@ -62,11 +62,13 @@ def emb_training_triplets(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding")).alias("_na"),
     )
     b = emb.where(F.col("vec_id") < _TRIPLET_CANDS).select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
         F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
     )
     scored = a.join(
         b, F.col("anchor_id") != F.col("cand_id")
@@ -75,7 +77,11 @@ def emb_training_triplets(spark: SparkSession, sf: str) -> DataFrame:
         "anchor_label",
         "cand_id",
         "cand_label",
-        cosine_similarity(F.col("va"), F.col("vb")).alias("cos"),
+        # norms staged once per side (bit-exact re-grouping —
+        # functions/vector.cosine_staged)
+        cosine_staged(
+            F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+        ).alias("cos"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cos").desc(), "cand_id"

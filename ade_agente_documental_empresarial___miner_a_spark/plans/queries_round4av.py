@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, duck_cosine
+from ..functions.vector import cosine_staged, duck_cosine, l2_norm
 from ..functions.exactmath import dblround
 from .catalog import register, table
 
@@ -89,20 +89,24 @@ SELECT step, vec_id, mmr_score FROM sel{_MMR_K}"""
 def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") == _MMR_QUERY_ID).select(
-        F.col("embedding").alias("qvec")
+        F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding")).alias("_qn"),
     )
     cands = (
         emb.where(
             (F.col("vec_id") < _MMR_CAND_CAP)
             & (F.col("vec_id") != _MMR_QUERY_ID)
         )
+        # norms staged once per side below the join (bit-exact
+        # re-grouping — functions/vector.cosine_staged)
+        .withColumn("_vn", l2_norm(F.col("embedding")))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "embedding",
-            cosine_similarity(F.col("embedding"), F.col("qvec")).alias(
-                "rel"
-            ),
+            cosine_staged(
+                F.col("embedding"), F.col("qvec"), F.col("_vn"), F.col("_qn")
+            ).alias("rel"),
         )
     )
     pool = (
@@ -116,17 +120,23 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     a = pool.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding")).alias("_na"),
     )
     b = pool.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
     )
     sims = (
         a.join(b, F.col("a_id") != F.col("b_id"))
         .select(
             "a_id",
             "b_id",
-            cosine_similarity(F.col("va"), F.col("vb")).alias("sim"),
+            cosine_staged(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+            ).alias("sim"),
         )
         .localCheckpoint(eager=True)
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, duck_cosine
+from ..functions.vector import cosine_staged, duck_cosine, l2_norm
 from ..functions.exactmath import dblround
 from .catalog import DUCK_EVENTS, events_table, register, table
 
@@ -54,13 +54,21 @@ def emb_isotropy(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id") < _ISO_CAP
     )
     a = emb.select(
-        F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        # norms staged once per side below the pair join (bit-exact
+        # re-grouping — functions/vector.cosine_staged)
+        l2_norm(F.col("embedding")).alias("_na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
     )
     pairs = a.join(b, F.col("ia") < F.col("ib")).select(
-        cosine_similarity(F.col("va"), F.col("vb")).alias("c")
+        cosine_staged(
+            F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+        ).alias("c")
     )
     q = pairs.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

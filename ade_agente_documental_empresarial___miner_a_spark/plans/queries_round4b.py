@@ -293,14 +293,15 @@ FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id"""
             "lex_rnk", F.row_number().over(wl).cast("long")
         ).select("doc_id", "lex_rnk")
 
-        from ..functions.vector import lit_doubles
+        from ..functions.vector import cosine_to_literal
 
-        qlit = lit_doubles(qvec)
         emb = table(spark, sf, "embeddings")
         dense0 = (
             emb.select(
                 F.col("vec_id").alias("doc_id"),
-                cosine_similarity(F.col("embedding"), qlit).alias("dscore"),
+                # literal query: |q| folds to a driver constant
+                # (bit-exact re-grouping — cosine_to_literal)
+                cosine_to_literal(F.col("embedding"), qvec).alias("dscore"),
             )
             .orderBy(F.desc("dscore"), "doc_id")
             .limit(10)

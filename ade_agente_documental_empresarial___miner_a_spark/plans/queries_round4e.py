@@ -552,7 +552,7 @@ GROUP BY exact5.qid"""
 def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import cosine_staged, l2_norm
     from ..operators.ann import (
         _cell_scores,
         ivf_assign_arrow,
@@ -570,7 +570,11 @@ def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     queries = (
         emb.where(F.col("vec_id") % 64 == 3)
         .select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            # norms staged once per side below the joins (bit-exact
+            # re-grouping — functions/vector.cosine_staged)
+            l2_norm(F.col("embedding")).alias("_qn"),
         )
         .withColumn(
             "_cells", F.transform(probed, lambda s: s["cid"].cast("long"))
@@ -578,29 +582,31 @@ def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
     ivf5 = (
-        assigned.join(
+        assigned.withColumn("_vn", l2_norm(F.col("embedding")))
+        .join(
             F.broadcast(queries),
             F.array_contains(F.col("_cells"), F.col("cell")),
         )
         .select(
             "qid",
             "vec_id",
-            cosine_similarity(F.col("embedding"), F.col("qvec")).alias(
-                "score"
-            ),
+            cosine_staged(
+                F.col("embedding"), F.col("qvec"), F.col("_vn"), F.col("_qn")
+            ).alias("score"),
         )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _EVAL_K)
         .select("qid", "vec_id")
     )
     exact5 = (
-        emb.crossJoin(F.broadcast(queries.select("qid", "qvec")))
+        emb.withColumn("_vn", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(queries.select("qid", "qvec", "_qn")))
         .select(
             "qid",
             "vec_id",
-            cosine_similarity(F.col("embedding"), F.col("qvec")).alias(
-                "score"
-            ),
+            cosine_staged(
+                F.col("embedding"), F.col("qvec"), F.col("_vn"), F.col("_qn")
+            ).alias("score"),
         )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _EVAL_K)

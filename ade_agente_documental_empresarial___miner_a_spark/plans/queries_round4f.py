@@ -298,7 +298,7 @@ FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id"""
 
 @register("dedup_semantic", _semdedup_sql())
 def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import cosine_staged, l2_norm
     from ..operators.ann import ivf_assign_arrow, lloyd_refine_codebook
 
     emb = table(spark, sf, "embeddings")
@@ -310,17 +310,23 @@ def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cell"),
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_vec"),
+        # norms staged once per side below the cell join (bit-exact
+        # re-grouping — functions/vector.cosine_staged)
+        l2_norm(F.col("embedding")).alias("_na"),
     )
     b = cells.select(
         F.col("cell"),
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_vec"),
+        l2_norm(F.col("embedding")).alias("_nb"),
     )
     dups = (
         a.join(b, "cell")
         .where(F.col("a_id") < F.col("b_id"))
         .where(
-            cosine_similarity(F.col("a_vec"), F.col("b_vec"))
+            cosine_staged(
+                F.col("a_vec"), F.col("b_vec"), F.col("_na"), F.col("_nb")
+            )
             >= _SEM_TAU
         )
         .select(F.col("b_id").alias("vec_id"))

@@ -241,17 +241,27 @@ GROUP BY full5.qid"""
 def emb_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import cosine_staged, l2_norm
 
     emb = table(spark, sf, "embeddings")
+    # norms (full and truncated) staged once per side below the join
+    # (bit-exact re-grouping — functions/vector.cosine_staged)
     queries = emb.where(F.col("vec_id") % 64 == 7).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding")).alias("_qn"),
+        l2_norm(F.slice(F.col("embedding"), 1, _MRL_DIMS)).alias("_qn_t"),
+    )
+    embn = emb.withColumn(
+        "_vn", l2_norm(F.col("embedding"))
+    ).withColumn(
+        "_vn_t", l2_norm(F.slice(F.col("embedding"), 1, _MRL_DIMS))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
 
     def top5(score_col):
         return (
-            emb.crossJoin(F.broadcast(queries))
+            embn.crossJoin(F.broadcast(queries))
             .select("qid", "vec_id", score_col.alias("score"))
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= _MRL_K)
@@ -259,12 +269,16 @@ def emb_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     full5 = top5(
-        cosine_similarity(F.col("embedding"), F.col("qvec"))
+        cosine_staged(
+            F.col("embedding"), F.col("qvec"), F.col("_vn"), F.col("_qn")
+        )
     )
     trunc5 = top5(
-        cosine_similarity(
+        cosine_staged(
             F.slice(F.col("embedding"), 1, _MRL_DIMS),
             F.slice(F.col("qvec"), 1, _MRL_DIMS),
+            F.col("_vn_t"),
+            F.col("_qn_t"),
         )
     )
     j = full5.join(

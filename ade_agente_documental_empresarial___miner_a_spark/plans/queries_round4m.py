@@ -443,7 +443,7 @@ SELECT vec_id, label, score, rnk FROM ranked WHERE rnk <= {k}"""
 def sim_ivf_filtered(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import cosine_staged, l2_norm
     from ..operators.ann import (
         _cell_scores,
         ivf_assign_arrow,
@@ -461,22 +461,31 @@ def sim_ivf_filtered(spark: SparkSession, sf: str) -> DataFrame:
     )
     q = (
         emb.where(F.col("vec_id") == qid)
-        .select(F.col("embedding").alias("_qvec"))
+        .select(
+            F.col("embedding").alias("_qvec"),
+            # norms staged once per side below the join (bit-exact
+            # re-grouping — functions/vector.cosine_staged)
+            l2_norm(F.col("embedding")).alias("_qn"),
+        )
         .withColumn(
             "_cells",
             F.transform(probed, lambda s: s["cid"].cast("long")),
         )
     )
-    cand = assigned.join(
-        F.broadcast(q),
-        F.array_contains(F.col("_cells"), F.col("cell")),
-    ).where(F.col("label") == target)
+    cand = (
+        assigned.withColumn("_vn", l2_norm(F.col("embedding")))
+        .join(
+            F.broadcast(q),
+            F.array_contains(F.col("_cells"), F.col("cell")),
+        )
+        .where(F.col("label") == target)
+    )
     scored = cand.select(
         "vec_id",
         "label",
-        cosine_similarity(F.col("embedding"), F.col("_qvec")).alias(
-            "score"
-        ),
+        cosine_staged(
+            F.col("embedding"), F.col("_qvec"), F.col("_vn"), F.col("_qn")
+        ).alias("score"),
     )
     top = scored.orderBy(F.desc("score"), "vec_id").limit(k)
     w = Window.orderBy(F.desc("score"), "vec_id")

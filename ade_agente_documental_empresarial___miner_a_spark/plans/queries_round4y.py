@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, duck_cosine
+from ..functions.vector import cosine_staged, duck_cosine, l2_norm
 from ..functions.exactmath import dblround, halfup_ratio, halfup_ratio_duck
 from .catalog import register, table
 
@@ -56,15 +56,22 @@ def emb_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("va"),
+        # norms staged once per side below the pair join (bit-exact
+        # re-grouping — functions/vector.cosine_staged)
+        l2_norm(F.col("embedding")).alias("_na"),
     )
     b = emb.where(F.col("vec_id") < _CAND_CAP).select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),
         F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
     )
     scored = a.join(
         b, F.col("neg_label") != F.col("anchor_label")
-    ).withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+    ).withColumn(
+        "cos",
+        cosine_staged(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")),
+    )
     rn = F.row_number().over(
         Window.partitionBy("anchor_id").orderBy(
             F.col("cos").desc(), "neg_id"

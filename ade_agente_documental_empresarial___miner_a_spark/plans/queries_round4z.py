@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, duck_cosine, duck_dot
+from ..functions.vector import (
+    cosine_similarity,
+    cosine_staged,
+    duck_cosine,
+    duck_dot,
+    l2_norm,
+)
 from .catalog import register, table
 
 _MIPS_ANCHORS = 32
@@ -59,10 +65,14 @@ def emb_mips_vs_cosine(spark: SparkSession, sf: str) -> DataFrame:
     a = emb.where(F.col("vec_id") < _MIPS_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("va"),
+        # norms staged once per side below the pair join (bit-exact
+        # re-grouping — functions/vector.cosine_staged)
+        l2_norm(F.col("embedding")).alias("_na"),
     )
     b = emb.where(F.col("vec_id") < _MIPS_CANDS).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
     )
     scored = a.join(
         b, F.col("anchor_id") != F.col("cand_id")
@@ -70,7 +80,9 @@ def emb_mips_vs_cosine(spark: SparkSession, sf: str) -> DataFrame:
         "anchor_id",
         "cand_id",
         dot(F.col("va"), F.col("vb")).alias("dot"),
-        cosine_similarity(F.col("va"), F.col("vb")).alias("cos"),
+        cosine_staged(
+            F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+        ).alias("cos"),
     )
     wd = Window.partitionBy("anchor_id").orderBy(
         F.col("dot").desc(), "cand_id"
