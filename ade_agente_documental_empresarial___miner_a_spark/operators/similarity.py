@@ -126,7 +126,8 @@ def knn_join(
     # stage |q| once per query row and |v| once per index row BELOW the
     # join: the interpreted HOF norm folds then run N + M times instead
     # of 2 x N x M (cosine_staged is a bit-exact re-grouping — measured
-    # ~2x on the 50-query x 2k-vector bench leg)
+    # 2.6x at 2M-pair volume; neutral at the tiny sf0.1 leg where job
+    # latency dominates)
     q = queries.select(
         F.col("query_id"),
         F.col(query_vec_col).alias("_qvec"),
