@@ -32,6 +32,22 @@ def normalized_text(col):
     return F.trim(F.lower(col))
 
 
+# Inputs at or below this estimated size take the latency-optimized
+# execution mode in lsh_candidate_pairs (eagerly materialized bucket
+# table); larger inputs keep the fully pipelined plan. Override with
+# spark.conf "spark.ade.dedup.smallInputBytes". See the comment at the
+# decision site for the measured trade.
+_SMALL_INPUT_BYTES_DEFAULT = 4 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated size of the plan's output in bytes — read from
+    the optimized logical plan's statistics, no job is run (for a parquet
+    scan this is the file size). Used only to pick a latency-vs-throughput
+    execution mode; never changes what is computed."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def spread(df: DataFrame, *by: str) -> DataFrame:
     """Repartition to the cluster's full parallelism before CPU-heavy
     map work. Parquet input splits are sized by bytes
@@ -120,10 +136,16 @@ def lsh_candidate_pairs(
     num_perm: int = 8,
     bands: int = 4,
     shingle_n: int = 2,
+    materialize_buckets: bool | None = False,
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs: docs sharing any band bucket.
 
     Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
+
+    ``materialize_buckets``: False (default) keeps the fully pipelined
+    plan; None picks by input size (see the decision-site comment) —
+    used by ``lsh_verified_pairs``, whose downstream verify phase is what
+    recoups the materialization latency on tiny inputs.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
@@ -145,6 +167,31 @@ def lsh_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Scale-adaptive materialization (guide §2.4 + r10-verdict #1): on TINY
+    # inputs the verified leg is stage-wave-latency-bound — eagerly
+    # materializing the (doc, band, key) bucket table (edge-bounded:
+    # docs × bands rows) lets everything downstream plan against a
+    # known-small local RDD and coalesce to single-task stages. On real
+    # volume the same checkpoint LOSES: it serializes the DAG (the verify
+    # side's shingle scan can no longer overlap the band join) and pays a
+    # full materialization wave — measured at the 50k-doc leg 7.1 s
+    # pipelined vs 8.9 s checkpointed, while the 5k-doc verified leg is
+    # ~1.9 s pipelined vs ~1.7 s checkpointed (interleaved A/B). The mode
+    # picks by the *input's* estimated bytes (no job; threshold
+    # conf-overridable), so production volumes always pipeline; the
+    # candidates-only entry point defaults to pipelined at every size
+    # (without the verify phase the extra job is never recouped). Values
+    # are identical either way — the checkpoint only cuts lineage.
+    if materialize_buckets is None:
+        small_bytes = int(
+            docs.sparkSession.conf.get(
+                "spark.ade.dedup.smallInputBytes",
+                str(_SMALL_INPUT_BYTES_DEFAULT),
+            )
+        )
+        materialize_buckets = _plan_size_bytes(docs) <= small_bytes
+    if materialize_buckets:
+        buckets = buckets.localCheckpoint(eager=True)
     a = buckets.alias("a")
     b = buckets.alias("b")
     # Deliberate sort-merge on the band self-join (guide §3.1). Left to
@@ -322,7 +369,8 @@ def lsh_verified_pairs(
     independent of how common any shingle is. Returns
     (doc_a, doc_b, n_common, jaccard)."""
     cands = lsh_candidate_pairs(
-        docs, text_col, id_col, num_perm, bands, shingle_n
+        docs, text_col, id_col, num_perm, bands, shingle_n,
+        materialize_buckets=None,  # size-adaptive — see decision site
     ).select("doc_a", "doc_b")
     sh = spread(docs, id_col).select(
         F.col(id_col),

@@ -211,3 +211,42 @@ def test_prefix_jaccard_property_random_corpora(spark):
         assert got == naive(corpus)
 
     check()
+
+
+def test_lsh_verified_materialized_mode_matches_pipelined(spark):
+    """r11 optimization pin: lsh_candidate_pairs' size-adaptive bucket
+    materialization (latency mode for tiny inputs) must be a pure
+    re-materialization — the pair set, band counts, and the downstream
+    verified jaccard values are identical in both modes."""
+    from ade_agente_documental_empresarial___miner_a_spark.operators.dedup import (
+        lsh_verified_pairs,
+    )
+
+    df = docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en"),
+            (2, "alpha beta gamma delta epsilon zeta", "en"),
+            (3, "alpha beta gamma delta epsilon eta", "en"),
+            (4, "totally different words entirely here now", "en"),
+            (5, "alpha beta gamma delta epsilon zeta theta", "en"),
+        ],
+    )
+    pipelined_c = {
+        tuple(r)
+        for r in lsh_candidate_pairs(df, materialize_buckets=False).collect()
+    }
+    materialized_c = {
+        tuple(r)
+        for r in lsh_candidate_pairs(df, materialize_buckets=True).collect()
+    }
+    assert pipelined_c == materialized_c and pipelined_c
+
+    spark.conf.set("spark.ade.dedup.smallInputBytes", "0")  # force pipeline
+    try:
+        pipelined_v = {tuple(r) for r in lsh_verified_pairs(df).collect()}
+    finally:
+        spark.conf.unset("spark.ade.dedup.smallInputBytes")
+    # literal DataFrames are tiny: the default (auto) path materializes
+    materialized_v = {tuple(r) for r in lsh_verified_pairs(df).collect()}
+    assert pipelined_v == materialized_v and pipelined_v
