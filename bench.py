@@ -680,22 +680,36 @@ def bench_stream_live_10x(spark, scale_dir: str, warm: bool = True) -> float:
         finally:
             shutil.rmtree(warm_root, ignore_errors=True)
 
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+        bounded_state_partitions,
+    )
+
     ckpt = tempfile.mkdtemp(prefix="ade_stream10x_ck_")
     try:
         t0 = time.time()
-        q = (
-            tumbling_metrics(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 8)
-                .parquet(src_path)
+        # State-key bound for THIS corpus, from its generator contract:
+        # events span 30 days → 720 one-hour tumbling windows × 5 event
+        # types = 3600 state keys (state is watermark-bounded and does
+        # not grow with the 1M input rows). bounded_state_partitions
+        # derives the state-store partition count from that bound
+        # (clamped to the session's cores-scaled shuffle partitions, so
+        # the low-core PERF runs keep their own ceiling) instead of
+        # paying a fixed per-partition commit for ~dozens of stores that
+        # would each hold a handful of rows — r10-verdict item 2.
+        with bounded_state_partitions(spark, expected_keys=720 * 5):
+            q = (
+                tumbling_metrics(
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 8)
+                    .parquet(src_path)
+                )
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.format("noop")
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         dt = round(time.time() - t0, 3)
         n_batches = len(q.recentProgress)
         rows = sum(p["numInputRows"] for p in q.recentProgress)

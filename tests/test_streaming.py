@@ -914,3 +914,52 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path):
         assert tuple(got[mid]) == tuple(want[mid]), mid
     # decode genuinely ran in the stream: real channel stats present
     assert any(g.n_units and g.n_units > 0 for g in got.values())
+
+
+def test_bounded_state_partitions_matches_default(spark, tmp_path):
+    """r11 optimization pin: bounded_state_partitions only changes the
+    state-store partition count of a NEW query — the aggregated rows are
+    identical to the session-default run, and the session conf is
+    restored on exit."""
+    from ade_agente_documental_empresarial___miner_a_spark.streaming.chat_stream import (
+        bounded_state_partitions,
+    )
+
+    src = tmp_path / "events_bounded"
+    write_events(src, EVENTS)
+
+    def run(name, ctx=None):
+        stream = stream_events(spark, str(src))
+        agg = tumbling_metrics(stream, window="1 hour", watermark="2 hours")
+        def go():
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        if ctx is None:
+            go()
+        else:
+            with ctx as n:
+                assert n == 1  # 6 keys / 1000 per partition -> 1
+                go()
+        return {
+            (ts_str(r.window_start), r.event_type): r.n_events
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    default_rows = run("bsp_default")
+    bounded_rows = run(
+        "bsp_bounded", bounded_state_partitions(spark, expected_keys=6)
+    )
+    assert bounded_rows == default_rows and bounded_rows
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # a large key bound clamps to the session default (never exceeds it)
+    with bounded_state_partitions(spark, expected_keys=10**9) as n:
+        assert n == int(before)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
