@@ -20,6 +20,9 @@ from ..operators.embedding import embed_one
 from ..operators.serving import RamServingIndex
 from ..operators.similarity import topk_similar
 from ..sources.sinks import (
+    _FOOTER_MISS,
+    _footer_user_tail,
+    _is_local_store,
     append_chat_history,
     chat_store_exists,
     read_chat_history,
@@ -113,6 +116,17 @@ def _load_past(
     # and same silent fs.exists probe — see chat_store_exists).
     if not chat_store_exists(spark, history_path):
         return []
+    if last_n_turns is not None and _is_local_store(spark, history_path):
+        # r11: driver-local stores serve the bounded tail from footer-
+        # pruned pyarrow reads (newest files until the user's top-n rows
+        # by (ts, turn_id) are provably covered) — zero Spark jobs, work
+        # O(covering files) not O(history); anything unprovable (nested
+        # layout, NULL keys, foreign schema) falls back to the exact
+        # Spark read below. Equivalence pinned by
+        # tests/test_chat_session.py::test_footer_user_tail_matches_spark.
+        tail_rows = _footer_user_tail(history_path, user, last_n_turns)
+        if tail_rows is not _FOOTER_MISS:
+            return tail_rows
     hist = read_chat_history(spark, history_path).where(
         F.col("user") == user
     )

@@ -73,12 +73,18 @@ def _footer_max_turn_id(path: str):
     import pyarrow.parquet as pq
 
     try:
-        names = [
-            n
-            for n in os.listdir(path)
-            if not n.startswith((".", "_"))
-            and os.path.isfile(os.path.join(path, n))
-        ]
+        names = []
+        for n in os.listdir(path):
+            if n.startswith((".", "_")):
+                continue
+            if not os.path.isfile(os.path.join(path, n)):
+                # a visible SUBDIRECTORY means a layout this flat-store
+                # reader does not understand (partitioned/nested) — its
+                # files could carry higher turn_ids, so the "max" below
+                # would under-count and re-issue ids. Route to the exact
+                # Spark read instead of guessing.
+                return _FOOTER_MISS
+            names.append(n)
         best = None
         for n in names:
             md = pq.ParquetFile(os.path.join(path, n)).metadata
@@ -103,6 +109,147 @@ def _footer_max_turn_id(path: str):
         return best
     except Exception:  # noqa: BLE001 — any surprise → exact Spark path
         return _FOOTER_MISS
+
+
+def _footer_user_tail(path: str, user: str, n: int):
+    """Exact per-user replay tail — the driver-local fast path for the
+    stateless tier's per-turn history read (r11; same discipline as
+    ``_footer_max_turn_id``): the newest files by footer (max ts,
+    max turn_id) are read driver-side with pyarrow until the user's top
+    ``n`` rows by (ts, turn_id) are PROVABLY covered — a remaining file
+    can be skipped only when its footer upper bound is strictly below
+    the n-th best key already in hand. Returns the tail as
+    [(message, response)] in ascending (ts, turn_id) order — exactly
+    what the Spark expression (filter user → orderBy ts desc, turn_id
+    desc_nulls_last → limit n → re-sort ascending) produces — or
+    ``_FOOTER_MISS`` when anything is unprovable: a visible
+    subdirectory, missing/unexpected columns, absent or non-int64/
+    non-timestamp statistics, or any NULL ts/turn_id (the Spark path's
+    nulls-last ordering is then authoritative). Work is O(covering
+    files), independent of stored history depth.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    need = ["user", "message", "response", "ts", "turn_id"]
+    try:
+        files = []
+        for name in os.listdir(path):
+            if name.startswith((".", "_")):
+                continue
+            full = os.path.join(path, name)
+            if not os.path.isfile(full):
+                return _FOOTER_MISS  # nested layout — Spark path decides
+            md = pq.ParquetFile(full).metadata
+            idx = {}
+            for c in need:
+                try:
+                    idx[c] = md.schema.names.index(c)
+                except ValueError:
+                    return _FOOTER_MISS
+            # prove the physical layout BEFORE trusting any bound: ts
+            # must be micros-unit UTC-adjusted, turn_id a plain INT64
+            import json
+
+            ts_sch = md.schema.column(idx["ts"])
+            id_sch = md.schema.column(idx["turn_id"])
+            ts_lt = json.loads(ts_sch.logical_type.to_json())
+            if (
+                ts_sch.physical_type != "INT64"
+                or ts_lt.get("Type") != "Timestamp"
+                or ts_lt.get("timeUnit") != "microseconds"
+                or not ts_lt.get("isAdjustedToUTC")
+                or id_sch.physical_type != "INT64"
+            ):
+                return _FOOTER_MISS
+            bound = None  # (max_ts_us, max_turn) upper bound over groups
+            n_rows = 0
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                ts_col, id_col = g.column(idx["ts"]), g.column(idx["turn_id"])
+                ts_st, id_st = ts_col.statistics, id_col.statistics
+                if (
+                    ts_st is None
+                    or id_st is None
+                    or not ts_st.has_min_max
+                    or not id_st.has_min_max
+                    or not ts_st.has_null_count
+                    or not id_st.has_null_count
+                    or ts_st.null_count
+                    or id_st.null_count
+                    or ts_col.num_values != g.num_rows
+                    or id_col.num_values != g.num_rows
+                ):
+                    # all-empty groups carry no stats but also no rows
+                    if g.num_rows == 0:
+                        continue
+                    return _FOOTER_MISS
+                ts_max, id_max = ts_st.max, id_st.max
+                # exact micros since epoch; anything else is a layout
+                # this reader does not understand
+                if not isinstance(id_max, int):
+                    return _FOOTER_MISS
+                try:
+                    ts_max_us = _utc_us(ts_max)
+                except (TypeError, ValueError):
+                    return _FOOTER_MISS
+                cand = (ts_max_us, id_max)
+                bound = cand if bound is None or cand > bound else bound
+                n_rows += g.num_rows
+            if n_rows:
+                files.append((bound, full))
+
+        files.sort(key=lambda f: f[0], reverse=True)
+        acc: list[tuple[int, int, object, object]] = []
+        kth = None  # n-th best (ts, turn_id) among acc, once len >= n
+        for bound, full in files:
+            if kth is not None and kth > bound:
+                break  # strictly above every remaining row's key
+            tbl = pq.read_table(full, columns=need)
+            ts_type = tbl.column("ts").type
+            if not (
+                pa.types.is_timestamp(ts_type)
+                and ts_type.unit == "us"
+                and ts_type.tz is not None
+            ):
+                # any other unit/adjustment would mix units with the
+                # footer bounds computed by _utc_us — not this layout
+                return _FOOTER_MISS
+            tbl = tbl.filter(pc.equal(tbl.column("user"), user))
+            if tbl.num_rows == 0:
+                continue
+            ts_us = tbl.column("ts").cast(pa.int64()).to_pylist()
+            ids = tbl.column("turn_id").to_pylist()
+            msgs = tbl.column("message").to_pylist()
+            resps = tbl.column("response").to_pylist()
+            if any(v is None for v in ts_us) or any(v is None for v in ids):
+                return _FOOTER_MISS
+            acc.extend(zip(ts_us, ids, msgs, resps))
+            if len(acc) >= n:
+                acc.sort(key=lambda r: (r[0], r[1]), reverse=True)
+                del acc[n:]
+                kth = (acc[-1][0], acc[-1][1])
+        acc.sort(key=lambda r: (r[0], r[1]))
+        return [(m, r) for _, _, m, r in acc[-n:]]
+    except Exception:  # noqa: BLE001 — any surprise → exact Spark path
+        return _FOOTER_MISS
+
+
+def _utc_us(ts) -> int:
+    """Exact microseconds since epoch of a parquet footer timestamp
+    statistic (pyarrow converts TIMESTAMP_MICROS stats to datetime —
+    tz-aware for isAdjustedToUTC writers like Spark and this module's
+    Arrow appender; a naive datetime here would be a non-UTC-adjusted
+    layout this reader must not guess about)."""
+    from datetime import datetime, timezone
+
+    if not isinstance(ts, datetime) or ts.tzinfo is None:
+        raise TypeError(f"unprovable ts statistic: {ts!r}")
+    delta = ts - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
 
 
 def _next_turn_id(spark: SparkSession, path: str) -> int:

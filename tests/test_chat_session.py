@@ -193,10 +193,12 @@ def test_next_turn_id_footer_fast_path_matches_spark(spark, tmp_path):
 
 
 def test_stateless_turn_job_budget(spark, tmp_path):
-    """r10 optimization pin: one stateless turn = TWO Spark jobs (the
-    history-tail read, then the retrieval collect); the pre-r10 loop
-    paid a third — a full Spark aggregation at append time just to read
-    max(turn_id), now served from local parquet footer statistics."""
+    """r10/r11 optimization pin: one stateless turn against a local store
+    = ONE Spark job (the retrieval collect). The pre-r10 loop paid three:
+    a max(turn_id) aggregation at append time (r10: served from parquet
+    footer statistics) and a history-tail read per turn (r11: served by
+    the driver-side footer-pruned pyarrow tail with exact Spark
+    fallback)."""
     from ade_agente_documental_empresarial___miner_a_spark.plans.chat import (
         answer_question,
     )
@@ -211,7 +213,104 @@ def test_stateless_turn_job_budget(spark, tmp_path):
     answer_question(spark, chunks, "ana", "counted", history_path=hist)
     after = tracker.getJobIdsForGroup(None)
     new_jobs = set(after) - set(before)
-    assert len(new_jobs) <= 2, (
-        f"stateless turn launched {len(new_jobs)} jobs, expected <=2"
+    assert len(new_jobs) <= 1, (
+        f"stateless turn launched {len(new_jobs)} jobs, expected <=1"
     )
     chunks.unpersist()
+
+
+def test_footer_user_tail_matches_spark(spark, tmp_path):
+    """r11 optimization pin: the driver-side footer-pruned tail read must
+    equal the Spark expression (filter user -> orderBy ts desc, turn_id
+    desc_nulls_last -> limit n -> ascending re-sort) across multi-file
+    stores, interleaved users, ts order NOT matching file order, and n
+    larger than the stored history; NULL ts routes to _FOOTER_MISS."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from ade_agente_documental_empresarial___miner_a_spark.sources.sinks import (
+        _FOOTER_MISS,
+        _footer_user_tail,
+        append_chat_history,
+        read_chat_history,
+    )
+
+    path = str(tmp_path / "hist")
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)  # noqa: E731
+    # batch 1: newest-ts rows live in the OLDEST file (prunes must not
+    # trust file order); batch 2/3: interleaved users, duplicate ts
+    # within a user (turn_id tiebreaker decides)
+    append_chat_history(
+        spark,
+        [("ana", "m0", "r0", t(20), 1, 1), ("bob", "bm0", "br0", t(21), 1, 1),
+         ("ana", "m1", "r1", t(5), 1, 1)],
+        path,
+    )
+    append_chat_history(
+        spark,
+        [("ana", "m2", "r2", t(6), 1, 1), ("ana", "m3", "r3", t(6), 1, 1),
+         ("bob", "bm1", "br1", t(1), 1, 1)],
+        path,
+    )
+    append_chat_history(
+        spark, [("ana", "m4", "r4", t(7), 1, 1)], path
+    )
+
+    def spark_tail(user, n):
+        hist = read_chat_history(spark, path).where(F.col("user") == user)
+        tail = hist.orderBy(
+            F.desc("ts"), F.desc_nulls_last("turn_id")
+        ).limit(n)
+        past = sorted(tail.collect(), key=lambda r: (r.ts, r.turn_id))
+        return [(x.message, x.response) for x in past]
+
+    for user in ["ana", "bob", "nobody"]:
+        for n in [1, 2, 3, 50]:
+            fast = _footer_user_tail(path, user, n)
+            assert fast is not _FOOTER_MISS
+            assert fast == spark_tail(user, n), (user, n)
+
+    # file pruning actually fires: with n=1 the newest-bound file
+    # suffices for ana's tail (m0 at t=20 is in the file with the
+    # global max ts), so at most 2 of 3 files are opened for data
+    import pyarrow.parquet as pq_mod
+
+    opened = []
+    real_read = pq_mod.read_table
+
+    def counting_read(f, *a, **kw):
+        opened.append(f)
+        return real_read(f, *a, **kw)
+
+    pq_mod.read_table = counting_read
+    try:
+        got = _footer_user_tail(path, "ana", 1)
+    finally:
+        pq_mod.read_table = real_read
+    assert got == [("m0", "r0")]
+    assert len(opened) < 3, f"no pruning: opened {opened}"
+
+    # NULL ts anywhere visible -> unprovable -> Spark path decides
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    null_tbl = pa.table(
+        {
+            "user": ["ana"], "message": ["mx"], "response": ["rx"],
+            "ts": pa.array([None], pa.timestamp("us", tz="UTC")),
+            "prompt_tokens": pa.array([1], pa.int64()),
+            "completion_tokens": pa.array([1], pa.int64()),
+            "turn_id": pa.array([99], pa.int64()),
+        }
+    )
+    pq.write_table(null_tbl, str(tmp_path / "hist" / "part-null.parquet"))
+    assert _footer_user_tail(path, "ana", 2) is _FOOTER_MISS
+
+    # a visible subdirectory -> unprovable layout -> miss
+    import os
+
+    os.remove(str(tmp_path / "hist" / "part-null.parquet"))
+    assert _footer_user_tail(path, "ana", 2) is not _FOOTER_MISS
+    os.makedirs(str(tmp_path / "hist" / "extra_dir"))
+    assert _footer_user_tail(path, "ana", 2) is _FOOTER_MISS
