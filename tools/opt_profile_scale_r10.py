@@ -51,7 +51,6 @@ def main() -> None:
 
     if "lsh" in legs:
         from ade_agente_documental_empresarial___miner_a_spark.operators.dedup import (
-            _verify_jaccard,
             lsh_candidate_pairs,
             lsh_verified_pairs,
             minhash_signatures,

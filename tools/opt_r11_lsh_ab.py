@@ -59,14 +59,12 @@ def lsh_verified_variant(
     )
     if ckpt_cands:
         cands = cands.localCheckpoint(eager=True)
-    sh = D.spread(docs, id_col).select(
-        F.col(id_col),
-        F.explode(D.word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    arrs = D.spread(docs, id_col).select(
+        F.col(id_col), D.word_shingles(F.col(text_col), shingle_n).alias("sh_arr")
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if ckpt_sizes:
-        sizes = sizes.localCheckpoint(eager=True)
-    return D._verify_jaccard(cands, sh, sizes, id_col, threshold)
+        arrs = arrs  # sizes checkpoint obsolete in the array form
+    return D._verify_jaccard(cands, arrs, id_col, threshold)
 
 
 def main():
