@@ -286,6 +286,31 @@ def scale10x_queries(qs):
         queries = emb.where(F.col("vec_id") == 7)
         return ivf_i8_search(codes, cents, queries, k=10, nprobe=8)
 
+    def ivf_100k_serving_b32(spark, sf_dir):
+        # r11 (r10-verdict #6): BATCH serving — 32 deterministic probe
+        # queries (vec_id ≡ 7 mod 3125 over the 100k ids) answered in
+        # ONE job over the same loaded index. ivf_i8_search is already
+        # multi-query (per-query window rank; probe list broadcast; the
+        # codes scan DPP-prunes to the UNION of probed cells), so the
+        # fixed job cost amortizes: measured 1.43 s single vs 1.92 s
+        # for 32 → 0.06 s/query (24×). Additive entry; the single-query
+        # leg above is unchanged.
+        from pyspark.sql import functions as F
+
+        from ade_agente_documental_empresarial___miner_a_spark.operators.ann import (
+            ivf_i8_search,
+            load_ivf_i8_index,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        codes, cents = load_ivf_i8_index(
+            spark, os.path.join(sf_dir, "ivf_i8_index")
+        )
+        queries = emb.where(F.col("vec_id") % 3125 == 7)
+        return ivf_i8_search(codes, cents, queries, k=10, nprobe=8)
+
     def ivf_100k(spark, sf_dir):
         # ANN at 50x vectors (100k at sf0.1): the full IVF path each
         # run — Lloyd-refined 64-cell codebook, map-only assignment,
@@ -336,6 +361,7 @@ def scale10x_queries(qs):
         "sim_ivf_100k": ivf_100k,
         "sim_ivf_100k_hof": ivf_100k_hof,
         "sim_ivf_100k_serving": ivf_100k_serving,
+        "sim_ivf_100k_serving_b32": ivf_100k_serving_b32,
     }
 
 
@@ -770,6 +796,24 @@ def main() -> None:
     sentinels = {"start": sentinel()}
     load_start = os.getloadavg()
 
+    # Per-LEG noise sentinel (r11, additive — r10-verdict #8: the three
+    # section sentinels straddled a mid-run burst that cost that round
+    # its headline number). A quarter-size fixed probe (~0.06-0.08 s
+    # quiet on this class of box, scaling with the big sentinel whose
+    # quiet band is ~0.22-0.28) runs right AFTER each leg's best-of
+    # loop; a value ≥ ~2× the run's own quiet band flags contention at
+    # that leg. Indicator, not proof — a burst that ends with the leg
+    # escapes it; the per-section sentinels above stay authoritative
+    # for run-level quietness. Existing JSON keys are unchanged.
+    leg_sentinel: dict[str, float] = {}
+
+    def mini_sentinel(tag: str) -> None:
+        t0 = time.time()
+        spark.range(50_000_000, numPartitions=32).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).collect()
+        leg_sentinel[tag] = round(time.time() - t0, 3)
+
     # Adaptive repeats: measure until the two fastest runs confirm each
     # other (within 25%), cap 4. A quiet box settles in 2 runs (cheaper
     # than fixed best-of-3); a host burst triggers extra samples exactly
@@ -788,6 +832,7 @@ def main() -> None:
 
         best = _adaptive_best(sample)
         results[name] = round(best, 3)
+        mini_sentinel(name)
         print(
             f"# {name}: {best:.3f}s ({stats['n']} rows,"
             f" {stats['runs']} runs)",
@@ -795,11 +840,13 @@ def main() -> None:
         )
 
     results["chat_turn"] = bench_chat_turns(spark, sf_dir)
+    mini_sentinel("chat_turn")
     print(
         f"# chat_turn: {results['chat_turn']:.3f}s ({CHAT_TURNS} turns)",
         file=sys.stderr,
     )
     results["chat_session"] = bench_chat_session(spark, sf_dir)
+    mini_sentinel("chat_session")
     print(
         f"# chat_session: {results['chat_session']:.3f}s ({CHAT_TURNS} turns)",
         file=sys.stderr,
@@ -853,13 +900,16 @@ def main() -> None:
             n = fn(spark, scale_dir).count()
             best = min(best, time.time() - t0)
         scale[name] = round(best, 3)
+        mini_sentinel(f"scale10x.{name}")
         print(f"# scale10x {name}: {scale[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     scale["stream_live_tumbling"] = bench_stream_live_10x(
         spark, scale_dir
     )
+    mini_sentinel("scale10x.stream_live_tumbling")
 
     scale["chat_deep_history"] = bench_chat_deep_history(spark, sf_dir)
+    mini_sentinel("scale10x.chat_deep_history")
     print(
         f"# scale10x chat_deep_history: {scale['chat_deep_history']:.3f}s"
         " (4 turns over 500 stored)",
@@ -875,6 +925,7 @@ def main() -> None:
             qs[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
         tpch[name] = round(best, 3)
+        mini_sentinel(f"tpch.{name}")
     tpch_total = round(sum(tpch.values()), 3)
     print(f"# tpch 22-query total: {tpch_total:.3f}s", file=sys.stderr)
 
@@ -904,6 +955,11 @@ def main() -> None:
                 # box ≈ the calibration noted in README/ROUND6 notes; a
                 # hot recording shows here, not as a fake regression
                 "sentinel": sentinels,
+                # r11 additive: one quarter-size sentinel sample taken
+                # right after each leg (keys prefixed scale10x./tpch.
+                # for the non-headline sections) — localizes host bursts
+                # to the leg they hit instead of a whole section
+                "leg_sentinel": leg_sentinel,
                 "loadavg": {"start": load_start, "end": load_end},
             }
         )
