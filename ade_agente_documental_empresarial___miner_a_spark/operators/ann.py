@@ -333,9 +333,24 @@ def _codebook_np(cents: list[tuple[int, list[float]]]):
 def _assign_cells_matmul(v, C, cids, cnorms):
     """HOF-exact argmax-cosine cells for a dense (n, dim) float64 matrix.
 
-    The shared batch core of ivf_assign_arrow (see its docstring for the
-    three NULL/NaN/zero-norm cases and why each matches the HOF fold);
-    rows whose elements were NULL arrive here as NaN (Arrow->numpy) and
+    The shared batch core of ``ivf_assign_arrow`` AND
+    ``_lloyd_partials_arrow`` — the single home of the last-ulp-sensitive
+    HOF-equivalence rules, handled in order:
+
+    (1) denominator == 0 (zero vector / zero centroid): try_divide →
+        NULL, which LOSES the struct-max — mask to -inf (an all--inf row
+        argmaxes to index 0 = the largest cid, matching the all-NULL
+        fallthrough);
+    (2) remaining NaN (a non-finite operand with nonzero norms): Spark's
+        total order puts NaN ABOVE Infinity, so NaN wins even against a
+        genuine +inf score (|v·c| overflow) — rows with any NaN take the
+        FIRST NaN column (NaN-equal ties go to index 0, the struct-max
+        tie rule), never a +inf one;
+    (3) finite scores compare as-is (centroids arrive cid-descending, so
+        argmax-first-max resolves ties to the larger cid — the HOF
+        struct-max order).
+
+    Rows whose elements were NULL arrive here as NaN (Arrow->numpy) and
     fall out through the NaN branch to cids[0], the same largest-cid
     outcome the HOF all-NULL struct-max produces."""
     import numpy as np
@@ -677,31 +692,12 @@ def ivf_assign_arrow(
             cells = np.full(len(raw), cids[0], dtype=np.int64)
             if ok.any():
                 v = np.stack(raw[ok]).astype(np.float64)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    vnorms = np.sqrt((v * v).sum(axis=1, keepdims=True))
-                    scores = (v @ C.T) / (vnorms * cnorms)
-                # Three HOF-exact cases, handled in order:
-                # (1) denominator == 0 (zero vector / zero centroid):
-                #     try_divide → NULL, which LOSES the struct-max —
-                #     mask to -inf (an all--inf row argmaxes to index 0
-                #     = the largest cid, matching all-NULL fallthrough);
-                # (2) remaining NaN (a non-finite operand with nonzero
-                #     norms): Spark's total order puts NaN ABOVE
-                #     Infinity, so NaN wins even against a genuine +inf
-                #     score (|v·c| overflow) — rows with any NaN take
-                #     the FIRST NaN column (NaN-equal ties go to index
-                #     0, the struct-max tie rule), never a +inf one;
-                # (3) finite scores compare as-is.
+                # the last-ulp-sensitive HOF-equivalence rules (denom-
+                # zero → -inf mask, NaN-above-Infinity argmax, largest-
+                # cid ties) live in ONE place: _assign_cells_matmul —
+                # the same core _lloyd_partials_arrow batches through.
                 # Pinned vs ivf_assign in tests/test_ann_arrow.py.
-                denom_zero = (vnorms * cnorms) == 0.0
-                scores = np.where(denom_zero, -np.inf, scores)
-                nan = np.isnan(scores)
-                pick = np.where(
-                    nan.any(axis=1),
-                    nan.argmax(axis=1),
-                    np.where(nan, -np.inf, scores).argmax(axis=1),
-                )
-                cells[ok] = cids[pick]
+                cells[ok] = _assign_cells_matmul(v, C, cids, cnorms)
             pdf = pdf.assign(cell=cells)
             yield pdf[cols]
 
